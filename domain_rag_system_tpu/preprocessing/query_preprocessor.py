@@ -1,0 +1,164 @@
+"""Query preprocessing pipeline: clean → extract entities → normalize.
+
+Functional parity with the reference ``QueryPreprocessor``
+(``src/preprocessing/query_preprocessor.py:8-147``): the same result schema
+(``original/cleaned/normalized/entities/medical_terms``), the same cleaning
+regexes (``:88-103``) and the same normalization path.
+
+The reference's entity extractor is SciSpacy NER with an optional UMLS
+linker (``:105-127``). SciSpacy is a CPU-bound spaCy model that does not
+belong in a TPU serving path; here entity extraction is a deterministic
+gazetteer over the normalizer's terminology tables (drugs, conditions,
+abbreviations). The extractor is pluggable: pass ``entity_extractor=`` to
+substitute a model-based NER when one is available.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, List, Optional
+
+from domain_rag_system_tpu.preprocessing.normalizer import MedicalTermNormalizer
+
+_WHITESPACE = re.compile(r"\s+")
+# Keep alphanumerics, spaces, and medical-relevant punctuation (reference :99).
+_SPECIALS = re.compile(r"[^\w\s\-\+/().,?]")
+
+# Generic English stopwords for keyword extraction (the reference delegates
+# this to spaCy's `token.is_stop`, query_preprocessor.py:139-145).
+_STOPWORDS = {
+    "a", "an", "the", "and", "or", "but", "if", "then", "than", "that",
+    "this", "these", "those", "is", "are", "was", "were", "be", "been",
+    "being", "am", "do", "does", "did", "have", "has", "had", "will",
+    "would", "can", "could", "shall", "should", "may", "might", "must",
+    "of", "in", "on", "at", "to", "for", "from", "by", "with", "about",
+    "as", "into", "through", "during", "before", "after", "between",
+    "out", "over", "under", "up", "down", "off", "above", "below",
+    "it", "its", "he", "she", "they", "them", "his", "her", "their",
+    "we", "you", "your", "i", "me", "my", "not", "no", "nor", "so",
+    "too", "very", "just", "both", "each", "few", "more", "most",
+    "other", "some", "such", "only", "own", "same", "what", "which",
+    "who", "whom", "when", "where", "why", "how", "all", "any", "there",
+    "here", "also", "used", "use", "using",
+}
+
+
+class QueryPreprocessor:
+    """Cleans, annotates and normalizes user queries before retrieval."""
+
+    def __init__(
+        self,
+        medical_normalizer: Optional[MedicalTermNormalizer] = None,
+        entity_extractor: Optional[Callable[[str], List[Dict]]] = None,
+    ):
+        self.normalizer = medical_normalizer or MedicalTermNormalizer()
+        self._entity_extractor = entity_extractor
+
+    def preprocess(
+        self,
+        query: str,
+        extract_entities: bool = True,
+        normalize_terms: bool = True,
+        expand_abbreviations: bool = True,
+    ) -> Dict:
+        result: Dict = {
+            "original": query,
+            "cleaned": "",
+            "normalized": "",
+            "entities": [],
+            "medical_terms": {},
+        }
+
+        cleaned = self.clean_query(query)
+        result["cleaned"] = cleaned
+
+        if extract_entities:
+            result["entities"] = self.extract_entities(cleaned)
+
+        if normalize_terms:
+            result["normalized"] = self.normalizer.normalize_text(
+                cleaned, expand_abbreviations=expand_abbreviations
+            )
+            result["medical_terms"] = self.normalizer.extract_medical_terms(cleaned)
+        else:
+            result["normalized"] = cleaned
+
+        return result
+
+    def select_search_query(self, preprocessed: Dict) -> str:
+        """Choose the retrieval query string from a preprocess() result.
+
+        Reference policy (``scripts/query.py:134-136``): prefer the cleaned
+        query; switch to the normalized one only if the normalization did not
+        more than double its length (abbreviation expansion can balloon text).
+        """
+        search_query = preprocessed.get("cleaned") or preprocessed.get("original", "")
+        normalized = preprocessed.get("normalized")
+        if normalized and len(normalized) < len(search_query) * 2:
+            search_query = normalized
+        return search_query
+
+    def clean_query(self, query: str) -> str:
+        if not query:
+            return ""
+        cleaned = _WHITESPACE.sub(" ", query)
+        cleaned = _SPECIALS.sub("", cleaned)
+        return cleaned.strip()
+
+    def extract_entities(self, text: str) -> List[Dict]:
+        """Entity spans found in ``text``.
+
+        Default extractor: gazetteer over the normalizer's drug / condition /
+        abbreviation tables, emitting the same span schema as the reference
+        (``text``, ``label``, ``start``, ``end``).
+        """
+        if self._entity_extractor is not None:
+            return self._entity_extractor(text)
+
+        entities: List[Dict] = []
+        seen_spans = set()
+
+        def scan(terms: Dict[str, str]) -> None:
+            pattern_terms = sorted(terms, key=len, reverse=True)
+            for term in pattern_terms:
+                for m in re.finditer(r"\b" + re.escape(term) + r"\b", text, re.IGNORECASE):
+                    span = (m.start(), m.end())
+                    if any(s <= span[0] < e or s < span[1] <= e for s, e in seen_spans):
+                        continue
+                    seen_spans.add(span)
+                    entities.append({
+                        "text": m.group(0),
+                        "label": terms[term],
+                        "start": m.start(),
+                        "end": m.end(),
+                    })
+
+        norm = self.normalizer
+        drug_terms: Dict[str, str] = {}
+        for generic, brands in norm.drug_mapping.items():
+            drug_terms[generic] = "DRUG"
+            for b in brands:
+                drug_terms[b] = "DRUG"
+        cond_terms: Dict[str, str] = {}
+        for standard, syns in norm.condition_synonyms.items():
+            cond_terms[standard] = "CONDITION"
+            for s in syns:
+                cond_terms[s] = "CONDITION"
+        abbr_terms = {a: "ABBREVIATION" for a in norm.abbreviations}
+
+        scan(drug_terms)
+        scan(cond_terms)
+        scan(abbr_terms)
+        entities.sort(key=lambda e: e["start"])
+        return entities
+
+    def get_query_keywords(self, query: str) -> List[str]:
+        """Important keywords: stopwords removed, medical terms protected
+        (reference ``:129-147``)."""
+        tokens = re.findall(r"[A-Za-z]+", query)
+        keywords = []
+        for token in tokens:
+            lower = token.lower()
+            if lower not in _STOPWORDS or lower in self.normalizer.medical_stopwords:
+                keywords.append(lower)
+        return keywords

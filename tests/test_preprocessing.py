@@ -1,0 +1,291 @@
+"""Unit tests for the preprocessing layer (loader / chunker / normalizer /
+query preprocessor / sentence splitter)."""
+
+import json
+
+import pytest
+
+from domain_rag_system_tpu.preprocessing import (
+    Chunk,
+    DataLoader,
+    Document,
+    DocumentChunker,
+    MedicalTermNormalizer,
+    QueryPreprocessor,
+    split_sentences,
+)
+from domain_rag_system_tpu.preprocessing.data_loader import build_kaggle_content
+
+
+# --------------------------------------------------------------- sentences
+
+def test_split_sentences_basic():
+    text = "Aspirin works. It reduces fever! Does it treat pain? Yes."
+    assert split_sentences(text) == [
+        "Aspirin works.",
+        "It reduces fever!",
+        "Does it treat pain?",
+        "Yes.",
+    ]
+
+
+def test_split_sentences_protects_abbreviations():
+    text = "Drugs, e.g. aspirin, are common. See Fig. 2 for details. Dr. Smith agrees."
+    sents = split_sentences(text)
+    assert len(sents) == 3
+    assert sents[0] == "Drugs, e.g. aspirin, are common."
+    assert sents[1] == "See Fig. 2 for details."
+
+
+def test_split_sentences_decimal_numbers():
+    text = "The p value was 0.05 overall. Effect size was 1.2 in the cohort."
+    assert len(split_sentences(text)) == 2
+
+
+def test_split_sentences_empty():
+    assert split_sentences("") == []
+
+
+# --------------------------------------------------------------- documents
+
+def test_document_round_trip():
+    d = Document("pubmed_1", "pubmed", "T", "C", {"k": "v"})
+    assert Document.from_dict(d.to_dict()) == d
+    c = Chunk("pubmed_1_title", "pubmed_1", "pubmed", "title", "T", {"s": 1})
+    assert Chunk.from_dict(c.to_dict()) == c
+
+
+# --------------------------------------------------------------- loader
+
+def test_loader_pubmed(tmp_path):
+    corpus = [{"id": "123", "title": "A title", "abstract": "An abstract.",
+               "link": "http://x/123"}]
+    p = tmp_path / "corpus.json"
+    p.write_text(json.dumps(corpus))
+    docs = DataLoader(pubmed_path=str(p)).load_pubmed()
+    assert len(docs) == 1
+    assert docs[0].doc_id == "pubmed_123"
+    assert docs[0].metadata["pubmed_id"] == "123"
+
+
+def test_loader_openfda(tmp_path):
+    corpus = [{
+        "id": "abc", "brand_name": "Tylenol", "generic_name": "ACETAMINOPHEN",
+        "set_id": "s1", "text": "Drug names: Tylenol\nPurpose: pain relief",
+        "metadata": {"has_warnings": True},
+    }]
+    p = tmp_path / "fda.json"
+    p.write_text(json.dumps(corpus))
+    docs = DataLoader(openfda_path=str(p)).load_openfda()
+    assert docs[0].doc_id == "openfda_abc"
+    assert docs[0].title == "Tylenol (ACETAMINOPHEN)"
+    assert docs[0].metadata["has_warnings"] is True
+
+
+def test_loader_kaggle_content_sections(tmp_path):
+    item = {
+        "doc_id": "k1", "drug_name": "Advil", "generic_name": "ibuprofen",
+        "medical_condition": "Pain", "drug_classes": ["NSAID"],
+        "brand_names": ["Advil", "Motrin"], "rx_otc": "OTC",
+        "side_effects_structured": {"serious": ["ulcer"], "common": ["nausea"]},
+        "side_effects_raw": "raw side effect text",
+        "pregnancy_category": "Risk cannot be ruled out",
+        "pregnancy_category_raw": "C", "alcohol": "X", "csa": "N",
+        "related_drugs": [{"name": "naproxen"}],
+        "condition_summary": "Pain is unpleasant.",
+        "rating": 7.0,
+    }
+    content = build_kaggle_content(item)
+    for header in ["=== BASIC INFORMATION ===", "=== BRAND NAMES ===",
+                   "=== SIDE EFFECTS ===", "=== SIDE EFFECTS (RAW) ===",
+                   "=== SAFETY INFORMATION ===", "=== RELATED DRUGS ===",
+                   "=== CONDITION INFORMATION ==="]:
+        assert header in content
+    assert "1. ulcer" in content
+    assert "Avoid alcohol" in content
+
+    p = tmp_path / "kaggle.json"
+    p.write_text(json.dumps([item]))
+    docs = DataLoader(kaggle_path=str(p)).load_kaggle()
+    assert docs[0].doc_id == "kaggle_k1"
+    assert docs[0].title == "Advil for Pain"
+
+
+def test_loader_missing_raises(tmp_path):
+    loader = DataLoader(pubmed_path=str(tmp_path / "nope.json"))
+    with pytest.raises(FileNotFoundError):
+        loader.load("pubmed")
+    assert loader.load("pubmed", missing_ok=True) == []
+
+
+# --------------------------------------------------------------- chunker
+
+def _pubmed_doc(content: str) -> Document:
+    return Document("pubmed_1", "pubmed", "Some title", content, {"pubmed_id": "1"})
+
+
+def test_chunker_pubmed_short_abstract():
+    chunks = DocumentChunker().chunk_documents([_pubmed_doc("Short abstract.")])
+    assert [c.chunk_id for c in chunks] == ["pubmed_1_title", "pubmed_1_abstract"]
+    assert chunks[0].chunk_type == "title"
+    assert chunks[1].metadata["section"] == "abstract"
+
+
+def test_chunker_pubmed_long_abstract_splits_with_overlap():
+    sentences = [f"Sentence number {i} about medicine and treatments." for i in range(30)]
+    doc = _pubmed_doc(" ".join(sentences))
+    chunker = DocumentChunker(max_chunk_size=200, overlap=50)
+    chunks = chunker.chunk_documents([doc])
+    body = [c for c in chunks if c.chunk_type == "abstract"]
+    assert len(body) > 1
+    assert all(c.chunk_id == f"pubmed_1_abstract_{i}" for i, c in enumerate(body))
+    # one-sentence overlap: last sentence of piece i reappears in piece i+1
+    for a, b in zip(body, body[1:]):
+        last_sentence = split_sentences(a.text)[-1]
+        assert b.text.startswith(last_sentence)
+
+
+def test_chunker_openfda_sections():
+    content = (
+        "Drug names: Tylenol (ACETAMINOPHEN)\n"
+        "Active ingredients: Acetaminophen 500 mg\n"
+        "Indications and usage: temporary relief of minor aches\n"
+        "Warning information: liver warning applies\n"
+    )
+    doc = Document("openfda_1", "openfda", "Tylenol", content, {})
+    chunks = DocumentChunker().chunk_documents([doc])
+    types = {c.chunk_type for c in chunks}
+    assert {"title", "drug_names", "active_ingredients", "indications", "warnings"} <= types
+    drug_names = next(c for c in chunks if c.chunk_type == "drug_names")
+    assert drug_names.text == "Tylenol (ACETAMINOPHEN)"
+    assert drug_names.chunk_id == "openfda_1_drug_names"
+
+
+def test_chunker_kaggle_sections():
+    content = (
+        "=== BASIC INFORMATION ===\nDrug Name: Advil\n\n"
+        "=== SIDE EFFECTS (RAW) ===\nnausea and dizziness\n\n"
+        "=== CONDITION INFORMATION ===\nPain management overview"
+    )
+    doc = Document("kaggle_1", "kaggle", "Advil for Pain", content, {})
+    chunks = DocumentChunker().chunk_documents([doc])
+    by_type = {c.chunk_type: c for c in chunks}
+    assert "basic_info" in by_type
+    assert "side_effects_raw" in by_type
+    assert "condition_info" in by_type
+    assert by_type["side_effects_raw"].text == "nausea and dizziness"
+
+
+def test_chunker_generic_fallback_and_stats():
+    doc = Document("x_1", "unknown", "T", "some words " * 50, {})
+    chunker = DocumentChunker(max_chunk_size=100, overlap=0)
+    chunks = chunker.chunk_documents([doc])
+    assert all(c.chunk_type == "generic" for c in chunks)
+    stats = chunker.stats(chunks)
+    assert stats["total_chunks"] == len(chunks)
+    assert stats["chunks_by_type"]["generic"] == len(chunks)
+
+
+# --------------------------------------------------------------- normalizer
+
+def test_normalizer_abbreviation_expansion():
+    n = MedicalTermNormalizer()
+    out = n.normalize_text("Treatment for pt with MI and HTN")
+    assert "myocardial infarction" in out
+    assert "hypertension" in out
+    assert "patient" in out
+
+
+def test_normalizer_longer_abbreviation_wins():
+    n = MedicalTermNormalizer()
+    out = n.normalize_text("T2DM management")
+    assert "type 2 diabetes mellitus" in out
+    assert "type 1" not in out
+
+
+def test_normalizer_brand_rewrite():
+    n = MedicalTermNormalizer()
+    n.drug_mapping = {"ibuprofen": ["Advil", "Motrin"]}
+    out = n.normalize_text("Does Advil help?", expand_abbreviations=False)
+    assert "ibuprofen (Advil)" in out
+
+
+def test_normalizer_condition_synonyms():
+    n = MedicalTermNormalizer()
+    out = n.normalize_text("high blood pressure and heart attack",
+                           expand_abbreviations=False)
+    assert "hypertension" in out
+    assert "myocardial infarction" in out
+
+
+def test_normalizer_extract_and_synonyms():
+    n = MedicalTermNormalizer()
+    n.drug_mapping = {"ibuprofen": ["Advil"]}
+    terms = n.extract_medical_terms("Advil for GERD")
+    assert "Advil (ibuprofen)" in terms["drugs"]
+    assert "GERD" in terms["abbreviations"]
+    syns = n.get_synonyms("GERD")
+    assert "gastroesophageal reflux disease" in syns
+
+
+def test_normalizer_build_drug_mapping_from_data():
+    docs = [
+        Document("openfda_1", "openfda", "", "", {"generic_name": "IBUPROFEN",
+                                                  "brand_name": "Advil"}),
+        Document("kaggle_1", "kaggle", "", "", {"generic_name": "ibuprofen",
+                                                "drug_name": "Motrin",
+                                                "brand_names": ["Motrin IB"]}),
+    ]
+    n = MedicalTermNormalizer()
+    n.build_drug_mapping_from_data(docs)
+    assert set(n.drug_mapping["ibuprofen"]) == {"Advil", "Motrin", "Motrin IB"}
+
+
+def test_normalizer_mapping_round_trip(tmp_path):
+    n = MedicalTermNormalizer()
+    n.drug_mapping = {"a": ["B"]}
+    path = tmp_path / "map.json"
+    n.save_drug_mapping(str(path))
+    m = MedicalTermNormalizer(drug_mapping_path=str(path))
+    assert m.drug_mapping == {"a": ["B"]}
+
+
+# --------------------------------------------------------------- query prep
+
+def test_query_preprocessor_schema_and_cleaning():
+    qp = QueryPreprocessor()
+    result = qp.preprocess("What  are the side effects of aspirin?!?")
+    assert set(result) == {"original", "cleaned", "normalized", "entities",
+                           "medical_terms"}
+    assert "  " not in result["cleaned"]
+    assert "!" not in result["cleaned"]
+    assert "?" in result["cleaned"]  # '?' is kept by the cleaning charset
+
+
+def test_query_preprocessor_entities():
+    qp = QueryPreprocessor()
+    qp.normalizer.drug_mapping = {"aspirin": ["Bayer"]}
+    result = qp.preprocess("Is aspirin safe for GERD patients?")
+    labels = {e["label"] for e in result["entities"]}
+    assert "DRUG" in labels
+    assert "ABBREVIATION" in labels or "CONDITION" in labels
+
+
+def test_query_preprocessor_search_query_selection():
+    qp = QueryPreprocessor()
+    pre = qp.preprocess("drugs for HTN")
+    # normalization expands HTN -> hypertension; short enough to be preferred
+    assert qp.select_search_query(pre) == pre["normalized"]
+
+    # build a query whose expansion more than doubles the length
+    pre2 = qp.preprocess("MI CHF CAD DM w/ w/o")
+    assert len(pre2["normalized"]) >= len(pre2["cleaned"]) * 2
+    assert qp.select_search_query(pre2) == pre2["cleaned"]
+
+
+def test_query_keywords_protect_medical_stopwords():
+    qp = QueryPreprocessor()
+    kw = qp.get_query_keywords("What is the treatment for the flu?")
+    assert "treatment" in kw  # medical stopword protected
+    assert "what" not in kw
+    assert "flu" in kw
