@@ -1,0 +1,68 @@
+"""Tests for the corpus-recovery ETL (skipped when the reference mount or the
+recovered artifacts are absent)."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+REF = Path("/root/reference")
+RECOVERED = Path(__file__).resolve().parent.parent / "data" / "recovered"
+
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference mount absent")
+
+
+def test_recovered_bioasq_corpus_schema():
+    from domain_rag_system_tpu.etl import recover_bioasq_corpus
+
+    corpus = recover_bioasq_corpus(REF)
+    assert len(corpus) > 1500
+    doc = corpus[0]
+    assert set(doc) == {"id", "title", "abstract", "link"}
+    assert doc["id"].isdigit()
+    # ground-truth coverage must stay high
+    queries_path = REF / "data" / "BioASQ" / "bioasq_subset.json"
+    questions = json.load(open(queries_path))["questions"]
+    gt = {u.rsplit("/", 1)[-1] for q in questions for u in q["documents"]}
+    have = {d["id"] for d in corpus}
+    assert len(gt & have) / len(gt) > 0.9
+
+
+def test_recovered_bioasq_queries():
+    from domain_rag_system_tpu.etl import recover_bioasq_queries
+
+    queries = recover_bioasq_queries(REF)
+    assert len(queries) == 200
+    types = {q["type"] for q in queries}
+    assert types == {"yesno", "factoid", "list", "summary"}
+    assert all(q["documents"] for q in queries)
+    assert all(d.isdigit() or d for d in queries[0]["documents"])
+
+
+def test_recovered_openfda():
+    from domain_rag_system_tpu.etl import recover_openfda_corpus, recover_openfda_queries
+
+    corpus = recover_openfda_corpus(REF)
+    assert len(corpus) >= 50
+    assert all(d["text"] for d in corpus)
+    queries = recover_openfda_queries(REF)
+    assert len(queries) == 5
+    assert queries[0]["id"] == "openfda_001"
+
+
+def test_synthetic_kaggle_matches_etl_schema():
+    from domain_rag_system_tpu.etl import synthesize_kaggle_corpus
+    from domain_rag_system_tpu.preprocessing import DataLoader
+    import tempfile, os
+
+    records = synthesize_kaggle_corpus()
+    assert len(records) > 10
+    # md5 doc ids, like the reference ETL (data_extractor.py:203)
+    assert all(len(r["doc_id"]) == 32 for r in records)
+    # loadable end-to-end by the kaggle reader
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "docs.json")
+        json.dump(records, open(p, "w"))
+        docs = DataLoader(kaggle_path=p).load_kaggle()
+        assert len(docs) == len(records)
+        assert "=== BASIC INFORMATION ===" in docs[0].content
