@@ -1,0 +1,141 @@
+"""Sparse BM25 index with on-device scoring.
+
+Replaces the reference's ``BM25Indexer`` (``src/indexing/bm25_indexer.py``):
+same tokenizer semantics, same Okapi BM25 parameters/IDF quirks (via
+:mod:`domain_rag_system_tpu.ops.sparse_bm25`), but the index lives as dense
+device arrays and scoring runs under jit instead of a host numpy pass; and
+persistence is plain arrays + JSON (the reference pickles its entire object
+graph, ``bm25_indexer.py:165-200`` — a code-execution hazard and version
+trap this framework deliberately avoids; see persistence/bundle.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from domain_rag_system_tpu.indexing.filters import FilterSet
+from domain_rag_system_tpu.ops.sparse_bm25 import (
+    MAX_DOC_TERMS,
+    MAX_QUERY_TERMS,
+    bm25_scores,
+    build_okapi_arrays,
+    encode_query_terms,
+)
+from domain_rag_system_tpu.preprocessing.documents import Chunk
+from domain_rag_system_tpu.tokenization import RegexTokenizer, Vocabulary
+from domain_rag_system_tpu.utils import get_logger
+
+log = get_logger(__name__)
+
+
+class BM25Index:
+    """Okapi BM25 over chunk texts, scored on device."""
+
+    def __init__(
+        self,
+        k1: float = 1.5,
+        b: float = 0.75,
+        tokenizer: Optional[RegexTokenizer] = None,
+        max_doc_terms: int = MAX_DOC_TERMS,
+        max_query_terms: int = MAX_QUERY_TERMS,
+    ):
+        self.k1 = k1
+        self.b = b
+        self.tokenizer = tokenizer or RegexTokenizer()
+        self.max_doc_terms = max_doc_terms
+        self.max_query_terms = max_query_terms
+
+        self.chunks: List[Chunk] = []
+        self.vocab: Optional[Vocabulary] = None
+        self.doc_terms: Optional[jnp.ndarray] = None     # [N, D] int32 on device
+        self.doc_contrib: Optional[jnp.ndarray] = None   # [N, D] f32 on device
+        self.idf: Optional[np.ndarray] = None            # [V] f32 host
+        self.stats: Dict[str, float] = {}
+        self._filters: Optional[FilterSet] = None
+
+    # ------------------------------------------------------------------ build
+
+    def index_chunks(self, chunks: Sequence[Chunk]) -> None:
+        self.chunks = list(chunks)
+        tokenized = [self.tokenizer.tokenize(c.text) for c in self.chunks]
+        self.vocab = Vocabulary.build(tokenized)
+        encoded = [self.vocab.encode(toks) for toks in tokenized]
+
+        doc_terms, doc_contrib, idf, stats = build_okapi_arrays(
+            encoded, len(self.vocab), k1=self.k1, b=self.b,
+            max_doc_terms=self.max_doc_terms,
+        )
+        self.doc_terms = jnp.asarray(doc_terms)
+        self.doc_contrib = jnp.asarray(doc_contrib)
+        self.idf = idf
+        self.stats = stats
+        self._filters = FilterSet(self.chunks)
+        log.info(
+            "BM25 index: %d chunks, %d terms, avgdl=%.1f",
+            len(self.chunks), len(self.vocab), stats["avgdl"],
+        )
+
+    # ------------------------------------------------------------------ query
+
+    def encode_query(self, query: str) -> Tuple[np.ndarray, np.ndarray]:
+        """Query text → fixed-width (term ids, multiplicity weights)."""
+        tokens = self.tokenizer.tokenize(query)
+        counts = self.vocab.encode_counts(tokens)
+        return encode_query_terms(counts, self.max_query_terms)
+
+    def scores(self, query: str) -> np.ndarray:
+        """Full [N] score vector for one query (device-computed)."""
+        q_ids, q_w = self.encode_query(query)
+        return np.asarray(bm25_scores(
+            self.doc_terms, self.doc_contrib, jnp.asarray(q_ids), jnp.asarray(q_w)
+        ))
+
+    def search(
+        self,
+        query: str,
+        top_k: int = 10,
+        filters: Optional[Dict] = None,
+    ) -> List[Dict]:
+        """Top-k result dicts (reference schema: chunk_id/doc_id/source/
+        chunk_type/text/metadata/score)."""
+        if self.doc_terms is None:
+            raise ValueError("Index not built. Call index_chunks() first.")
+        scores = self.scores(query)
+        mask = self._filters.mask(filters)
+        if mask is not None:
+            scores = np.where(mask > 0, scores, -np.inf)
+        k = min(top_k, len(self.chunks))
+        top = np.argpartition(-scores, k - 1)[:k] if k < len(scores) else np.arange(len(scores))
+        top = top[np.argsort(-scores[top], kind="stable")]
+        results = []
+        for idx in top:
+            if not np.isfinite(scores[idx]):
+                continue
+            chunk = self.chunks[int(idx)]
+            results.append({
+                "chunk_id": chunk.chunk_id,
+                "doc_id": chunk.doc_id,
+                "source": chunk.source,
+                "chunk_type": chunk.chunk_type,
+                "text": chunk.text,
+                "metadata": chunk.metadata,
+                "score": float(scores[idx]),
+            })
+        return results
+
+    # ------------------------------------------------------------------ stats
+
+    def get_stats(self) -> Dict:
+        if self.doc_terms is None:
+            return {"error": "Index not built"}
+        return {
+            "num_documents": len(self.chunks),
+            "avg_doc_length": self.stats.get("avgdl", 0.0),
+            "vocab_size": len(self.vocab) if self.vocab else 0,
+            "k1": self.k1,
+            "b": self.b,
+            "overflow_docs": int(self.stats.get("overflow_docs", 0)),
+        }

@@ -1,0 +1,184 @@
+"""HBM-resident dense vector index.
+
+Replaces the reference's Qdrant collection
+(``src/indexing/vector_indexer.py:21-249``, local-mode client = pure-Python
+scan per query) with a flat [N, d] matrix on device scored by an MXU matmul
+and ``lax.top_k`` (:mod:`domain_rag_system_tpu.ops.dense_topk`).
+
+The corpus is padded to a multiple of ``row_block`` (Pallas tile size /
+sharding divisibility); padded rows carry a zero validity mask and can never
+be returned. Metadata filters become cached [N] masks applied *before*
+top-k — exact filtered retrieval, unlike the reference BM25 path's post-hoc
+truncation.
+
+Supported distances: cosine (default — embeddings and queries L2-normalized,
+dot product on device) and dot. The reference's Euclid option
+(``vector_indexer.py:57-62``) is exposed as ``"euclid"`` and computed from
+the same matmul via the norm-expansion identity.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from domain_rag_system_tpu.indexing.filters import FilterSet
+from domain_rag_system_tpu.ops.dense_topk import cosine_topk
+from domain_rag_system_tpu.preprocessing.documents import Chunk
+from domain_rag_system_tpu.utils import get_logger
+
+log = get_logger(__name__)
+
+
+class DenseIndex:
+    """Flat dense index: encode → device matmul → top-k."""
+
+    def __init__(
+        self,
+        embedder,
+        collection_name: str = "medical_rag",
+        distance: str = "cosine",
+        row_block: int = 1024,
+        dtype: str = "float32",
+    ):
+        if distance not in ("cosine", "dot", "euclid"):
+            raise ValueError(f"unsupported distance {distance!r}")
+        self.embedder = embedder
+        self.collection_name = collection_name
+        self.distance = distance
+        self.row_block = row_block
+        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
+        self.chunks: List[Chunk] = []
+        self.embeddings: Optional[jnp.ndarray] = None  # [N_pad, d] device
+        self._row_norms_sq: Optional[jnp.ndarray] = None  # for euclid
+        self._valid: Optional[np.ndarray] = None       # [N_pad] uint8
+        self._filters: Optional[FilterSet] = None
+        self.n_chunks = 0
+
+    # ------------------------------------------------------------------ build
+
+    def index_chunks(
+        self,
+        chunks: Sequence[Chunk],
+        batch_size: int = 256,
+        precomputed: Optional[np.ndarray] = None,
+    ) -> None:
+        """Embed and store all chunk texts (or adopt precomputed embeddings)."""
+        self.chunks = list(chunks)
+        self.n_chunks = len(self.chunks)
+
+        if precomputed is not None:
+            emb = np.asarray(precomputed, dtype=np.float32)
+        else:
+            if hasattr(self.embedder, "fit") and not getattr(self.embedder, "is_fit", True):
+                self.embedder.fit([c.text for c in self.chunks])
+            parts = []
+            normalize = self.distance == "cosine"
+            for start in range(0, self.n_chunks, batch_size):
+                batch = self.chunks[start:start + batch_size]
+                parts.append(self.embedder.encode([c.text for c in batch],
+                                                  normalize=normalize))
+            emb = np.concatenate(parts, axis=0) if parts else np.zeros((0, 1), np.float32)
+
+        n_pad = -(-max(self.n_chunks, 1) // self.row_block) * self.row_block
+        d = emb.shape[1] if emb.size else self.embedder.embedding_dim
+        padded = np.zeros((n_pad, d), dtype=np.float32)
+        padded[: self.n_chunks] = emb
+        self.embeddings = jnp.asarray(padded, dtype=self.dtype)
+        if self.distance == "euclid":
+            self._row_norms_sq = jnp.sum(
+                jnp.asarray(padded, jnp.float32) ** 2, axis=1
+            )
+
+        self._valid = np.zeros(n_pad, dtype=np.uint8)
+        self._valid[: self.n_chunks] = 1
+        self._filters = FilterSet(self.chunks)
+        log.info("dense index: %d chunks (padded to %d), dim=%d, distance=%s",
+                 self.n_chunks, n_pad, d, self.distance)
+
+    # ------------------------------------------------------------------ query
+
+    def _combined_mask(self, filters: Optional[Dict]) -> np.ndarray:
+        mask = self._valid
+        extra = self._filters.mask(filters)
+        if extra is not None:
+            mask = mask.copy()
+            mask[: self.n_chunks] &= extra
+        return mask
+
+    def search_batch(
+        self,
+        queries: Sequence[str],
+        top_k: int = 10,
+        filters: Optional[Dict] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (scores [B, k], indices [B, k]); indices are -1 beyond corpus."""
+        if self.embeddings is None:
+            raise ValueError("Index not built. Call index_chunks() first.")
+        normalize = self.distance == "cosine"
+        q = self.embedder.encode(list(queries), normalize=normalize)
+        mask = self._combined_mask(filters)
+        k = min(top_k, self.n_chunks)
+        scores, idx = cosine_topk(
+            jnp.asarray(q, dtype=self.dtype),
+            self.embeddings,
+            k,
+            mask=jnp.asarray(mask),
+        )
+        scores = np.asarray(scores, dtype=np.float32)
+        idx = np.asarray(idx)
+        if self.distance == "euclid":
+            # ||q - e||² = ||q||² - 2q·e + ||e||²; top-k by dot is not top-k by
+            # euclid unless normalized, so recompute the true distances for the
+            # returned candidates (cosine-normalized corpora are unaffected).
+            qn = np.sum(q ** 2, axis=1, keepdims=True)
+            en = np.asarray(self._row_norms_sq)[idx]
+            scores = -np.sqrt(np.maximum(qn - 2.0 * scores + en, 0.0))
+        invalid = scores <= -1e29
+        idx = np.where(invalid | (idx >= self.n_chunks), -1, idx)
+        return scores, idx
+
+    def search(
+        self,
+        query: str,
+        top_k: int = 10,
+        filters: Optional[Dict] = None,
+        score_threshold: Optional[float] = None,
+    ) -> List[Dict]:
+        """Reference-schema result dicts for one query
+        (cf. ``vector_indexer.py:165-230``)."""
+        scores, idx = self.search_batch([query], top_k=top_k, filters=filters)
+        results = []
+        for score, i in zip(scores[0], idx[0]):
+            if i < 0:
+                continue
+            if score_threshold is not None and score < score_threshold:
+                continue
+            chunk = self.chunks[int(i)]
+            results.append({
+                "chunk_id": chunk.chunk_id,
+                "doc_id": chunk.doc_id,
+                "source": chunk.source,
+                "chunk_type": chunk.chunk_type,
+                "text": chunk.text,
+                "metadata": chunk.metadata,
+                "score": float(score),
+            })
+        return results
+
+    # ------------------------------------------------------------------ info
+
+    def get_stats(self) -> Dict:
+        if self.embeddings is None:
+            return {"error": "Index not built"}
+        return {
+            "collection_name": self.collection_name,
+            "num_chunks": self.n_chunks,
+            "embedding_dim": int(self.embeddings.shape[1]),
+            "distance": self.distance,
+            "padded_rows": int(self.embeddings.shape[0]),
+            "dtype": str(self.embeddings.dtype),
+        }

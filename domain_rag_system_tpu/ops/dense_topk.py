@@ -1,0 +1,110 @@
+"""Dense (embedding) scoring and top-k on TPU.
+
+Replaces the reference's Qdrant local-mode scan
+(``src/indexing/vector_indexer.py:202`` — a pure-Python walk over 91k
+vectors per query) with an HBM-resident score matmul feeding ``lax.top_k``.
+
+Embeddings are L2-normalized at index time and queries at encode time, so
+cosine similarity (the reference's default distance,
+``vector_indexer.py:57-62``) is a plain dot product that XLA maps onto the
+MXU. A Pallas tiled kernel is provided for the scoring matmul; it tiles the
+corpus into VMEM-sized row blocks and fuses the optional metadata-filter mask
+into the score write, so masked corpora never materialize an unmasked [B, N]
+score matrix in HBM. The XLA path is the default — for this shape
+(B ≤ 256, d ≤ 1024) XLA's matmul is already near roofline; the Pallas path
+exists for the fused-mask case and as the scaffold for further fusion
+(top-k in VMEM) in later rounds.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def dense_scores(queries: jax.Array, embeddings: jax.Array) -> jax.Array:
+    """[B, d] x [N, d] → [B, N] similarity scores (f32 accumulation)."""
+    return jax.lax.dot_general(
+        queries, embeddings,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# --------------------------------------------------------------------- pallas
+
+def _score_mask_kernel(q_ref, e_ref, m_ref, o_ref):
+    """One corpus tile: scores = q @ tileᵀ with the filter mask fused in."""
+    scores = jax.lax.dot_general(
+        q_ref[:], e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    keep = m_ref[:] > 0  # [1, block_n]
+    o_ref[:] = jnp.where(keep, scores, -1e30)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def pallas_masked_scores(
+    queries: jax.Array,      # [B, d] f32/bf16
+    embeddings: jax.Array,   # [N, d] same dtype
+    mask: jax.Array,         # [N] int32/bool; nonzero = keep
+    block_n: int = 1024,
+) -> jax.Array:
+    """[B, N] masked scores via a Pallas grid over corpus row tiles.
+
+    N must be a multiple of ``block_n`` (the index layer pads the corpus);
+    B and d should be multiples of the (8, 128) f32 tile for best layout.
+    """
+    n = embeddings.shape[0]
+    b = queries.shape[0]
+    grid = (n // block_n,)
+    # Interpret mode keeps the kernel testable on CPU (virtual-mesh CI).
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        _score_mask_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, queries.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, embeddings.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, block_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        interpret=interpret,
+    )(queries, embeddings, mask.astype(jnp.int32).reshape(1, -1))
+
+
+# ----------------------------------------------------------------------- topk
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def cosine_topk(
+    queries: jax.Array,                 # [B, d]
+    embeddings: jax.Array,              # [N, d]
+    k: int,
+    mask: Optional[jax.Array] = None,   # [N] nonzero = keep
+    use_pallas: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k (scores [B, k], indices [B, k]) by similarity, optionally masked.
+
+    Ties break toward the lower index (lax.top_k semantics), which matches
+    the reference's stable argsort ordering.
+    """
+    if use_pallas and mask is not None:
+        scores = pallas_masked_scores(queries, embeddings, mask)
+    else:
+        scores = dense_scores(queries, embeddings)
+        if mask is not None:
+            scores = jnp.where(mask.reshape(1, -1) > 0, scores, NEG_INF)
+    return jax.lax.top_k(scores, k)

@@ -1,0 +1,175 @@
+"""TPU-native BM25 scoring.
+
+The reference scores BM25 on the host with ``rank_bm25.BM25Okapi.get_scores``
+— an O(N) numpy pass over the full corpus per query
+(``src/indexing/bm25_indexer.py:127-128``). Here BM25 runs on device with a
+layout chosen for the TPU's vector unit instead of a CPU posting-list walk:
+
+**Doc-major padded term matrix.** Chunks are short (≤512 chars → ≤~100 unique
+terms), so each document's sparse term vector fits a fixed-width row:
+
+  * ``doc_terms``   int32 [N, D]  — term ids per doc, ``-1`` padded;
+  * ``doc_contrib`` f32   [N, D]  — the *precomputed* per-(term, doc) BM25
+    contribution ``idf(t) · tf(t,d)(k1+1) / (tf + k1(1-b+b·dl/avgdl))``.
+
+A query is ≤L term ids with multiplicities. Scoring is then an exact dense
+computation — no gather, no scatter, static shapes, trivially shardable by
+rows:
+
+  ``score[n] = Σ_d contrib[n,d] · Σ_l w[l] · [terms[n,d] == q[l]]``
+
+evaluated as a ``lax.scan`` over the L query slots (one [N, D] compare +
+multiply-accumulate per slot) so the [N, D, L] match tensor is never
+materialized. Per-(term,doc) contributions are precomputed at build time,
+which is exactly the factorization BM25 allows: query tokens only contribute
+multiplicity weights.
+
+IDF parity: ``build_okapi_arrays`` reproduces the Okapi BM25 variant used by
+the reference's ``rank_bm25`` dependency, including its non-standard
+negative-IDF flooring (idf < 0 → ``eps ·  mean(idf)`` with eps = 0.25), so
+score-based rankings match the reference bit-for-bit modulo float order.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from domain_rag_system_tpu.utils import get_logger
+
+log = get_logger(__name__)
+
+#: Default fixed widths (static shapes under jit).
+MAX_DOC_TERMS = 128
+MAX_QUERY_TERMS = 64
+
+#: rank_bm25's negative-IDF epsilon (BM25Okapi(epsilon=0.25)).
+OKAPI_EPSILON = 0.25
+
+
+def build_okapi_arrays(
+    tokenized_corpus: Sequence[List[int]],
+    vocab_size: int,
+    k1: float = 1.5,
+    b: float = 0.75,
+    epsilon: float = OKAPI_EPSILON,
+    max_doc_terms: int = MAX_DOC_TERMS,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Dict[str, float]]:
+    """Precompute the doc-major BM25 arrays from an id-encoded corpus.
+
+    Args:
+      tokenized_corpus: per-doc lists of term ids (with multiplicity).
+      vocab_size: number of distinct terms.
+      k1, b: BM25 parameters (reference defaults 1.5 / 0.75,
+        ``bm25_indexer.py:29``).
+      epsilon: negative-IDF floor factor (rank_bm25 semantics).
+      max_doc_terms: row width; docs with more unique terms keep their
+        highest-contribution terms (logged — rare for ≤512-char chunks).
+
+    Returns:
+      (doc_terms [N, D] int32, doc_contrib [N, D] f32, idf [V] f32, stats)
+    """
+    n_docs = len(tokenized_corpus)
+    doc_lens = np.array([len(doc) for doc in tokenized_corpus], dtype=np.float64)
+    avgdl = float(doc_lens.mean()) if n_docs else 0.0
+
+    # Document frequency per term.
+    df = np.zeros(vocab_size, dtype=np.int64)
+    for doc in tokenized_corpus:
+        for tid in set(doc):
+            df[tid] += 1
+
+    # Okapi IDF with rank_bm25's epsilon floor: the mean is taken over the
+    # raw idf values of *observed* terms (df > 0), negatives included.
+    observed = df > 0
+    raw_idf = np.zeros(vocab_size, dtype=np.float64)
+    raw_idf[observed] = np.log(n_docs - df[observed] + 0.5) - np.log(df[observed] + 0.5)
+    average_idf = raw_idf[observed].mean() if observed.any() else 0.0
+    idf = raw_idf.copy()
+    negative = observed & (raw_idf < 0)
+    idf[negative] = epsilon * average_idf
+    if negative.any():
+        log.info("floored %d negative-IDF terms to eps*avg_idf=%.4f",
+                 int(negative.sum()), epsilon * average_idf)
+
+    doc_terms = np.full((n_docs, max_doc_terms), -1, dtype=np.int32)
+    doc_contrib = np.zeros((n_docs, max_doc_terms), dtype=np.float32)
+    overflow = 0
+    for i, doc in enumerate(tokenized_corpus):
+        if not doc:
+            continue
+        tids, tfs = np.unique(np.asarray(doc, dtype=np.int64), return_counts=True)
+        denom_norm = k1 * (1.0 - b + b * doc_lens[i] / avgdl)
+        contrib = idf[tids] * (tfs * (k1 + 1.0)) / (tfs + denom_norm)
+        if len(tids) > max_doc_terms:
+            overflow += 1
+            keep = np.argsort(contrib)[::-1][:max_doc_terms]
+            tids, contrib = tids[keep], contrib[keep]
+        doc_terms[i, : len(tids)] = tids
+        doc_contrib[i, : len(tids)] = contrib
+
+    if overflow:
+        log.warning(
+            "%d/%d docs exceeded max_doc_terms=%d — lowest-contribution terms "
+            "dropped (raise max_doc_terms for exactness)",
+            overflow, n_docs, max_doc_terms,
+        )
+
+    stats = {
+        "n_docs": float(n_docs),
+        "avgdl": avgdl,
+        "average_idf": float(average_idf),
+        "overflow_docs": float(overflow),
+        "k1": k1,
+        "b": b,
+        "epsilon": epsilon,
+    }
+    return doc_terms, doc_contrib, idf.astype(np.float32), stats
+
+
+def encode_query_terms(
+    term_counts: Dict[int, int],
+    max_query_terms: int = MAX_QUERY_TERMS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack a term-id→multiplicity map into fixed-width (ids, weights).
+
+    Queries with more than ``max_query_terms`` unique in-vocab terms keep the
+    highest-multiplicity ones (queries are sentences; this effectively never
+    truncates).
+    """
+    ids = np.full(max_query_terms, -2, dtype=np.int32)  # -2 never matches -1 pads
+    weights = np.zeros(max_query_terms, dtype=np.float32)
+    items = sorted(term_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_query_terms]
+    for i, (tid, count) in enumerate(items):
+        ids[i] = tid
+        weights[i] = count
+    return ids, weights
+
+
+@jax.jit
+def bm25_scores(
+    doc_terms: jax.Array,    # [N, D] int32, -1 padded
+    doc_contrib: jax.Array,  # [N, D] f32
+    query_ids: jax.Array,    # [L] or [B, L] int32, -2 padded
+    query_weights: jax.Array,  # [L] or [B, L] f32
+) -> jax.Array:
+    """Exact BM25 scores for one query or a batch. Returns [N] or [B, N]."""
+    single = query_ids.ndim == 1
+    q_ids = jnp.atleast_2d(query_ids)          # [B, L]
+    q_w = jnp.atleast_2d(query_weights)        # [B, L]
+
+    def slot(scores, qslot):
+        qid, qw = qslot                        # [B], [B]
+        # [B, N, D] compare is avoided: broadcast per-slot scalar per batch row.
+        match = doc_terms[None, :, :] == qid[:, None, None]       # [B, N, D]
+        scores = scores + qw[:, None] * jnp.sum(
+            jnp.where(match, doc_contrib[None, :, :], 0.0), axis=-1
+        )
+        return scores, None
+
+    init = jnp.zeros((q_ids.shape[0], doc_terms.shape[0]), dtype=jnp.float32)
+    scores, _ = jax.lax.scan(slot, init, (q_ids.T, q_w.T))
+    return scores[0] if single else scores

@@ -1,0 +1,130 @@
+"""BM25 correctness: device scores vs a pure-Python Okapi oracle implementing
+rank_bm25's documented scoring semantics (Okapi IDF with eps·avg-idf floor),
+plus tokenizer parity and filter behavior."""
+
+import math
+
+import numpy as np
+import pytest
+
+from domain_rag_system_tpu.indexing import BM25Index
+from domain_rag_system_tpu.tokenization import RegexTokenizer
+
+
+def okapi_oracle(tokenized_corpus, query_tokens, k1=1.5, b=0.75, eps=0.25):
+    """Reference-semantics BM25Okapi.get_scores, written from the formula."""
+    n = len(tokenized_corpus)
+    doc_freq = {}
+    for doc in tokenized_corpus:
+        for t in set(doc):
+            doc_freq[t] = doc_freq.get(t, 0) + 1
+    raw_idf = {t: math.log(n - df + 0.5) - math.log(df + 0.5)
+               for t, df in doc_freq.items()}
+    avg_idf = sum(raw_idf.values()) / len(raw_idf)
+    idf = {t: (v if v >= 0 else eps * avg_idf) for t, v in raw_idf.items()}
+
+    doc_lens = [len(d) for d in tokenized_corpus]
+    avgdl = sum(doc_lens) / n
+    scores = np.zeros(n)
+    for qi in query_tokens:
+        if qi not in idf:
+            continue
+        for d, doc in enumerate(tokenized_corpus):
+            tf = doc.count(qi)
+            if tf == 0:
+                continue
+            denom = tf + k1 * (1 - b + b * doc_lens[d] / avgdl)
+            scores[d] += idf[qi] * tf * (k1 + 1) / denom
+    return scores
+
+
+# --------------------------------------------------------------- tokenizer
+
+def test_tokenizer_parity_rules():
+    tok = RegexTokenizer()
+    # lowercase + \b\w+\b + drop <2 chars
+    assert tok.tokenize("Aspirin, 100mg; a dose!") == ["aspirin", "100mg", "dose"]
+    # 'pt' is a preserved abbreviation present in the text -> kept even though short
+    # (it's 2 chars anyway); check a genuinely-short preserved behavior via custom list
+    tok2 = RegexTokenizer(preserved_abbreviations=["q"])
+    assert "q" in tok2.tokenize("the q value")
+    assert "q" not in RegexTokenizer(preserved_abbreviations=[]).tokenize("the q value")
+
+
+def test_tokenizer_preserved_requires_substring_presence():
+    tok = RegexTokenizer(preserved_abbreviations=["zz"])
+    # 'a' short token dropped; preserved term only applies when present
+    assert tok.tokenize("a zz b") == ["zz"]
+
+
+# --------------------------------------------------------------- scoring
+
+@pytest.fixture
+def bm25(toy_chunks):
+    idx = BM25Index()
+    idx.index_chunks(toy_chunks)
+    return idx
+
+
+def test_bm25_matches_oracle(bm25, toy_chunks):
+    tokenized = [bm25.tokenizer.tokenize(c.text) for c in toy_chunks]
+    for query in [
+        "diabetes treatment",
+        "pain relief drug",
+        "aspirin aspirin fever",   # duplicate query term => multiplicity 2
+        "selective serotonin reuptake inhibitor",
+        "unknownterm qqqq",
+    ]:
+        q_tokens = bm25.tokenizer.tokenize(query)
+        expected = okapi_oracle(tokenized, q_tokens)
+        got = bm25.scores(query)
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_bm25_search_ranking_and_schema(bm25):
+    results = bm25.search("type 2 diabetes treatment", top_k=3)
+    assert len(results) == 3
+    assert set(results[0]) == {"chunk_id", "doc_id", "source", "chunk_type",
+                               "text", "metadata", "score"}
+    # metformin chunk mentions both 'diabetes' and 'treatment' and 'type 2'
+    assert results[0]["chunk_id"] == "doc2_body"
+    scores = [r["score"] for r in results]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_filters_exact_topk(bm25):
+    results = bm25.search("pain treatment", top_k=4,
+                          filters={"source_tag": "even"})
+    assert results  # filtered search still returns results
+    assert all(r["metadata"]["source_tag"] == "even" for r in results)
+
+
+def test_bm25_empty_query(bm25):
+    assert bm25.search("", top_k=5) == [] or all(
+        r["score"] == 0.0 for r in bm25.search("", top_k=5)
+    )
+
+
+def test_bm25_stats(bm25, toy_chunks):
+    stats = bm25.get_stats()
+    assert stats["num_documents"] == len(toy_chunks)
+    assert stats["vocab_size"] > 20
+    assert stats["k1"] == 1.5 and stats["b"] == 0.75
+
+
+def test_bm25_negative_idf_flooring():
+    """A term in nearly all docs gets negative raw IDF and must be floored."""
+    from domain_rag_system_tpu.preprocessing import Chunk
+
+    # 'common' appears in 9/10 docs (negative raw idf); each doc also has
+    # unique rare terms so the vocabulary-average idf stays positive.
+    texts = [f"common uniqueterm{i} otherterm{i}" for i in range(9)] + ["rare beta gamma"]
+    chunks = [Chunk(f"c{i}", f"d{i}", "pubmed", "abstract", t, {})
+              for i, t in enumerate(texts)]
+    idx = BM25Index()
+    idx.index_chunks(chunks)
+    tokenized = [idx.tokenizer.tokenize(c.text) for c in chunks]
+    expected = okapi_oracle(tokenized, ["common"])
+    got = idx.scores("common")
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+    assert (got[:9] > 0).all()  # floored positive, not negative
