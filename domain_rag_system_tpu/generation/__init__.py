@@ -1,0 +1,7 @@
+from domain_rag_system_tpu.generation.generator import (
+    AnswerGenerator,
+    BaseGenerator,
+    TemplateGenerator,
+)
+
+__all__ = ["BaseGenerator", "AnswerGenerator", "TemplateGenerator"]

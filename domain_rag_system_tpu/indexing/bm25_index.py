@@ -26,7 +26,7 @@ from domain_rag_system_tpu.ops.sparse_bm25 import (
 )
 from domain_rag_system_tpu.preprocessing.documents import Chunk
 from domain_rag_system_tpu.tokenization import RegexTokenizer, Vocabulary
-from domain_rag_system_tpu.utils import get_logger
+from domain_rag_system_tpu.utils import get_logger, topk_desc
 
 log = get_logger(__name__)
 
@@ -107,9 +107,7 @@ class BM25Index:
         mask = self._filters.mask(filters)
         if mask is not None:
             scores = np.where(mask > 0, scores, -np.inf)
-        k = min(top_k, len(self.chunks))
-        top = np.argpartition(-scores, k - 1)[:k] if k < len(scores) else np.arange(len(scores))
-        top = top[np.argsort(-scores[top], kind="stable")]
+        top = topk_desc(scores, min(top_k, len(self.chunks)))
         results = []
         for idx in top:
             if not np.isfinite(scores[idx]):

@@ -22,7 +22,7 @@ from domain_rag_system_tpu.indexing.bm25_index import BM25Index
 from domain_rag_system_tpu.indexing.dense_index import DenseIndex
 from domain_rag_system_tpu.ops.fusion import rrf_fuse_device, weighted_fuse_device
 from domain_rag_system_tpu.preprocessing.documents import Chunk
-from domain_rag_system_tpu.utils import get_logger
+from domain_rag_system_tpu.utils import get_logger, topk_desc
 
 log = get_logger(__name__)
 
@@ -64,11 +64,12 @@ class HybridIndex:
         mask = self.bm25_index._filters.mask(filters)
         if mask is not None:
             scores = np.where(mask > 0, scores, -np.inf)
-        k = min(k, len(scores))
-        top = np.argpartition(-scores, k - 1)[:k] if k < len(scores) else np.arange(len(scores))
-        top = top[np.argsort(-scores[top], kind="stable")].astype(np.int32)
+        top = topk_desc(scores, k).astype(np.int32)
         top_scores = scores[top].astype(np.float32)
-        valid = np.isfinite(top_scores) & (top_scores > 0)
+        # Zero-score docs stay in the ranked list (reference argsort keeps
+        # them, bm25_indexer.py:128 — they carry RRF mass); only filtered-out
+        # (-inf) slots are invalidated.
+        valid = np.isfinite(top_scores)
         return np.where(valid, top, -1), np.where(valid, top_scores, 0.0)
 
     def search(

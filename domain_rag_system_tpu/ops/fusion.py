@@ -53,6 +53,7 @@ def rrf_fuse_device(
 ) -> Tuple[jax.Array, jax.Array]:
     """Reciprocal-rank fusion → (fused ids [top_k], fused scores [top_k])."""
     cand = jnp.concatenate([ids_a, ids_b])                   # [C]
+    top_k = min(top_k, cand.shape[0])
 
     def rrf_from(ids):
         ranks = jnp.arange(1, ids.shape[0] + 1, dtype=jnp.float32)
@@ -87,6 +88,7 @@ def weighted_fuse_device(
 ) -> Tuple[jax.Array, jax.Array]:
     """Min-max weighted-sum fusion → (fused ids, fused scores)."""
     cand = jnp.concatenate([ids_a, ids_b])
+    top_k = min(top_k, cand.shape[0])
 
     norm_a = _minmax_normalize(scores_a, ids_a >= 0)
     norm_b = _minmax_normalize(scores_b, ids_b >= 0)

@@ -1,0 +1,123 @@
+"""Candidate reranking.
+
+Interface parity with the reference (``src/reranker/rerank.py:19-101``):
+``rerank`` scores the top-``top_n`` pool against (query, text) pairs,
+attaches ``rerank_score``, appends ``"+rerank"`` to ``fusion_method``, sorts
+descending, returns top-k. Factory ``build_reranker`` supports
+``none | simple | crossencoder`` with silent crossencoder→simple fallback
+(``:87-101``), logged here instead of silent.
+
+Differences:
+  * ``SimpleSimilarityReranker`` scores all pairs in ONE batched device
+    matmul — the reference loops a pure-Python cosine per pair
+    (``rerank.py:53-68``), its biggest serving hot-spot (SURVEY.md §6:
+    1.4–1.9 s/query);
+  * ``CrossEncoderReranker`` is a first-party Flax cross-encoder
+    (query, passage) forward at static padded shapes; it requires local
+    parameters (no downloads) and raises at construction otherwise, which the
+    factory converts into the simple-reranker fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Literal, Optional, Tuple
+
+import numpy as np
+
+from domain_rag_system_tpu.utils import get_logger
+
+log = get_logger(__name__)
+
+
+class BaseReranker:
+    """Pool-rerank interface (reference ``BaseReranker``, rerank.py:19-43)."""
+
+    def __init__(self, top_n: int = 50, name: str = "base"):
+        self.top_n = top_n
+        self.name = name
+
+    def score_pairs(self, pairs: Iterable[Tuple[str, str]]) -> List[float]:
+        raise NotImplementedError
+
+    def rerank(self, query: str, results: List[Dict], top_k: int = 10) -> List[Dict]:
+        if not results:
+            return results
+        pool = results[: min(self.top_n, len(results))]
+        pairs = [(query, r.get("text", "") or "") for r in pool]
+        scores = self.score_pairs(pairs)
+        rescored = []
+        for r, s in zip(pool, scores):
+            out = r.copy()
+            out["rerank_score"] = float(s)
+            out["fusion_method"] = (out.get("fusion_method") or "pre") + "+rerank"
+            rescored.append(out)
+        rescored.sort(key=lambda x: x["rerank_score"], reverse=True)
+        return rescored[:top_k]
+
+
+class SimpleSimilarityReranker(BaseReranker):
+    """Cosine rerank via the shared embedder — one batched matmul."""
+
+    def __init__(self, embedder=None, top_n: int = 50):
+        super().__init__(top_n=top_n, name="simple-sim")
+        if embedder is None:
+            from domain_rag_system_tpu.models import MedicalEmbedder
+
+            embedder = MedicalEmbedder()
+        self.embedder = embedder
+
+    def score_pairs(self, pairs: Iterable[Tuple[str, str]]) -> List[float]:
+        pairs = list(pairs)
+        if not pairs:
+            return []
+        q_vec = self.embedder.encode(pairs[0][0], normalize=True)[0]
+        d_vecs = self.embedder.encode([p for _, p in pairs], normalize=True)
+        return (d_vecs @ q_vec).astype(float).tolist()
+
+
+class CrossEncoderReranker(BaseReranker):
+    """Flax cross-encoder (query, passage) → relevance logit."""
+
+    def __init__(
+        self,
+        model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+        top_n: int = 50,
+        checkpoint_path: Optional[str] = None,
+    ):
+        super().__init__(top_n=top_n, name="cross-encoder")
+        from domain_rag_system_tpu.models.bert_embedder import CrossEncoderModel
+
+        self.model = CrossEncoderModel(
+            model_name=model_name, checkpoint_path=checkpoint_path
+        )
+
+    def score_pairs(self, pairs: Iterable[Tuple[str, str]]) -> List[float]:
+        pairs = list(pairs)
+        if not pairs:
+            return []
+        return [float(s) for s in self.model.predict(pairs)]
+
+
+def build_reranker(
+    kind: Literal["none", "simple", "crossencoder"] = "simple",
+    top_n: int = 50,
+    cross_model: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+    embedder=None,
+    cross_checkpoint: Optional[str] = None,
+) -> Optional[BaseReranker]:
+    """Reranker factory with reference fallback semantics."""
+    if kind == "none":
+        return None
+    if kind == "crossencoder":
+        try:
+            return CrossEncoderReranker(
+                model_name=cross_model, top_n=top_n,
+                checkpoint_path=cross_checkpoint,
+            )
+        except Exception as exc:
+            log.warning(
+                "cross-encoder %r unavailable (%s) — falling back to "
+                "simple similarity reranker", cross_model, exc,
+            )
+            return SimpleSimilarityReranker(embedder=embedder, top_n=top_n)
+    return SimpleSimilarityReranker(embedder=embedder, top_n=top_n)

@@ -1,0 +1,137 @@
+"""Pipeline + reranker + generation end-to-end on the toy corpus."""
+
+import numpy as np
+import pytest
+
+from domain_rag_system_tpu.generation import AnswerGenerator, TemplateGenerator
+from domain_rag_system_tpu.generation.generator import build_prompt
+from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+from domain_rag_system_tpu.models import MedicalEmbedder
+from domain_rag_system_tpu.pipeline import RetrievalPipeline
+from domain_rag_system_tpu.reranker import (
+    SimpleSimilarityReranker,
+    build_reranker,
+)
+
+
+@pytest.fixture
+def pipeline(toy_chunks):
+    embedder = MedicalEmbedder(dim=512)
+    hybrid = HybridIndex(
+        dense_index=DenseIndex(embedder, row_block=8),
+        bm25_index=BM25Index(),
+    )
+    hybrid.index_chunks(toy_chunks)
+    reranker = SimpleSimilarityReranker(embedder=embedder, top_n=8)
+    return RetrievalPipeline(hybrid, reranker=reranker)
+
+
+def test_pipeline_single_query(pipeline):
+    out = pipeline.query("treatment for diabetes", top_k=3)
+    assert out["num_results"] == 3
+    top = out["results"][0]
+    assert "rerank_score" in top
+    assert top["fusion_method"].endswith("+rerank")
+    assert "diabetes" in top["text"]
+
+
+def test_pipeline_rerank_uses_original_query(pipeline, monkeypatch):
+    captured = {}
+    orig = pipeline.reranker.rerank
+
+    def spy(query, results, top_k):
+        captured["query"] = query
+        return orig(query, results, top_k=top_k)
+
+    monkeypatch.setattr(pipeline.reranker, "rerank", spy)
+    pipeline.query("Tx for DM", top_k=2)
+    # reranker gets the ORIGINAL query, not the normalized one (reference :160)
+    assert captured["query"] == "Tx for DM"
+
+
+def test_pipeline_batch_matches_single(pipeline):
+    queries = ["diabetes treatment", "pain relief", "blood pressure"]
+    batch = pipeline.query_batch(queries, top_k=3)
+    assert len(batch) == 3
+    for q, out in zip(queries, batch):
+        single = pipeline.query(q, top_k=3)
+        assert [r["chunk_id"] for r in out["results"]] == \
+               [r["chunk_id"] for r in single["results"]]
+
+
+def test_pipeline_no_reranker(toy_chunks):
+    hybrid = HybridIndex(bm25_index=BM25Index())
+    hybrid.index_chunks(toy_chunks)
+    p = RetrievalPipeline(hybrid)
+    out = p.query("aspirin fever", top_k=2)
+    assert out["num_results"] == 2
+    assert "rerank_score" not in out["results"][0]
+
+
+def test_pipeline_stage_timing(pipeline):
+    pipeline.query("anything at all", top_k=2)
+    summary = pipeline.timer.summary()
+    assert "search" in summary and summary["search"]["count"] >= 1
+
+
+# ----------------------------------------------------------------- reranker
+
+def test_build_reranker_kinds(toy_chunks):
+    assert build_reranker("none") is None
+    simple = build_reranker("simple", top_n=7)
+    assert simple.top_n == 7
+    # no cross-encoder checkpoint in this env -> fallback to simple
+    fallback = build_reranker("crossencoder")
+    assert type(fallback).__name__ == "SimpleSimilarityReranker"
+
+
+def test_reranker_pool_and_tagging(pipeline, toy_chunks):
+    results = [
+        {"chunk_id": c.chunk_id, "text": c.text, "fusion_method": "rrf",
+         "metadata": {}, "score": 1.0 - 0.01 * i}
+        for i, c in enumerate(toy_chunks)
+    ]
+    rr = pipeline.reranker
+    out = rr.rerank("diabetes drug", results, top_k=4)
+    assert len(out) == 4
+    assert all(r["fusion_method"] == "rrf+rerank" for r in out)
+    scores = [r["rerank_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_reranker_empty():
+    rr = SimpleSimilarityReranker(embedder=MedicalEmbedder(dim=64))
+    assert rr.rerank("q", [], top_k=3) == []
+
+
+# --------------------------------------------------------------- generation
+
+def test_template_generator(toy_chunks):
+    contexts = [{"chunk_id": c.chunk_id, "text": c.text, "source": c.source,
+                 "chunk_type": c.chunk_type} for c in toy_chunks[:4]]
+    gen = TemplateGenerator()
+    out = gen.generate("what treats diabetes?", contexts)
+    assert out["answer"].startswith("Based on")
+    assert len(out["sources"]) == 3
+    assert out["metadata"]["model_type"] == "template"
+
+    empty = gen.generate("q", [])
+    assert "No relevant information" in empty["answer"]
+
+
+def test_prompt_structure():
+    contexts = [{"text": "aspirin reduces fever", "source": "pubmed",
+                 "chunk_type": "abstract"}]
+    prompt = build_prompt("does aspirin reduce fever?", contexts)
+    assert "[1] (pubmed/abstract) aspirin reduces fever" in prompt
+    assert "Question: does aspirin reduce fever?" in prompt
+    assert "1." in prompt and "5." in prompt  # the 5 rules
+
+
+def test_answer_generator_degrades_without_api():
+    gen = AnswerGenerator(model_type="openai", api_key=None)
+    out = gen.generate("q", [{"chunk_id": "c1", "text": "t"}])
+    assert out["sources"] == ["c1"]
+    # either client init failed or the API call failed (no network) —
+    # both must degrade to an error-string answer, never raise
+    assert out["answer"].startswith("[generation")
