@@ -40,16 +40,6 @@ _SIGN_SALT = b"drs-sign-v1:"
 _BUCKET_SALT = b"drs-bucket-v1:"
 
 
-def _features(tokens: List[str], char_ngrams: int) -> Iterable[Tuple[str, float]]:
-    """Yield (feature, base_weight) — whole tokens weight 1.0, char n-grams 0.5."""
-    for t in tokens:
-        yield t, 1.0
-        if char_ngrams and len(t) > char_ngrams:
-            padded = f"<{t}>"
-            for i in range(len(padded) - char_ngrams + 1):
-                yield "#" + padded[i:i + char_ngrams], 0.5
-
-
 def _bucket(feature: str, dim: int) -> int:
     return zlib.crc32(_BUCKET_SALT + feature.encode()) % dim
 
@@ -74,6 +64,32 @@ class LexicalHashEmbedder:
         self.tokenizer = tokenizer or RegexTokenizer()
         self._idf: Optional[np.ndarray] = None  # [dim], bucket-level idf
         self._n_fit_docs = 0
+        # Per-token feature cache: token → (buckets[int32], signed_weights[f32]).
+        # Vocabulary is small (~10k terms) while corpora re-use tokens heavily;
+        # caching turns the per-feature Python/crc work into one dict hit per
+        # token (this host is single-core — the Python featurization loop was
+        # the index-build bottleneck).
+        self._token_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def _token_features(self, token: str) -> Tuple[np.ndarray, np.ndarray]:
+        cached = self._token_cache.get(token)
+        if cached is not None:
+            return cached
+        buckets: List[int] = []
+        weights: List[float] = []
+        feats: List[Tuple[str, float]] = [(token, 1.0)]
+        if self.char_ngrams and len(token) > self.char_ngrams:
+            padded = f"<{token}>"
+            n = self.char_ngrams
+            feats.extend(("#" + padded[i:i + n], 0.5)
+                         for i in range(len(padded) - n + 1))
+        for feature, base_w in feats:
+            buckets.append(_bucket(feature, self.dim))
+            weights.append(_sign(feature) * base_w)
+        out = (np.asarray(buckets, dtype=np.int32),
+               np.asarray(weights, dtype=np.float32))
+        self._token_cache[token] = out
+        return out
 
     @property
     def embedding_dim(self) -> int:
@@ -81,15 +97,22 @@ class LexicalHashEmbedder:
 
     # ------------------------------------------------------------------- fit
 
+    def _text_arrays(self, text: str) -> Tuple[np.ndarray, np.ndarray]:
+        """All hashed features of ``text`` → (buckets, signed base weights)."""
+        tokens = self.tokenizer.tokenize(text)
+        if not tokens:
+            empty = np.zeros(0, dtype=np.int32)
+            return empty, np.zeros(0, dtype=np.float32)
+        parts = [self._token_features(t) for t in tokens]
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
     def fit(self, texts: Sequence[str]) -> "LexicalHashEmbedder":
         """Fit bucket-level smooth IDF: idf = ln((1+N)/(1+df)) + 1."""
         df = np.zeros(self.dim, dtype=np.int64)
         for text in texts:
-            buckets = set()
-            for feature, _ in _features(self.tokenizer.tokenize(text), self.char_ngrams):
-                buckets.add(_bucket(feature, self.dim))
-            for bkt in buckets:
-                df[bkt] += 1
+            ids, _ = self._text_arrays(text)
+            df[np.unique(ids)] += 1
         n = len(texts)
         self._idf = (np.log((1.0 + n) / (1.0 + df)) + 1.0).astype(np.float32)
         self._n_fit_docs = n
@@ -120,14 +143,15 @@ class LexicalHashEmbedder:
 
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
         for row, text in enumerate(texts):
-            tf: Dict[int, float] = {}
-            signs: Dict[int, float] = {}
-            for feature, base_w in _features(self.tokenizer.tokenize(text), self.char_ngrams):
-                bkt = _bucket(feature, self.dim)
-                tf[bkt] = tf.get(bkt, 0.0) + base_w
-                signs[bkt] = _sign(feature)  # last writer wins; deterministic
-            for bkt, count in tf.items():
-                out[row, bkt] += signs[bkt] * (1.0 + np.log(count)) * idf[bkt]
+            ids, ws = self._text_arrays(text)
+            if ids.size == 0:
+                continue
+            # Signed bucket accumulation, then sublinear (1+log|v|) scaling —
+            # order-independent and fully vectorized.
+            v = np.bincount(ids, weights=ws, minlength=self.dim)
+            nz = v != 0
+            out[row, nz] = (np.sign(v[nz]) * (1.0 + np.log(np.abs(v[nz])))
+                            * idf[nz]).astype(np.float32)
         if normalize:
             norms = np.linalg.norm(out, axis=1, keepdims=True)
             np.divide(out, norms, out=out, where=norms > 0)

@@ -29,6 +29,20 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = jnp.float32(-1e30)
 
 
+def lax_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Backend-aware top-k with lax.top_k tie semantics (lowest index wins).
+
+    XLA:CPU's ``lax.top_k`` compile time explodes with k (minutes at k=100),
+    which cripples the virtual-mesh test environment; a stable argsort
+    compiles instantly there and keeps identical ordering semantics. TPU uses
+    the native ``lax.top_k`` lowering.
+    """
+    if jax.default_backend() == "tpu":
+        return jax.lax.top_k(scores, k)
+    idx = jnp.argsort(-scores, axis=-1, stable=True)[..., :k]
+    return jnp.take_along_axis(scores, idx, axis=-1), idx
+
+
 def dense_scores(queries: jax.Array, embeddings: jax.Array) -> jax.Array:
     """[B, d] x [N, d] → [B, N] similarity scores (f32 accumulation)."""
     return jax.lax.dot_general(
@@ -107,4 +121,4 @@ def cosine_topk(
         scores = dense_scores(queries, embeddings)
         if mask is not None:
             scores = jnp.where(mask.reshape(1, -1) > 0, scores, NEG_INF)
-    return jax.lax.top_k(scores, k)
+    return lax_topk(scores, k)

@@ -26,6 +26,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from domain_rag_system_tpu.ops.dense_topk import lax_topk
+
 NEG_INF = jnp.float32(-1e30)
 RRF_K = 60
 
@@ -62,7 +64,7 @@ def rrf_fuse_device(
 
     score = rrf_from(ids_a) + rrf_from(ids_b)
     score = jnp.where(_first_occurrence_mask(cand), score, NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(score, top_k)
+    top_scores, top_idx = lax_topk(score, top_k)
     fused_ids = jnp.where(top_scores > NEG_INF / 2, cand[top_idx], -1)
     return fused_ids, top_scores
 
@@ -98,6 +100,6 @@ def weighted_fuse_device(
     score = weight_a * contrib_a + weight_b * contrib_b
 
     score = jnp.where(_first_occurrence_mask(cand), score, NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(score, top_k)
+    top_scores, top_idx = lax_topk(score, top_k)
     fused_ids = jnp.where(top_scores > NEG_INF / 2, cand[top_idx], -1)
     return fused_ids, top_scores

@@ -1,0 +1,3 @@
+from domain_rag_system_tpu.persistence.bundle import IndexBundle, load_index, save_index
+
+__all__ = ["IndexBundle", "save_index", "load_index"]

@@ -20,15 +20,42 @@ from typing import Dict, List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
+import jax
+
 from domain_rag_system_tpu.indexing import HybridIndex
 from domain_rag_system_tpu.ops.dense_topk import cosine_topk
 from domain_rag_system_tpu.ops.fusion import rrf_fuse_device, weighted_fuse_device
 from domain_rag_system_tpu.ops.sparse_bm25 import bm25_scores
 from domain_rag_system_tpu.preprocessing import QueryPreprocessor
-from domain_rag_system_tpu.reranker import BaseReranker
+from domain_rag_system_tpu.reranker import BaseReranker, SimpleSimilarityReranker
 from domain_rag_system_tpu.utils import StageTimer, get_logger, topk_desc
 
 log = get_logger(__name__)
+
+
+@functools.partial(jax.jit, static_argnames=("top_n",))
+def _device_cosine_rerank(
+    embeddings: jax.Array,  # [N_pad, d] L2-normalized corpus matrix
+    q_emb: jax.Array,       # [B, d]   L2-normalized ORIGINAL-query embeddings
+    cand_idx: jax.Array,    # [B, K] int32 fused candidate rows, -1 padded
+    top_n: int,
+) -> jax.Array:
+    """Cosine rerank scores for fused candidates via embedding-table lookup.
+
+    Semantically identical to ``SimpleSimilarityReranker.score_pairs`` —
+    candidate texts ARE corpus chunks, so their embeddings are already in
+    HBM; re-encoding them per query (as the reference does,
+    ``rerank.py:60-68``) is pure waste. Candidates beyond ``top_n`` and
+    padding slots score -inf (outside the rerank pool).
+    """
+    safe_idx = jnp.maximum(cand_idx, 0)
+    cand_emb = jnp.take(embeddings, safe_idx, axis=0)          # [B, K, d]
+    scores = jnp.einsum("bkd,bd->bk", cand_emb.astype(jnp.float32),
+                        q_emb.astype(jnp.float32))
+    in_pool = (jnp.arange(cand_idx.shape[1])[None, :] < top_n) & (cand_idx >= 0)
+    return jnp.where(in_pool, scores, -1e30)
 
 
 class RetrievalPipeline:
@@ -162,6 +189,25 @@ class RetrievalPipeline:
                         weight_a=vector_weight, weight_b=bm25_weight)
                 fused.append((np.asarray(f_ids), np.asarray(f_scores)))
 
+        # Device cosine rerank: applies when the reranker is the simple
+        # similarity kind and the fused candidates live in the dense index —
+        # then rerank is an embedding-table gather + einsum, no host text
+        # re-encoding (exactly SimpleSimilarityReranker semantics).
+        device_rerank_scores = None
+        use_device_rerank = (
+            isinstance(self.reranker, SimpleSimilarityReranker)
+            and dense is not None and dense.embeddings is not None
+            and self.reranker.embedder is dense.embedder
+        )
+        if use_device_rerank:
+            with self.timer.stage("rerank"):
+                q_orig = dense.embedder.encode(list(queries), normalize=True)
+                cand_idx = np.stack([f[0] for f in fused]).astype(np.int32)
+                device_rerank_scores = np.asarray(_device_cosine_rerank(
+                    dense.embeddings, jnp.asarray(q_orig, dense.embeddings.dtype),
+                    jnp.asarray(cand_idx), self.reranker.top_n,
+                ))
+
         outputs = []
         for b, query in enumerate(queries):
             f_ids, f_scores = fused[b]
@@ -180,7 +226,18 @@ class RetrievalPipeline:
                     "score": float(score),
                     "fusion_method": fusion_method,
                 })
-            if self.reranker is not None and results:
+            if use_device_rerank and results:
+                rr_scores = device_rerank_scores[b]
+                pool = min(self.reranker.top_n, len(results))
+                rescored = []
+                for j, r in enumerate(results[:pool]):
+                    out_r = r.copy()
+                    out_r["rerank_score"] = float(rr_scores[j])
+                    out_r["fusion_method"] = r["fusion_method"] + "+rerank"
+                    rescored.append(out_r)
+                rescored.sort(key=lambda x: -x["rerank_score"])
+                results = rescored[:top_k]
+            elif self.reranker is not None and results:
                 with self.timer.stage("rerank"):
                     results = self.reranker.rerank(query, results, top_k=top_k)
             else:

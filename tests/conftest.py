@@ -1,18 +1,28 @@
 """Test configuration.
 
-Tests run on a virtual 8-device CPU mesh (multi-chip hardware is not
-available in CI): JAX_PLATFORMS / XLA_FLAGS must be set before jax is
-imported anywhere, hence this conftest sets them at import time.
+Tests run on a TRUE 8-device virtual CPU mesh. This environment's
+``sitecustomize`` (PYTHONPATH=/root/.axon_site) registers the remote-TPU
+PJRT plugin in every interpreter at startup — before conftest runs — which
+silently routes "CPU" tests through the single tunneled TPU chip (slow
+remote compiles, cross-process deadlocks on the chip lease). The only
+reliable neutralization is re-exec'ing the interpreter with the plugin's
+trigger env cleared, which this conftest does exactly once.
 """
 
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_SENTINEL = "DRS_TPU_TEST_REEXEC"
+
+if os.environ.get(_SENTINEL) != "1":
+    env = dict(os.environ)
+    env[_SENTINEL] = "1"
+    env["PALLAS_AXON_POOL_IPS"] = ""          # disable axon sitecustomize
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

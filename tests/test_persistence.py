@@ -1,0 +1,59 @@
+"""Index bundle save/load round trip."""
+
+import numpy as np
+
+from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+from domain_rag_system_tpu.models import MedicalEmbedder
+from domain_rag_system_tpu.persistence import IndexBundle, load_index, save_index
+
+
+def test_bundle_round_trip(tmp_path, toy_chunks):
+    hybrid = HybridIndex(
+        dense_index=DenseIndex(MedicalEmbedder(dim=256), row_block=8),
+        bm25_index=BM25Index(),
+    )
+    hybrid.index_chunks(toy_chunks)
+    before = hybrid.search("diabetes treatment", top_k=5)
+
+    save_index(hybrid, tmp_path / "idx", extra_manifest={"note": "test"})
+    loaded = load_index(tmp_path / "idx")
+
+    assert len(loaded.chunks) == len(toy_chunks)
+    after = loaded.search("diabetes treatment", top_k=5)
+    assert [r["chunk_id"] for r in after] == [r["chunk_id"] for r in before]
+    np.testing.assert_allclose(
+        [r["score"] for r in after], [r["score"] for r in before], rtol=1e-6
+    )
+
+    manifest = IndexBundle.open(tmp_path / "idx").manifest
+    assert manifest["note"] == "test"
+    assert manifest["num_chunks"] == len(toy_chunks)
+    assert manifest["bm25"]["k1"] == 1.5
+
+    # no pickle anywhere in the bundle
+    files = {p.name for p in (tmp_path / "idx").iterdir()}
+    assert files == {"manifest.json", "chunks.jsonl", "dense.npz",
+                     "bm25.npz", "vocab.json"}
+
+
+def test_bundle_bm25_only(tmp_path, toy_chunks):
+    hybrid = HybridIndex(bm25_index=BM25Index())
+    hybrid.index_chunks(toy_chunks)
+    save_index(hybrid, tmp_path / "idx")
+    loaded = load_index(tmp_path / "idx")
+    assert loaded.dense_index is None
+    r = loaded.search("insulin", top_k=2)
+    assert r and "insulin" in r[0]["text"]
+
+
+def test_loaded_index_supports_filters(tmp_path, toy_chunks):
+    hybrid = HybridIndex(
+        dense_index=DenseIndex(MedicalEmbedder(dim=128), row_block=8),
+        bm25_index=BM25Index(),
+    )
+    hybrid.index_chunks(toy_chunks)
+    save_index(hybrid, tmp_path / "idx")
+    loaded = load_index(tmp_path / "idx")
+    results = loaded.search("pain", top_k=4, filters={"source_tag": "odd"})
+    assert results
+    assert all(r["metadata"]["source_tag"] == "odd" for r in results)
