@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: BioASQ 200-query hybrid retrieval on one chip.
+
+Measures the full serving path (preprocess → dense top-k → BM25 → RRF
+fusion → rerank-candidate selection + cosine rerank) over the recovered
+BioASQ corpus, batched, and prints ONE JSON line:
+
+    {"metric": "bioasq200_e2e_qps", "value": <queries/sec>, "unit":
+     "queries/sec", "vs_baseline": <value / 0.705>, ...quality metrics...}
+
+Baseline: the reference RAG system's measured 1.418 s/query (≈0.705 q/s) on
+the same 200-query eval (BASELINE.md, `results/comprehensive_evaluation.json`
+bioasq.overall.avg_query_time). Quality metrics (recall@5 / nDCG@10 / MRR)
+are reported alongside; corpus provenance (recovered, ~92% gt coverage) in
+data/recovered/.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent
+sys.path.insert(0, str(ROOT))
+
+from domain_rag_system_tpu.utils.jaxtools import (  # noqa: E402
+    describe_devices,
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
+REFERENCE_RAG_QPS = 1.0 / 1.418  # reference avg 1.418 s/query on BioASQ-200
+
+
+def main() -> None:
+    from domain_rag_system_tpu.evaluation.runners import (
+        load_queries,
+        run_retrieval_evaluation,
+    )
+    from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+    from domain_rag_system_tpu.models import MedicalEmbedder
+    from domain_rag_system_tpu.pipeline import RetrievalPipeline
+    from domain_rag_system_tpu.preprocessing import DataLoader, DocumentChunker
+    from domain_rag_system_tpu.reranker import build_reranker
+
+    corpus_path = ROOT / "data" / "recovered" / "BioASQ" / "corpus_subset.json"
+    queries_path = ROOT / "data" / "recovered" / "BioASQ" / "bioasq_queries.json"
+    if not corpus_path.exists():
+        from domain_rag_system_tpu.etl import (
+            recover_bioasq_corpus, recover_bioasq_queries)
+
+        recover_bioasq_corpus(output_path=corpus_path)
+        recover_bioasq_queries(output_path=queries_path)
+
+    docs = DataLoader(pubmed_path=str(corpus_path)).load_pubmed()
+    chunks = DocumentChunker().chunk_documents(docs)
+    embedder = MedicalEmbedder(dim=2048)
+    hybrid = HybridIndex(
+        dense_index=DenseIndex(embedder),
+        bm25_index=BM25Index(),
+    )
+    t0 = time.perf_counter()
+    hybrid.index_chunks(chunks)
+    build_s = time.perf_counter() - t0
+
+    reranker = build_reranker("simple", top_n=50, embedder=embedder)
+    pipeline = RetrievalPipeline(hybrid, reranker=reranker)
+    queries = load_queries(queries_path)
+
+    # Warmup: compile every program in the batched path.
+    pipeline.query_batch([q["body"] for q in queries[:50]], top_k=10,
+                         rerank_top_n=50)
+
+    results = run_retrieval_evaluation(
+        pipeline, queries, top_k=10, fusion_method="rrf",
+        rerank_top_n=50, batch_size=50, dataset="bioasq",
+    )
+    overall = results["overall"]
+    qps = overall["queries_per_second"]
+
+    line = {
+        "metric": "bioasq200_e2e_qps",
+        "value": round(qps, 3),
+        "unit": "queries/sec",
+        "vs_baseline": round(qps / REFERENCE_RAG_QPS, 2),
+        "recall@5": round(overall["recall@5"], 4),
+        "ndcg@10": round(overall["ndcg@10"], 4),
+        "mrr": round(overall["mrr"], 4),
+        "hit@10": round(overall.get("hit@10", 0.0), 4),
+        "recall": round(overall["recall"], 4),
+        "avg_query_latency_ms": round(overall["avg_query_time"] * 1000, 3),
+        "index_build_s": round(build_s, 2),
+        "n_chunks": len(chunks),
+        "devices": describe_devices(),
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

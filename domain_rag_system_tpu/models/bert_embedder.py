@@ -1,0 +1,187 @@
+"""Runtime wrappers: Flax BERT bi-encoder and cross-encoder.
+
+These provide the ``encode`` / ``predict`` APIs the indexing and rerank
+layers consume, with length-bucketed static shapes so jit compiles a small
+fixed set of programs (SURVEY.md §5.7: variable lengths are handled with
+padding + bucketing, never dynamic shapes).
+
+Parameters come from (in priority order):
+  1. ``checkpoint_path`` — a local HF checkpoint converted via
+     :mod:`domain_rag_system_tpu.models.hf_convert`;
+  2. ``params`` handed in directly (e.g. from the contrastive trainer);
+  3. otherwise construction fails → the embedder facade degrades to the
+     lexical-hash backend (models/embedder.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from domain_rag_system_tpu.models.bert import BertConfig, CrossEncoder, SentenceEncoder
+from domain_rag_system_tpu.tokenization import WordPieceTokenizer
+from domain_rag_system_tpu.utils import get_logger
+
+log = get_logger(__name__)
+
+#: Sequence-length buckets: shortest bucket that fits, to cap recompiles.
+LENGTH_BUCKETS = (32, 64, 128, 256, 512)
+
+
+def pick_bucket(length: int, max_length: int) -> int:
+    for b in LENGTH_BUCKETS:
+        if length <= b and b <= max_length:
+            return b
+    return max_length
+
+
+class BertEmbedder:
+    """Sentence embedding via the Flax bi-encoder."""
+
+    def __init__(
+        self,
+        model_name: str = "flax-bert",
+        checkpoint_path: Optional[str] = None,
+        config: Optional[BertConfig] = None,
+        params: Optional[Dict] = None,
+        tokenizer: Optional[WordPieceTokenizer] = None,
+        max_length: int = 512,
+        batch_size: int = 32,
+    ):
+        self.model_name = model_name
+        self.max_length = max_length
+        self.batch_size = batch_size
+
+        if checkpoint_path is not None:
+            from domain_rag_system_tpu.models.hf_convert import load_hf_checkpoint
+
+            config, params, vocab = load_hf_checkpoint(checkpoint_path)
+            if tokenizer is None and vocab:
+                tokenizer = WordPieceTokenizer(vocab)
+        if config is None or params is None or tokenizer is None:
+            raise ValueError(
+                "BertEmbedder needs either checkpoint_path or explicit "
+                "(config, params, tokenizer) — no pretrained weights are "
+                "bundled and none can be downloaded in this environment"
+            )
+        self.config = config
+        self.tokenizer = tokenizer
+        self.module = SentenceEncoder(config)
+        self.params = jax.device_put({"params": params} if "params" not in params else params)
+
+    @property
+    def embedding_dim(self) -> int:
+        return self.config.hidden_size
+
+    @functools.cached_property
+    def _forward(self):
+        @functools.partial(jax.jit, static_argnums=())
+        def forward(params, input_ids, attention_mask, token_type_ids):
+            return self.module.apply(params, input_ids, attention_mask,
+                                     token_type_ids, deterministic=True)
+        return forward
+
+    def encode(self, texts, normalize: bool = True) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.zeros((len(texts), self.embedding_dim), dtype=np.float32)
+        order = np.argsort([len(t) for t in texts], kind="stable")
+        for start in range(0, len(texts), self.batch_size):
+            sel = order[start:start + self.batch_size]
+            batch = [texts[i] for i in sel]
+            ids, mask, types = self.tokenizer.encode_batch(
+                batch, max_length=self._bucket_for(batch))
+            # Pad the batch dimension to the full batch size (static shapes).
+            pad = self.batch_size - ids.shape[0]
+            if pad:
+                ids = np.pad(ids, ((0, pad), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+                types = np.pad(types, ((0, pad), (0, 0)))
+                mask[-pad:, 0] = 1  # avoid all-zero attention rows
+            emb = np.asarray(self._forward(
+                self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types)))
+            out[sel] = emb[: len(sel)]
+        # SentenceEncoder already L2-normalizes; denormalization is never
+        # needed by callers, so `normalize=False` is accepted but moot.
+        return out
+
+    def _bucket_for(self, batch: Sequence[str]) -> int:
+        longest = max((len(t) // 3 for t in batch), default=1)  # ≈ chars→tokens
+        return pick_bucket(max(longest, 1), self.max_length)
+
+    def encode_chunks(self, chunks, normalize: bool = True) -> np.ndarray:
+        return self.encode([c.text for c in chunks], normalize=normalize)
+
+    def get_model_info(self) -> Dict:
+        return {
+            "model_name": self.model_name,
+            "embedding_dim": self.embedding_dim,
+            "num_layers": self.config.num_layers,
+            "max_length": self.max_length,
+            "vocab_size": len(self.tokenizer),
+        }
+
+
+class CrossEncoderModel:
+    """(query, passage) relevance scoring via the Flax cross-encoder."""
+
+    def __init__(
+        self,
+        model_name: str = "flax-cross-encoder",
+        checkpoint_path: Optional[str] = None,
+        config: Optional[BertConfig] = None,
+        params: Optional[Dict] = None,
+        tokenizer: Optional[WordPieceTokenizer] = None,
+        max_length: int = 512,
+        batch_size: int = 32,
+    ):
+        self.model_name = model_name
+        self.max_length = max_length
+        self.batch_size = batch_size
+
+        if checkpoint_path is not None:
+            from domain_rag_system_tpu.models.hf_convert import load_hf_checkpoint
+
+            config, params, vocab = load_hf_checkpoint(checkpoint_path)
+            if tokenizer is None and vocab:
+                tokenizer = WordPieceTokenizer(vocab)
+        if config is None or params is None or tokenizer is None:
+            raise ValueError(
+                "CrossEncoderModel needs checkpoint_path or explicit "
+                "(config, params, tokenizer)"
+            )
+        self.config = config
+        self.tokenizer = tokenizer
+        self.module = CrossEncoder(config)
+        self.params = jax.device_put({"params": params} if "params" not in params else params)
+
+    @functools.cached_property
+    def _forward(self):
+        @jax.jit
+        def forward(params, input_ids, attention_mask, token_type_ids):
+            return self.module.apply(params, input_ids, attention_mask,
+                                     token_type_ids, deterministic=True)
+        return forward
+
+    def predict(self, pairs: Sequence[Tuple[str, str]]) -> np.ndarray:
+        pairs = list(pairs)
+        scores = np.zeros(len(pairs), dtype=np.float32)
+        for start in range(0, len(pairs), self.batch_size):
+            batch = pairs[start:start + self.batch_size]
+            ids, mask, types = self.tokenizer.encode_batch(
+                [q for q, _ in batch], [p for _, p in batch],
+                max_length=self.max_length)
+            pad = self.batch_size - ids.shape[0]
+            if pad:
+                ids = np.pad(ids, ((0, pad), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+                types = np.pad(types, ((0, pad), (0, 0)))
+                mask[-pad:, 0] = 1
+            logits = np.asarray(self._forward(
+                self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types)))
+            scores[start:start + len(batch)] = logits[: len(batch)]
+        return scores

@@ -1,0 +1,164 @@
+"""Flax BERT correctness: HF-conversion parity against transformers' torch
+forward on randomly initialized weights, pooling semantics, wrappers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from domain_rag_system_tpu.models.bert import (
+    BertConfig,
+    CrossEncoder,
+    SentenceEncoder,
+    l2_normalize,
+    mean_pool,
+)
+from domain_rag_system_tpu.tokenization import train_wordpiece
+
+
+def small_hf_config():
+    from transformers import BertConfig as HFBertConfig
+
+    return HFBertConfig(
+        vocab_size=99, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+
+
+def test_flax_bert_matches_hf_torch_forward():
+    """Identical math to HF BERT ⇒ converted checkpoints are bit-faithful."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertModel
+
+    from domain_rag_system_tpu.models.hf_convert import (
+        config_from_hf, convert_state_dict)
+
+    hf_cfg = small_hf_config()
+    torch.manual_seed(0)
+    model = BertModel(hf_cfg).eval()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+
+    config = config_from_hf(hf_cfg.to_dict())
+    params = convert_state_dict(state, config)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 99, size=(2, 10)).astype(np.int32)
+    mask = np.ones((2, 10), dtype=np.int32)
+    mask[1, 6:] = 0
+    types = np.zeros((2, 10), dtype=np.int32)
+
+    with torch.no_grad():
+        hf_out = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            token_type_ids=torch.tensor(types, dtype=torch.long),
+        ).last_hidden_state.numpy()
+
+    from domain_rag_system_tpu.models.bert import BertEncoder
+
+    flax_out = BertEncoder(config).apply(
+        {"params": params["bert"]},
+        jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types),
+        deterministic=True,
+    )
+    valid = mask[..., None].astype(bool)
+    np.testing.assert_allclose(
+        np.where(valid, np.asarray(flax_out), 0),
+        np.where(valid, hf_out, 0),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_cross_encoder_matches_hf_sequence_classifier():
+    torch = pytest.importorskip("torch")
+    from transformers import BertForSequenceClassification
+
+    from domain_rag_system_tpu.models.hf_convert import (
+        config_from_hf, convert_state_dict)
+
+    hf_cfg = small_hf_config()
+    hf_cfg.num_labels = 1
+    torch.manual_seed(1)
+    model = BertForSequenceClassification(hf_cfg).eval()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    config = config_from_hf(hf_cfg.to_dict())
+    params = convert_state_dict(state, config)
+    # HF BertForSequenceClassification drops the pooler? No — it keeps it.
+    assert "pooler" in params and "classifier" in params
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 99, size=(3, 12)).astype(np.int32)
+    mask = np.ones((3, 12), dtype=np.int32)
+    types = np.zeros((3, 12), dtype=np.int32)
+    with torch.no_grad():
+        hf_logits = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            token_type_ids=torch.tensor(types, dtype=torch.long),
+        ).logits.numpy()[:, 0]
+
+    flax_logits = CrossEncoder(config).apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(types), deterministic=True)
+    np.testing.assert_allclose(np.asarray(flax_logits), hf_logits,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_mean_pool_ignores_padding():
+    hidden = jnp.asarray(np.stack([
+        np.ones((4, 8)), np.arange(32).reshape(4, 8).astype(np.float32)]))
+    mask = jnp.asarray([[1, 1, 0, 0], [1, 1, 1, 1]], dtype=jnp.int32)
+    pooled = mean_pool(hidden, mask)
+    np.testing.assert_allclose(pooled[0], np.ones(8))
+    np.testing.assert_allclose(pooled[1], np.arange(32).reshape(4, 8).mean(0))
+
+
+def test_sentence_encoder_shapes_and_norm():
+    config = BertConfig.tiny(dropout_rate=0.0)
+    module = SentenceEncoder(config)
+    ids = jnp.zeros((2, 16), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    params = module.init(jax.random.PRNGKey(0), ids, mask)
+    emb = module.apply(params, ids, mask)
+    assert emb.shape == (2, config.hidden_size)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0,
+                               rtol=1e-5)
+
+
+def test_bert_embedder_wrapper_end_to_end():
+    from domain_rag_system_tpu.models.bert_embedder import BertEmbedder
+
+    texts = ["aspirin treats pain", "insulin controls diabetes",
+             "completely unrelated astronomy text about stars"]
+    tokenizer = train_wordpiece(texts * 3, vocab_size=200)
+    config = BertConfig.tiny(vocab_size=len(tokenizer), dropout_rate=0.0)
+    module = SentenceEncoder(config)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    params = module.init(jax.random.PRNGKey(0), ids, jnp.ones((1, 8), jnp.int32))
+
+    emb = BertEmbedder(config=config, params=params["params"],
+                       tokenizer=tokenizer, max_length=64, batch_size=4)
+    vecs = emb.encode(texts)
+    assert vecs.shape == (3, config.hidden_size)
+    # deterministic
+    np.testing.assert_array_equal(vecs, emb.encode(texts))
+    info = emb.get_model_info()
+    assert info["vocab_size"] == len(tokenizer)
+
+
+def test_wordpiece_train_and_encode():
+    texts = ["metformin treats diabetes mellitus"] * 5 + \
+            ["insulin therapy for diabetes"] * 5
+    tok = train_wordpiece(texts, vocab_size=120)
+    ids, mask, types = tok.encode_batch(["metformin for diabetes"],
+                                        max_length=16)
+    assert ids.shape == (1, 16)
+    assert mask[0].sum() >= 4  # cls + tokens + sep
+    assert ids[0][0] == tok.cls_id
+    # pair encoding sets token_type 1 on the second segment
+    ids2, mask2, types2 = tok.encode_batch(
+        ["what treats diabetes"], ["metformin treats diabetes"], max_length=32)
+    assert types2[0].max() == 1
