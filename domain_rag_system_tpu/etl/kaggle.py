@@ -1,0 +1,262 @@
+"""drugs.com (Kaggle) ETL: CSV → doc records, ETL chunks, and test queries.
+
+Capability parity with the reference tooling:
+  * :func:`process_csv` — ``data/kaggle_drug_data/data_extractor.py:56-199``:
+    md5 doc ids over ``drug_name|medical_condition``, serious/common
+    side-effect heuristic extraction, pregnancy-category normalization;
+  * :func:`build_etl_chunks` — ``:203-245``: the ETL's own 5 chunk kinds
+    (facts / side_effects_serious / side_effects_common / condition_overview
+    / related) with md5 chunk ids;
+  * :func:`build_test_queries` — ``test_queries.py:84-187``: fixed
+    per-type queries with rule-based ground-truth.
+
+Quirk-1 fix (SURVEY.md §2.3): the reference's ground truth uses the ETL's
+md5 *chunk* ids while the retrieval system emits its own chunk ids — the id
+spaces are disjoint and every metric scores 0.0. Queries built here carry
+BOTH ``gt_chunk_ids`` (faithful) and ``documents`` (doc-level ids the
+evaluation runners score against), so the fixed evaluation is meaningful
+while the faithful id space remains available.
+"""
+
+from __future__ import annotations
+
+import csv
+import hashlib
+import json
+import re
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+from domain_rag_system_tpu.utils import get_logger
+
+log = get_logger(__name__)
+
+_PREGNANCY_CATEGORIES = {
+    "A": "No risk in human studies",
+    "B": "No risk in animal studies",
+    "C": "Risk cannot be ruled out",
+    "D": "Positive evidence of risk",
+    "X": "Contraindicated in pregnancy",
+    "N": "Not classified",
+}
+
+_SERIOUS_MARKERS = re.compile(
+    r"(serious side effects|call your doctor|emergency medical|allergic reaction)",
+    re.IGNORECASE)
+_COMMON_MARKERS = re.compile(
+    r"(common side effects|less serious|may include)", re.IGNORECASE)
+
+
+def _md5(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def split_side_effects(raw: str) -> Dict[str, List[str]]:
+    """Heuristic serious/common split of a raw side-effects blob.
+
+    Sentences after a serious marker accumulate as serious, after a common
+    marker as common; list items are split on ``;`` / `` or `` / newlines.
+    """
+    serious: List[str] = []
+    common: List[str] = []
+    if not raw:
+        return {"serious": [], "common": []}
+
+    mode = None
+    for sentence in re.split(r"(?<=[.!?])\s+|\n", raw):
+        sentence = sentence.strip()
+        if not sentence:
+            continue
+        if _SERIOUS_MARKERS.search(sentence):
+            mode = "serious"
+        elif _COMMON_MARKERS.search(sentence):
+            mode = "common"
+        items = [i.strip(" .;") for i in re.split(r";| or |, and ", sentence)
+                 if 2 < len(i.strip(" .;")) < 80]
+        if mode == "serious":
+            serious.extend(items)
+        elif mode == "common":
+            common.extend(items)
+    return {
+        "serious": list(dict.fromkeys(serious))[:15],
+        "common": list(dict.fromkeys(common))[:15],
+    }
+
+
+def process_csv(csv_path: str, output_path: Optional[str] = None) -> List[Dict]:
+    """drugs.com CSV → extracted doc records (extracted_docs.json schema)."""
+    records: List[Dict] = []
+    with open(csv_path, "r", encoding="utf-8", newline="") as f:
+        for row in csv.DictReader(f):
+            drug_name = (row.get("drug_name") or "").strip()
+            condition = (row.get("medical_condition") or "").strip()
+            if not drug_name or not condition:
+                continue
+            raw_se = (row.get("side_effects") or "").strip()
+            preg_raw = (row.get("pregnancy_category") or "").strip()
+            brand_names = [b.strip() for b in
+                           (row.get("brand_names") or "").split(",") if b.strip()]
+            drug_classes = [c.strip() for c in
+                            (row.get("drug_classes") or "").split(",") if c.strip()]
+            related = []
+            for part in (row.get("related_drugs") or "").split("|"):
+                name = part.split(":", 1)[0].strip()
+                if name:
+                    related.append({"name": name})
+
+            def _num(key):
+                try:
+                    return float(row[key]) if row.get(key) else None
+                except ValueError:
+                    return None
+
+            records.append({
+                "doc_id": _md5(f"{drug_name}|{condition}"),
+                "drug_name": drug_name,
+                "generic_name": (row.get("generic_name") or "").strip(),
+                "medical_condition": condition,
+                "drug_classes": drug_classes,
+                "brand_names": brand_names,
+                "rx_otc": (row.get("rx_otc") or "").strip(),
+                "pregnancy_category": _PREGNANCY_CATEGORIES.get(preg_raw, preg_raw),
+                "pregnancy_category_raw": preg_raw,
+                "csa": (row.get("csa") or "").strip(),
+                "alcohol": (row.get("alcohol") or "").strip(),
+                "rating": _num("rating"),
+                "activity": (row.get("activity") or "").strip(),
+                "no_of_reviews": _num("no_of_reviews"),
+                "side_effects_structured": split_side_effects(raw_se),
+                "side_effects_raw": raw_se,
+                "condition_summary": (row.get("medical_condition_description") or "").strip(),
+                "related_drugs": related,
+                "links": {"drug": (row.get("drug_link") or "").strip(),
+                          "condition": (row.get("medical_condition_url") or "").strip()},
+            })
+    log.info("processed %d drugs.com records from %s", len(records), csv_path)
+    if output_path:
+        Path(output_path).parent.mkdir(parents=True, exist_ok=True)
+        with open(output_path, "w", encoding="utf-8") as f:
+            json.dump(records, f, ensure_ascii=False)
+    return records
+
+
+def build_etl_chunks(records: List[Dict]) -> List[Dict]:
+    """The ETL's own 5 chunk kinds with md5 chunk ids (faithful id space)."""
+    chunks: List[Dict] = []
+
+    def add(doc: Dict, kind: str, text: str) -> None:
+        if not text.strip():
+            return
+        chunks.append({
+            "chunk_id": _md5(f"{doc['doc_id']}|{kind}"),
+            "doc_id": doc["doc_id"],
+            "kind": kind,
+            "text": text.strip(),
+            "drug_name": doc["drug_name"],
+            "medical_condition": doc["medical_condition"],
+        })
+
+    for doc in records:
+        facts = [f"{doc['drug_name']} treats {doc['medical_condition']}."]
+        if doc["drug_classes"]:
+            facts.append(f"Drug classes: {', '.join(doc['drug_classes'])}.")
+        if doc["rx_otc"]:
+            facts.append(f"Availability: {doc['rx_otc']}.")
+        add(doc, "facts", " ".join(facts))
+        se = doc.get("side_effects_structured") or {}
+        if se.get("serious"):
+            add(doc, "side_effects_serious",
+                f"Serious side effects of {doc['drug_name']}: "
+                + "; ".join(se["serious"]))
+        if se.get("common"):
+            add(doc, "side_effects_common",
+                f"Common side effects of {doc['drug_name']}: "
+                + "; ".join(se["common"]))
+        if doc.get("condition_summary"):
+            add(doc, "condition_overview", doc["condition_summary"])
+        if doc.get("related_drugs"):
+            add(doc, "related",
+                f"Drugs related to {doc['drug_name']}: "
+                + ", ".join(d["name"] for d in doc["related_drugs"]))
+    return chunks
+
+
+#: The 8 fixed query templates (reference test_queries.py:84-99).
+QUERY_TEMPLATES: List[Tuple[str, str]] = [
+    ("drug_side_effects", "What are the side effects of {drug}?"),
+    ("condition_treatment", "What drugs treat {condition}?"),
+    ("drug_safety", "Is {drug} safe during pregnancy?"),
+    ("drug_class_info", "What class of drug is {drug}?"),
+    ("related_drugs", "What drugs are similar to {drug}?"),
+    ("condition_overview", "What is {condition}?"),
+    ("drug_rating", "How well rated is {drug} for {condition}?"),
+    ("class_based_options", "Which {drug_class} drugs are available?"),
+]
+
+
+def build_test_queries(
+    records: List[Dict],
+    top_k: int = 5,
+    output_path: Optional[str] = None,
+) -> List[Dict]:
+    """Rule-based test queries with chunk-level AND doc-level ground truth."""
+    if not records:
+        return []
+    chunks = build_etl_chunks(records)
+    by_doc: Dict[str, List[Dict]] = {}
+    for c in chunks:
+        by_doc.setdefault(c["doc_id"], []).append(c)
+
+    rated = sorted((r for r in records if r.get("rating")),
+                   key=lambda r: -(r["rating"] or 0)) or records
+    primary = rated[0]
+    condition = primary["medical_condition"]
+    drug_class = (primary["drug_classes"][0] if primary["drug_classes"]
+                  else "prescription")
+
+    def rule_gt(qtype: str) -> Tuple[List[str], List[str]]:
+        """(gt chunk ids, gt doc ids) for a query type."""
+        if qtype == "drug_side_effects":
+            pool = [c for c in chunks if c["kind"].startswith("side_effects")
+                    and c["drug_name"] == primary["drug_name"]]
+        elif qtype == "condition_treatment":
+            pool = [c for c in chunks if c["kind"] == "facts"
+                    and c["medical_condition"] == condition]
+        elif qtype == "drug_safety":
+            pool = [c for c in by_doc.get(primary["doc_id"], [])]
+        elif qtype == "drug_class_info":
+            pool = [c for c in chunks if c["kind"] == "facts"
+                    and c["drug_name"] == primary["drug_name"]]
+        elif qtype == "related_drugs":
+            pool = [c for c in chunks if c["kind"] == "related"
+                    and c["drug_name"] == primary["drug_name"]]
+        elif qtype == "condition_overview":
+            pool = [c for c in chunks if c["kind"] == "condition_overview"
+                    and c["medical_condition"] == condition]
+        elif qtype == "drug_rating":
+            pool = [c for c in by_doc.get(primary["doc_id"], [])]
+        else:  # class_based_options
+            docs = {r["doc_id"] for r in records
+                    if drug_class in r.get("drug_classes", [])}
+            pool = [c for c in chunks if c["doc_id"] in docs and c["kind"] == "facts"]
+        pool = pool[:top_k]
+        return [c["chunk_id"] for c in pool], list(dict.fromkeys(c["doc_id"] for c in pool))
+
+    queries = []
+    for i, (qtype, template) in enumerate(QUERY_TEMPLATES, 1):
+        body = template.format(drug=primary["drug_name"], condition=condition,
+                               drug_class=drug_class)
+        gt_chunks, gt_docs = rule_gt(qtype)
+        queries.append({
+            "id": f"kaggle_{i:03d}",
+            "type": qtype,
+            "body": body,
+            "gt_chunk_ids": gt_chunks,   # faithful (reference id space)
+            "documents": gt_docs,        # doc-level ids (quirk-1 fix)
+        })
+    log.info("built %d kaggle test queries", len(queries))
+    if output_path:
+        Path(output_path).parent.mkdir(parents=True, exist_ok=True)
+        with open(output_path, "w", encoding="utf-8") as f:
+            json.dump(queries, f, ensure_ascii=False)
+    return queries

@@ -90,7 +90,8 @@ class BM25Index:
         """Full [N] score vector for one query (device-computed)."""
         q_ids, q_w = self.encode_query(query)
         return np.asarray(bm25_scores(
-            self.doc_terms, self.doc_contrib, jnp.asarray(q_ids), jnp.asarray(q_w)
+            self.doc_terms, self.doc_contrib, jnp.asarray(q_ids), jnp.asarray(q_w),
+            vocab_size=len(self.vocab),
         ))
 
     def search(

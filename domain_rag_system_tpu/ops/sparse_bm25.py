@@ -32,6 +32,7 @@ score-based rankings match the reference bit-for-bit modulo float order.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -149,27 +150,64 @@ def encode_query_terms(
     return ids, weights
 
 
-@jax.jit
+def _block_rows(n_rows: int, batch: int, doc_width: int) -> int:
+    """Row-block size keeping the [B, block, D] gather ≈ ≤64 MB f32."""
+    budget = (1 << 24) // max(batch * doc_width, 1)
+    block = max(256, min(n_rows, budget))
+    return -(-block // 256) * 256 if block < n_rows else n_rows
+
+
+@functools.partial(jax.jit, static_argnames=("vocab_size",))
 def bm25_scores(
-    doc_terms: jax.Array,    # [N, D] int32, -1 padded
-    doc_contrib: jax.Array,  # [N, D] f32
-    query_ids: jax.Array,    # [L] or [B, L] int32, -2 padded
+    doc_terms: jax.Array,      # [N, D] int32, -1 padded
+    doc_contrib: jax.Array,    # [N, D] f32
+    query_ids: jax.Array,      # [L] or [B, L] int32, negative = padding
     query_weights: jax.Array,  # [L] or [B, L] f32
+    vocab_size: int = 0,       # 0 → derive a safe bound from doc_terms width
 ) -> jax.Array:
-    """Exact BM25 scores for one query or a batch. Returns [N] or [B, N]."""
+    """Exact BM25 scores for one query or a batch. Returns [N] or [B, N].
+
+    Formulation: scatter the query's (term id → multiplicity weight) pairs
+    into a dense per-query vocab table W [B, V+1] (sentinel slot V holds
+    padding), then score docs by gathering W at each doc's term ids and
+    dotting with the precomputed contributions:
+
+        score[b, n] = Σ_d contrib[n, d] · W[b, terms[n, d]]
+
+    Two fused ops (gather + einsum) per row block instead of a length-L
+    scan — O(L) faster to compile and the gather table (a few MB) lives in
+    VMEM. Row blocks bound the [B, block, D] gather temp.
+    """
     single = query_ids.ndim == 1
     q_ids = jnp.atleast_2d(query_ids)          # [B, L]
     q_w = jnp.atleast_2d(query_weights)        # [B, L]
+    b = q_ids.shape[0]
+    n, d = doc_terms.shape
+    v = int(vocab_size) if vocab_size else 1 << 20
 
-    def slot(scores, qslot):
-        qid, qw = qslot                        # [B], [B]
-        # [B, N, D] compare is avoided: broadcast per-slot scalar per batch row.
-        match = doc_terms[None, :, :] == qid[:, None, None]       # [B, N, D]
-        scores = scores + qw[:, None] * jnp.sum(
-            jnp.where(match, doc_contrib[None, :, :], 0.0), axis=-1
-        )
-        return scores, None
+    rows = jnp.arange(b)[:, None]
+    safe_q = jnp.where(q_ids >= 0, jnp.minimum(q_ids, v - 1), v)
+    table = jnp.zeros((b, v + 1), jnp.float32).at[rows, safe_q].add(
+        jnp.where(q_ids >= 0, q_w, 0.0))
 
-    init = jnp.zeros((q_ids.shape[0], doc_terms.shape[0]), dtype=jnp.float32)
-    scores, _ = jax.lax.scan(slot, init, (q_ids.T, q_w.T))
+    safe_terms = jnp.where(doc_terms >= 0, jnp.minimum(doc_terms, v - 1), v)
+
+    block = _block_rows(n, b, d)
+    if block >= n:
+        gathered = table[:, safe_terms]                     # [B, N, D]
+        scores = jnp.einsum("bnd,nd->bn", gathered, doc_contrib)
+    else:
+        n_pad = -(-n // block) * block
+        terms_p = jnp.pad(safe_terms, ((0, n_pad - n), (0, 0)),
+                          constant_values=v)
+        contrib_p = jnp.pad(doc_contrib, ((0, n_pad - n), (0, 0)))
+        terms_b = terms_p.reshape(n_pad // block, block, d)
+        contrib_b = contrib_p.reshape(n_pad // block, block, d)
+
+        def score_block(args):
+            t_blk, c_blk = args
+            return jnp.einsum("bnd,nd->bn", table[:, t_blk], c_blk)
+
+        blocks = jax.lax.map(score_block, (terms_b, contrib_b))  # [nb, B, block]
+        scores = jnp.transpose(blocks, (1, 0, 2)).reshape(b, n_pad)[:, :n]
     return scores[0] if single else scores

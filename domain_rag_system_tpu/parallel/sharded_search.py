@@ -73,7 +73,7 @@ def sharded_cosine_topk(
     )(queries, embeddings, mask)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "vocab_size"))
 def sharded_bm25_topk(
     doc_terms: jax.Array,     # [N, D] row-sharded
     doc_contrib: jax.Array,   # [N, D] row-sharded
@@ -81,6 +81,7 @@ def sharded_bm25_topk(
     query_weights: jax.Array, # [B, L] replicated
     k: int,
     mesh: Mesh,
+    vocab_size: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Global BM25 (scores [B, k], row indices [B, k]) over a sharded corpus."""
     n = doc_terms.shape[0]
@@ -88,7 +89,8 @@ def sharded_bm25_topk(
     rows_per_shard = n // s
 
     def local(t_shard, c_shard, q_ids, q_w):
-        scores = bm25_scores(t_shard, c_shard, q_ids, q_w)  # [B, N/s]
+        scores = bm25_scores(t_shard, c_shard, q_ids, q_w,
+                             vocab_size=vocab_size)  # [B, N/s]
         ls, li = lax_topk(scores, k)
         return _merge_local_topk(ls, li, rows_per_shard, k, SHARD_AXIS)
 

@@ -165,7 +165,8 @@ class RetrievalPipeline:
                 q_ids = jnp.asarray(np.stack([e[0] for e in q_enc]))
                 q_w = jnp.asarray(np.stack([e[1] for e in q_enc]))
                 s = np.asarray(bm25_scores(sparse.doc_terms, sparse.doc_contrib,
-                                           q_ids, q_w))
+                                           q_ids, q_w,
+                                           vocab_size=len(sparse.vocab)))
                 ids_s = topk_desc(s, over_k).astype(np.int32)
                 row = np.arange(s.shape[0])[:, None]
                 scores_s = s[row, ids_s].astype(np.float32)

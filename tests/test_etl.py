@@ -1,0 +1,175 @@
+"""ETL extractor tests (bioasq cleaner/corpus builder/sampler, openfda,
+kaggle) using synthetic raw inputs and a fake fetch function."""
+
+import json
+
+import pytest
+
+from domain_rag_system_tpu.etl.bioasq import (
+    build_pubmed_corpus,
+    clean_bioasq,
+    sample_subset,
+)
+from domain_rag_system_tpu.etl.kaggle import (
+    build_etl_chunks,
+    build_test_queries,
+    process_csv,
+    split_side_effects,
+)
+from domain_rag_system_tpu.etl.openfda import extract_label, extract_openfda_corpus
+
+
+# ----------------------------------------------------------------- bioasq
+
+RAW_BIOASQ = {"questions": [
+    {"id": "q1", "body": "What is X?", "type": "factoid",
+     "documents": ["http://www.ncbi.nlm.nih.gov/pubmed/111",
+                   "http://example.com/not-pubmed"],
+     "snippets": [{"document": "http://www.ncbi.nlm.nih.gov/pubmed/111",
+                   "text": "X is a thing.", "beginSection": "sections.0",
+                   "endSection": "sections.0"}],
+     "concepts": ["c"], "triples": ["t"],
+     "ideal_answer": ["X is a thing."]},
+    {"id": "q2", "body": "Dead links only", "type": "yesno",
+     "documents": ["http://example.com/invalid"], "snippets": []},
+]}
+
+
+def test_clean_bioasq_drops_invalid():
+    cleaned = clean_bioasq(RAW_BIOASQ)
+    assert len(cleaned["questions"]) == 1
+    q = cleaned["questions"][0]
+    assert q["documents"] == ["http://www.ncbi.nlm.nih.gov/pubmed/111"]
+    assert q["snippets"][0]["beginSection"] == "abstract"
+    assert "concepts" not in q
+
+
+def test_build_pubmed_corpus_with_fake_fetch_and_repair():
+    calls = []
+
+    def flaky_fetch(pmids):
+        calls.append(list(pmids))
+        if len(calls) == 1:
+            # first round: only return the first pmid
+            return {pmids[0]: {"title": "T1", "abstract": "A1"}}
+        return {p: {"title": f"T{p}", "abstract": f"A{p}"} for p in pmids}
+
+    corpus = build_pubmed_corpus(["1", "2", "3"], fetch_fn=flaky_fetch,
+                                 rate_limit_s=0.0)
+    assert len(corpus) == 3
+    by_id = {c["id"]: c for c in corpus}
+    assert by_id["1"]["title"] == "T1"
+    assert by_id["2"]["title"] == "T2"  # repaired in round 2
+    assert len(calls) >= 2
+    assert by_id["3"]["link"].endswith("/pubmed/3")
+
+
+def test_sample_subset_deterministic():
+    questions = {"questions": [
+        {"id": f"q{i}", "body": "b", "type": t,
+         "documents": [f"http://www.ncbi.nlm.nih.gov/pubmed/{i}"],
+         "snippets": [], "ideal_answer": [], "exact_answer": []}
+        for i, t in enumerate(["yesno", "factoid", "list", "summary"] * 10)
+    ]}
+    corpus = [{"id": str(i), "title": f"t{i}", "abstract": "a", "link": ""}
+              for i in range(100)]
+    sub1, corp1 = sample_subset(questions, corpus, per_type=5, min_corpus=50)
+    sub2, corp2 = sample_subset(questions, corpus, per_type=5, min_corpus=50)
+    assert [q["id"] for q in sub1["questions"]] == [q["id"] for q in sub2["questions"]]
+    assert len(sub1["questions"]) == 20
+    assert len(corp1) == 50
+    assert [c["id"] for c in corp1] == [c["id"] for c in corp2]
+
+
+# ----------------------------------------------------------------- openfda
+
+def test_extract_label_field_prefixes_roundtrip_with_chunker():
+    record = {
+        "id": "abc", "set_id": "s", "effective_time": "20240101", "version": "1",
+        "openfda": {"brand_name": ["Tylenol"], "generic_name": ["ACETAMINOPHEN"]},
+        "active_ingredient": ["Acetaminophen 500 mg"],
+        "indications_and_usage": ["temporary relief of minor aches"],
+        "warnings": ["Liver warning: severe liver damage may occur"],
+    }
+    out = extract_label(record)
+    assert out["brand_name"] == "Tylenol"
+    assert out["metadata"]["has_warnings"] is True
+
+    # The produced text must re-split through the chunker's section parser.
+    from domain_rag_system_tpu.preprocessing import Document, DocumentChunker
+
+    doc = Document("openfda_abc", "openfda", "Tylenol (ACETAMINOPHEN)",
+                   out["text"], {})
+    chunk_types = {c.chunk_type for c in DocumentChunker().chunk_documents([doc])}
+    assert {"drug_names", "active_ingredients", "indications", "warnings"} <= chunk_types
+
+
+def test_extract_openfda_corpus_limit(tmp_path):
+    dump = {"results": [
+        {"id": str(i), "openfda": {"brand_name": [f"Drug{i}"]},
+         "purpose": [f"purpose {i}"]} for i in range(10)
+    ]}
+    p = tmp_path / "dump.json"
+    p.write_text(json.dumps(dump))
+    corpus = extract_openfda_corpus([str(p)], limit=4)
+    assert len(corpus) == 4
+
+
+# ----------------------------------------------------------------- kaggle
+
+CSV_TEXT = """drug_name,medical_condition,generic_name,drug_classes,brand_names,rx_otc,pregnancy_category,csa,alcohol,rating,activity,no_of_reviews,side_effects,medical_condition_description,related_drugs,drug_link,medical_condition_url
+Advil,Pain,ibuprofen,"NSAIDs","Advil, Motrin",OTC,C,N,X,7.5,87%,120,"Serious side effects may occur. Call your doctor at once if you have chest pain; shortness of breath. Common side effects may include nausea; heartburn or dizziness.","Pain is an unpleasant sensation.","naproxen: https://x|acetaminophen: https://y",https://drug,https://cond
+Tylenol,Pain,acetaminophen,Analgesics,Tylenol,OTC,B,N,N,6.9,80%,95,"Common side effects may include nausea; headache.","Pain is an unpleasant sensation.","ibuprofen: https://z",https://drug2,https://cond
+"""
+
+
+def test_process_csv(tmp_path):
+    p = tmp_path / "drugs.csv"
+    p.write_text(CSV_TEXT)
+    records = process_csv(str(p))
+    assert len(records) == 2
+    advil = records[0]
+    assert len(advil["doc_id"]) == 32
+    assert advil["pregnancy_category"] == "Risk cannot be ruled out"
+    assert advil["pregnancy_category_raw"] == "C"
+    assert "chest pain" in " ".join(advil["side_effects_structured"]["serious"])
+    assert "nausea" in " ".join(advil["side_effects_structured"]["common"])
+    assert advil["related_drugs"][0]["name"] == "naproxen"
+    assert advil["brand_names"] == ["Advil", "Motrin"]
+
+
+def test_split_side_effects_empty():
+    assert split_side_effects("") == {"serious": [], "common": []}
+
+
+def test_etl_chunks_and_queries(tmp_path):
+    p = tmp_path / "drugs.csv"
+    p.write_text(CSV_TEXT)
+    records = process_csv(str(p))
+    chunks = build_etl_chunks(records)
+    kinds = {c["kind"] for c in chunks}
+    assert {"facts", "side_effects_serious", "side_effects_common",
+            "condition_overview", "related"} <= kinds
+    assert all(len(c["chunk_id"]) == 32 for c in chunks)
+
+    queries = build_test_queries(records)
+    assert len(queries) == 8
+    assert {q["type"] for q in queries} == {
+        "drug_side_effects", "condition_treatment", "drug_safety",
+        "drug_class_info", "related_drugs", "condition_overview",
+        "drug_rating", "class_based_options"}
+    # doc-level gt present (quirk-1 fix) alongside faithful chunk gt
+    for q in queries:
+        if q["gt_chunk_ids"]:
+            assert q["documents"]
+
+
+def test_kaggle_records_load_through_data_loader(tmp_path):
+    p = tmp_path / "drugs.csv"
+    p.write_text(CSV_TEXT)
+    records = process_csv(str(p), output_path=str(tmp_path / "docs.json"))
+    from domain_rag_system_tpu.preprocessing import DataLoader
+
+    docs = DataLoader(kaggle_path=str(tmp_path / "docs.json")).load_kaggle()
+    assert len(docs) == 2
+    assert "=== SIDE EFFECTS ===" in docs[0].content
