@@ -80,6 +80,32 @@ def _minmax_normalize(scores: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.where(span > 0, (scores - lo) / jnp.where(span > 0, span, 1.0), scores)
 
 
+@functools.partial(jax.jit, static_argnames=("top_k", "k"))
+def rrf_fuse_batch(
+    ids_a: jax.Array,  # [B, Ka] rank order, -1 padded
+    ids_b: jax.Array,  # [B, Kb]
+    top_k: int,
+    k: int = RRF_K,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched RRF: one device program for the whole query batch."""
+    fuse = lambda a, b: rrf_fuse_device(a, b, top_k, k)
+    return jax.vmap(fuse)(ids_a, ids_b)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "weight_a", "weight_b"))
+def weighted_fuse_batch(
+    ids_a: jax.Array, scores_a: jax.Array,   # [B, Ka]
+    ids_b: jax.Array, scores_b: jax.Array,   # [B, Kb]
+    top_k: int,
+    weight_a: float = 0.5,
+    weight_b: float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched min-max weighted fusion."""
+    fuse = lambda ia, sa, ib, sb: weighted_fuse_device(
+        ia, sa, ib, sb, top_k, weight_a, weight_b)
+    return jax.vmap(fuse)(ids_a, scores_a, ids_b, scores_b)
+
+
 @functools.partial(jax.jit, static_argnames=("top_k",))
 def weighted_fuse_device(
     ids_a: jax.Array, scores_a: jax.Array,   # [Ka]

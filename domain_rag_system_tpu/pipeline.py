@@ -25,12 +25,12 @@ import functools
 import jax
 
 from domain_rag_system_tpu.indexing import HybridIndex
-from domain_rag_system_tpu.ops.dense_topk import cosine_topk
+from domain_rag_system_tpu.ops.dense_topk import cosine_topk, lax_topk
 from domain_rag_system_tpu.ops.fusion import rrf_fuse_device, weighted_fuse_device
 from domain_rag_system_tpu.ops.sparse_bm25 import bm25_scores
 from domain_rag_system_tpu.preprocessing import QueryPreprocessor
 from domain_rag_system_tpu.reranker import BaseReranker, SimpleSimilarityReranker
-from domain_rag_system_tpu.utils import StageTimer, get_logger, topk_desc
+from domain_rag_system_tpu.utils import StageTimer, get_logger
 
 log = get_logger(__name__)
 
@@ -56,6 +56,75 @@ def _device_cosine_rerank(
                         q_emb.astype(jnp.float32))
     in_pool = (jnp.arange(cand_idx.shape[1])[None, :] < top_n) & (cand_idx >= 0)
     return jnp.where(in_pool, scores, -1e30)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "over_k", "fetch_k", "fusion_method", "vector_weight", "bm25_weight",
+    "rerank_top_n", "vocab_size", "has_dense", "has_sparse", "use_rerank"))
+def _fused_batch_retrieval(
+    embeddings,    # [N_pad, d] or [1, 1] placeholder
+    valid_mask,    # [N_pad] or [1]
+    doc_terms,     # [N, D] or [1, 1]
+    doc_contrib,   # [N, D] or [1, 1]
+    q_emb,         # [B, d] search-query embeddings (or [B, 1])
+    q_ids,         # [B, L] BM25 term ids (or [B, 1])
+    q_w,           # [B, L]
+    q_orig_emb,    # [B, d] ORIGINAL-query embeddings for rerank (or [B, 1])
+    *,
+    over_k: int,
+    fetch_k: int,
+    fusion_method: str,
+    vector_weight: float,
+    bm25_weight: float,
+    rerank_top_n: int,
+    vocab_size: int,
+    has_dense: bool,
+    has_sparse: bool,
+    use_rerank: bool,
+):
+    """The whole query batch as ONE device program.
+
+    dense top-k → BM25 top-k → RRF/weighted fusion → rerank scoring, fused
+    under a single jit so a batch costs one host→device dispatch (the
+    per-query fusion dispatches previously dominated end-to-end latency
+    through the remote-TPU tunnel).
+    """
+    b = q_ids.shape[0] if has_sparse else q_emb.shape[0]
+
+    if has_dense:
+        k_d = min(over_k, embeddings.shape[0])
+        sc_d, idx_d = cosine_topk(q_emb, embeddings, k_d, mask=valid_mask)
+        ids_d = jnp.where(sc_d <= -1e29, -1, idx_d).astype(jnp.int32)
+    else:
+        ids_d = jnp.full((b, 1), -1, jnp.int32)
+        sc_d = jnp.zeros((b, 1), jnp.float32)
+
+    if has_sparse:
+        s = bm25_scores(doc_terms, doc_contrib, q_ids, q_w,
+                        vocab_size=vocab_size)
+        k_s = min(over_k, doc_terms.shape[0])
+        sc_s, idx_s = lax_topk(s, k_s)
+        # zero-score docs stay ranked (reference parity); only filtered
+        # slots (−inf, not used in the batch path) would be dropped.
+        ids_s = idx_s.astype(jnp.int32)
+    else:
+        ids_s = jnp.full((b, 1), -1, jnp.int32)
+        sc_s = jnp.zeros((b, 1), jnp.float32)
+
+    if fusion_method == "rrf":
+        fuse = lambda a, b_: rrf_fuse_device(a, b_, fetch_k)
+        fused_ids, fused_scores = jax.vmap(fuse)(ids_d, ids_s)
+    else:
+        fuse = lambda ia, sa, ib, sb: weighted_fuse_device(
+            ia, sa, ib, sb, fetch_k, vector_weight, bm25_weight)
+        fused_ids, fused_scores = jax.vmap(fuse)(ids_d, sc_d, ids_s, sc_s)
+
+    if use_rerank and has_dense:
+        rerank_scores = _device_cosine_rerank(
+            embeddings, q_orig_emb, fused_ids, rerank_top_n)
+    else:
+        rerank_scores = jnp.zeros_like(fused_scores)
+    return fused_ids, fused_scores, rerank_scores
 
 
 class RetrievalPipeline:
@@ -155,59 +224,58 @@ class RetrievalPipeline:
                          "entities": [], "medical_terms": {}} for q in queries]
                 search_queries = queries
 
-        ids_d = scores_d = ids_s = scores_s = None
-        if dense is not None and dense.embeddings is not None:
-            with self.timer.stage("dense"):
-                scores_d, ids_d = dense.search_batch(search_queries, top_k=over_k)
-        if sparse is not None and sparse.doc_terms is not None:
-            with self.timer.stage("sparse"):
+        has_dense = dense is not None and dense.embeddings is not None
+        has_sparse = sparse is not None and sparse.doc_terms is not None
+        # Device cosine rerank applies when the reranker is the simple
+        # similarity kind and the candidates live in the dense index — rerank
+        # is then an embedding-table gather + einsum fused into the batch
+        # program (exactly SimpleSimilarityReranker semantics; no host text
+        # re-encoding).
+        use_device_rerank = (
+            isinstance(self.reranker, SimpleSimilarityReranker)
+            and has_dense
+            and self.reranker.embedder is dense.embedder
+        )
+
+        b = len(queries)
+        with self.timer.stage("encode"):
+            if has_dense:
+                q_emb = jnp.asarray(
+                    dense.embedder.encode(search_queries, normalize=True),
+                    dense.embeddings.dtype)
+                q_orig_emb = (
+                    q_emb if not use_device_rerank
+                    else jnp.asarray(dense.embedder.encode(list(queries),
+                                                           normalize=True),
+                                     dense.embeddings.dtype))
+            else:
+                q_emb = q_orig_emb = jnp.zeros((b, 1), jnp.float32)
+            if has_sparse:
                 q_enc = [sparse.encode_query(q) for q in search_queries]
                 q_ids = jnp.asarray(np.stack([e[0] for e in q_enc]))
                 q_w = jnp.asarray(np.stack([e[1] for e in q_enc]))
-                s = np.asarray(bm25_scores(sparse.doc_terms, sparse.doc_contrib,
-                                           q_ids, q_w,
-                                           vocab_size=len(sparse.vocab)))
-                ids_s = topk_desc(s, over_k).astype(np.int32)
-                row = np.arange(s.shape[0])[:, None]
-                scores_s = s[row, ids_s].astype(np.float32)
+            else:
+                q_ids = jnp.full((b, 1), -2, jnp.int32)
+                q_w = jnp.zeros((b, 1), jnp.float32)
 
-        with self.timer.stage("fuse"):
-            fused = []
-            for b in range(len(queries)):
-                a_ids = (jnp.asarray(ids_d[b].astype(np.int32)) if ids_d is not None
-                         else jnp.full((over_k,), -1, jnp.int32))
-                b_ids = (jnp.asarray(ids_s[b]) if ids_s is not None
-                         else jnp.full((over_k,), -1, jnp.int32))
-                if fusion_method == "rrf":
-                    f_ids, f_scores = rrf_fuse_device(a_ids, b_ids, fetch_k)
-                else:
-                    a_sc = (jnp.asarray(scores_d[b]) if scores_d is not None
-                            else jnp.zeros((over_k,), jnp.float32))
-                    b_sc = (jnp.asarray(scores_s[b]) if scores_s is not None
-                            else jnp.zeros((over_k,), jnp.float32))
-                    f_ids, f_scores = weighted_fuse_device(
-                        a_ids, a_sc, b_ids, b_sc, fetch_k,
-                        weight_a=vector_weight, weight_b=bm25_weight)
-                fused.append((np.asarray(f_ids), np.asarray(f_scores)))
-
-        # Device cosine rerank: applies when the reranker is the simple
-        # similarity kind and the fused candidates live in the dense index —
-        # then rerank is an embedding-table gather + einsum, no host text
-        # re-encoding (exactly SimpleSimilarityReranker semantics).
-        device_rerank_scores = None
-        use_device_rerank = (
-            isinstance(self.reranker, SimpleSimilarityReranker)
-            and dense is not None and dense.embeddings is not None
-            and self.reranker.embedder is dense.embedder
-        )
-        if use_device_rerank:
-            with self.timer.stage("rerank"):
-                q_orig = dense.embedder.encode(list(queries), normalize=True)
-                cand_idx = np.stack([f[0] for f in fused]).astype(np.int32)
-                device_rerank_scores = np.asarray(_device_cosine_rerank(
-                    dense.embeddings, jnp.asarray(q_orig, dense.embeddings.dtype),
-                    jnp.asarray(cand_idx), self.reranker.top_n,
-                ))
+        with self.timer.stage("retrieve"):
+            fused_ids_dev, fused_scores_dev, rerank_dev = _fused_batch_retrieval(
+                dense.embeddings if has_dense else jnp.zeros((1, 1), jnp.float32),
+                jnp.asarray(dense._valid) if has_dense else jnp.ones(1, jnp.uint8),
+                sparse.doc_terms if has_sparse else jnp.full((1, 1), -1, jnp.int32),
+                sparse.doc_contrib if has_sparse else jnp.zeros((1, 1), jnp.float32),
+                q_emb, q_ids, q_w, q_orig_emb,
+                over_k=over_k, fetch_k=fetch_k, fusion_method=fusion_method,
+                vector_weight=vector_weight, bm25_weight=bm25_weight,
+                rerank_top_n=(self.reranker.top_n if use_device_rerank else 0),
+                vocab_size=len(sparse.vocab) if has_sparse else 0,
+                has_dense=has_dense, has_sparse=has_sparse,
+                use_rerank=use_device_rerank,
+            )
+            fused_ids_np = np.asarray(fused_ids_dev)
+            fused_scores_np = np.asarray(fused_scores_dev)
+            fused = [(fused_ids_np[i], fused_scores_np[i]) for i in range(b)]
+            device_rerank_scores = np.asarray(rerank_dev) if use_device_rerank else None
 
         outputs = []
         for b, query in enumerate(queries):
