@@ -58,11 +58,24 @@ class BM25Index:
 
     # ------------------------------------------------------------------ build
 
-    def index_chunks(self, chunks: Sequence[Chunk]) -> None:
+    def index_chunks(self, chunks: Sequence[Chunk], use_native: bool = True) -> None:
         self.chunks = list(chunks)
-        tokenized = [self.tokenizer.tokenize(c.text) for c in self.chunks]
-        self.vocab = Vocabulary.build(tokenized)
-        encoded = [self.vocab.encode(toks) for toks in tokenized]
+        encoded = None
+        if use_native:
+            # Native (C++) corpus tokenization — same token stream as the
+            # Python tokenizer (parity-tested), ~50× faster on this
+            # single-core host. Falls back silently when unavailable.
+            from domain_rag_system_tpu.native import tokenize_corpus_native
+
+            native = tokenize_corpus_native([c.text for c in self.chunks])
+            if native is not None:
+                vocab_terms, docs = native
+                self.vocab = Vocabulary(vocab_terms)
+                encoded = [d.tolist() for d in docs]
+        if encoded is None:
+            tokenized = [self.tokenizer.tokenize(c.text) for c in self.chunks]
+            self.vocab = Vocabulary.build(tokenized)
+            encoded = [self.vocab.encode(toks) for toks in tokenized]
 
         doc_terms, doc_contrib, idf, stats = build_okapi_arrays(
             encoded, len(self.vocab), k1=self.k1, b=self.b,

@@ -29,7 +29,10 @@ from domain_rag_system_tpu.utils import get_logger
 log = get_logger(__name__)
 
 #: Sequence-length buckets: shortest bucket that fits, to cap recompiles.
-LENGTH_BUCKETS = (32, 64, 128, 256, 512)
+#: Deliberately coarse — each distinct shape is a separate XLA program and
+#: remote-TPU compiles cost minutes; two buckets cover chunk-sized (≤512
+#: char ≈ ≤128 token) and max-length inputs.
+LENGTH_BUCKETS = (128, 512)
 
 
 def pick_bucket(length: int, max_length: int) -> int:
@@ -37,6 +40,30 @@ def pick_bucket(length: int, max_length: int) -> int:
         if length <= b and b <= max_length:
             return b
     return max_length
+
+
+def _load_any_checkpoint(checkpoint_path, tokenizer):
+    """Load either a native checkpoint (persistence/checkpoints.py) or a
+    local HuggingFace checkpoint directory (models/hf_convert.py)."""
+    import json
+    from pathlib import Path
+
+    ckpt = Path(checkpoint_path)
+    with open(ckpt / "config.json", "r", encoding="utf-8") as f:
+        cfg_json = json.load(f)
+    if "num_hidden_layers" in cfg_json:  # HF format
+        from domain_rag_system_tpu.models.hf_convert import load_hf_checkpoint
+
+        config, params, vocab = load_hf_checkpoint(ckpt)
+        if tokenizer is None and vocab:
+            tokenizer = WordPieceTokenizer(vocab)
+        return config, params, tokenizer
+    from domain_rag_system_tpu.persistence.checkpoints import (
+        load_encoder_checkpoint,
+    )
+
+    config, params, ck_tokenizer = load_encoder_checkpoint(ckpt)
+    return config, params, tokenizer or ck_tokenizer
 
 
 class BertEmbedder:
@@ -57,11 +84,8 @@ class BertEmbedder:
         self.batch_size = batch_size
 
         if checkpoint_path is not None:
-            from domain_rag_system_tpu.models.hf_convert import load_hf_checkpoint
-
-            config, params, vocab = load_hf_checkpoint(checkpoint_path)
-            if tokenizer is None and vocab:
-                tokenizer = WordPieceTokenizer(vocab)
+            config, params, tokenizer = _load_any_checkpoint(
+                checkpoint_path, tokenizer)
         if config is None or params is None or tokenizer is None:
             raise ValueError(
                 "BertEmbedder needs either checkpoint_path or explicit "

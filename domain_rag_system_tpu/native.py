@@ -1,0 +1,119 @@
+"""ctypes bindings for the native host runtime (native/drs_native.cpp).
+
+Loads ``libdrsnative.so``, building it on demand with g++ when missing.
+Every entry point degrades to the pure-Python implementation when the
+toolchain or library is unavailable, so the framework never hard-depends on
+the native component.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from domain_rag_system_tpu.utils import get_logger
+
+log = get_logger(__name__)
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "libdrsnative.so"
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    src = _NATIVE_DIR / "drs_native.cpp"
+    if not src.exists():
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", str(_SO_PATH), str(src)],
+            check=True, capture_output=True, timeout=120,
+        )
+        log.info("built native library → %s", _SO_PATH)
+        return True
+    except Exception as exc:
+        log.warning("native build failed: %s", exc)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    if not _SO_PATH.exists() and not _build():
+        _lib_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO_PATH))
+        lib.drs_corpus_tokenize.restype = ctypes.c_void_p
+        lib.drs_corpus_tokenize.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_char_p]
+        lib.drs_vocab_size.restype = ctypes.c_int64
+        lib.drs_vocab_size.argtypes = [ctypes.c_void_p]
+        lib.drs_vocab_bytes.restype = ctypes.c_int64
+        lib.drs_vocab_bytes.argtypes = [ctypes.c_void_p]
+        lib.drs_copy_vocab.restype = None
+        lib.drs_copy_vocab.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.drs_total_tokens.restype = ctypes.c_int64
+        lib.drs_total_tokens.argtypes = [ctypes.c_void_p]
+        lib.drs_copy_tokens.restype = None
+        lib.drs_copy_tokens.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.drs_free.restype = None
+        lib.drs_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception as exc:
+        log.warning("native library unusable: %s", exc)
+        _lib_failed = True
+    return _lib
+
+
+def tokenize_corpus_native(
+    texts: List[str],
+    preserved: Optional[List[str]] = None,
+) -> Optional[Tuple[List[str], List[np.ndarray]]]:
+    """Native corpus tokenization → (sorted vocab, per-doc term-id arrays).
+
+    Returns None when the native library is unavailable (callers fall back
+    to the Python tokenizer).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    encoded = [t.encode("utf-8") for t in texts]
+    buf = b"".join(encoded)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    preserved_blob = "\n".join(preserved or []).encode("utf-8")
+
+    handle = lib.drs_corpus_tokenize(
+        buf, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(texts), preserved_blob)
+    if not handle:
+        return None
+    try:
+        vocab_bytes = lib.drs_vocab_bytes(handle)
+        vocab_buf = ctypes.create_string_buffer(int(vocab_bytes))
+        lib.drs_copy_vocab(handle, vocab_buf)
+        vocab = vocab_buf.raw.decode("utf-8").split("\n")[:-1]
+
+        total = lib.drs_total_tokens(handle)
+        ids = np.zeros(int(total), dtype=np.int32)
+        doc_offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        lib.drs_copy_tokens(
+            handle, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            doc_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        docs = [ids[doc_offsets[i]:doc_offsets[i + 1]]
+                for i in range(len(texts))]
+        return vocab, docs
+    finally:
+        lib.drs_free(handle)

@@ -185,51 +185,75 @@ def train_wordpiece(
     Classic WordPiece training: start from the character alphabet, repeatedly
     merge the adjacent symbol pair maximizing ``count(ab) / (count(a)·count(b))``
     among pairs meeting ``min_frequency``, until ``vocab_size`` is reached.
+
+    Pair/symbol counts are maintained *incrementally* — each merge touches
+    only the words containing the merged pair — so training large vocabs on
+    a single-core host stays fast (the naive full-recount loop is
+    O(vocab_size · corpus)).
     """
     word_counts: Counter = Counter()
     for text in texts:
         word_counts.update(basic_tokenize(text, lowercase))
 
-    # Words as symbol tuples: first char bare, continuations ##-prefixed.
-    words: List[Tuple[List[str], int]] = []
+    # Words as symbol lists: first char bare, continuations ##-prefixed.
+    words: List[List[str]] = []
+    counts: List[int] = []
     alphabet: set = set()
     for word, count in word_counts.items():
         symbols = [word[0]] + ["##" + c for c in word[1:]]
-        words.append((symbols, count))
+        words.append(symbols)
+        counts.append(count)
         alphabet.update(symbols)
+
+    pair_counts: Counter = Counter()
+    symbol_counts: Counter = Counter()
+    pair_words: Dict[Tuple[str, str], set] = {}
+    for w_idx, symbols in enumerate(words):
+        c = counts[w_idx]
+        for s in symbols:
+            symbol_counts[s] += c
+        for pair in zip(symbols, symbols[1:]):
+            pair_counts[pair] += c
+            pair_words.setdefault(pair, set()).add(w_idx)
 
     vocab: List[str] = list(SPECIAL_TOKENS) + sorted(alphabet)
     vocab_set = set(vocab)
 
-    while len(vocab) < vocab_size:
-        pair_counts: Counter = Counter()
-        symbol_counts: Counter = Counter()
-        for symbols, count in words:
-            for s in symbols:
-                symbol_counts[s] += count
-            for a, b in zip(symbols, symbols[1:]):
-                pair_counts[(a, b)] += count
+    def merged_form(a: str, b: str) -> str:
+        return a + b[2:] if b.startswith("##") else a + b
 
+    while len(vocab) < vocab_size:
         best_pair, best_score = None, 0.0
-        for (a, b), c in pair_counts.items():
-            if c < min_frequency:
+        for pair, c in pair_counts.items():
+            if c < min_frequency or merged_form(*pair) in vocab_set:
                 continue
-            merged = a + b[2:] if b.startswith("##") else a + b
-            if merged in vocab_set:
-                continue
-            score = c / (symbol_counts[a] * symbol_counts[b])
+            score = c / (symbol_counts[pair[0]] * symbol_counts[pair[1]])
             if score > best_score:
-                best_pair, best_score = (a, b), score
+                best_pair, best_score = pair, score
         if best_pair is None:
             break
 
         a, b = best_pair
-        merged = a + b[2:] if b.startswith("##") else a + b
+        merged = merged_form(a, b)
         vocab.append(merged)
         vocab_set.add(merged)
 
-        new_words = []
-        for symbols, count in words:
+        for w_idx in list(pair_words.get(best_pair, ())):
+            symbols = words[w_idx]
+            c = counts[w_idx]
+            # retract this word's contributions
+            for s in symbols:
+                symbol_counts[s] -= c
+            for pair in zip(symbols, symbols[1:]):
+                pair_counts[pair] -= c
+                if pair_counts[pair] <= 0:
+                    del pair_counts[pair]
+                bucket = pair_words.get(pair)
+                if bucket is not None:
+                    bucket.discard(w_idx)
+                    if not bucket:
+                        del pair_words[pair]
+            # apply the merge
             out: List[str] = []
             i = 0
             while i < len(symbols):
@@ -239,7 +263,12 @@ def train_wordpiece(
                 else:
                     out.append(symbols[i])
                     i += 1
-            new_words.append((out, count))
-        words = new_words
+            words[w_idx] = out
+            # re-add contributions
+            for s in out:
+                symbol_counts[s] += c
+            for pair in zip(out, out[1:]):
+                pair_counts[pair] += c
+                pair_words.setdefault(pair, set()).add(w_idx)
 
     return WordPieceTokenizer(vocab, lowercase=lowercase)

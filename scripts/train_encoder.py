@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Train the domain dual-encoder from scratch (contrastive, on-device).
+
+No pretrained weights exist in this environment, so the dense encoder is
+trained on corpus-internal alignment pairs — title ↔ abstract of the same
+document plus abstract-sentence ↔ title pairs — with in-batch-negative
+InfoNCE (training/contrastive.py). No evaluation queries are used
+(leakage-free).
+
+Usage:
+    python scripts/train_encoder.py --corpus data/recovered/BioASQ/corpus_subset.json \
+        --out checkpoints/medrag-mini --steps 300
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from domain_rag_system_tpu.utils.jaxtools import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+from domain_rag_system_tpu.models.bert import BertConfig  # noqa: E402
+from domain_rag_system_tpu.persistence.checkpoints import (  # noqa: E402
+    save_encoder_checkpoint,
+)
+from domain_rag_system_tpu.preprocessing import split_sentences  # noqa: E402
+from domain_rag_system_tpu.tokenization import train_wordpiece  # noqa: E402
+from domain_rag_system_tpu.training import ContrastiveTrainer  # noqa: E402
+from domain_rag_system_tpu.training.contrastive import make_pair_batches  # noqa: E402
+
+
+def build_pairs(corpus):
+    pairs = []
+    for doc in corpus:
+        title = (doc.get("title") or "").strip()
+        abstract = (doc.get("abstract") or doc.get("text") or "").strip()
+        if title and abstract:
+            pairs.append((title, abstract))
+            for sentence in split_sentences(abstract):
+                if len(sentence) > 40:
+                    pairs.append((title, sentence))
+    return pairs
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", default="data/recovered/BioASQ/corpus_subset.json")
+    ap.add_argument("--out", default="checkpoints/medrag-mini")
+    ap.add_argument("--vocab_size", type=int, default=8192)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--seq_len", type=int, default=64)
+    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    corpus = json.load(open(args.corpus))
+    pairs = build_pairs(corpus)
+    print(f"{len(pairs)} training pairs from {len(corpus)} docs")
+
+    texts = [t for pair in pairs for t in pair]
+    print("training WordPiece vocabulary...")
+    tokenizer = train_wordpiece(texts, vocab_size=args.vocab_size)
+    print(f"vocab: {len(tokenizer)} tokens")
+
+    config = BertConfig(
+        vocab_size=len(tokenizer), hidden_size=args.hidden,
+        num_layers=args.layers, num_heads=args.heads,
+        intermediate_size=args.hidden * 4, dropout_rate=0.1,
+        max_position_embeddings=args.seq_len, dtype="bfloat16",
+    )
+    trainer = ContrastiveTrainer(config, learning_rate=args.lr,
+                                 warmup_steps=max(args.steps // 10, 10),
+                                 total_steps=args.steps, seed=args.seed)
+    trainer.init_state(seq_len=args.seq_len)
+
+    steps_per_epoch = max(len(pairs) // args.batch_size, 1)
+    epochs = -(-args.steps // steps_per_epoch)
+    batches = make_pair_batches(tokenizer, pairs, args.batch_size,
+                                seq_len=args.seq_len, epochs=epochs,
+                                seed=args.seed)
+    import itertools
+
+    history = trainer.train(itertools.islice(batches, args.steps), log_every=20)
+    print(f"final: loss={history[-1]['loss']:.4f} acc={history[-1]['accuracy']:.3f}")
+
+    save_encoder_checkpoint(args.out, config, trainer.state.params, tokenizer)
+    print(f"checkpoint -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
