@@ -72,10 +72,13 @@ def run_retrieval_evaluation(
     queries: Sequence[Dict],
     top_k: int = 10,
     fusion_method: str = "rrf",
+    vector_weight: float = 0.5,
+    bm25_weight: float = 0.5,
     rerank_top_n: int = 50,
     batch_size: int = 0,
     extra_ks: Sequence[int] = (1, 3, 5, 10),
     dataset: str = "dataset",
+    **pipeline_kwargs,
 ) -> Dict:
     """Evaluate retrieval over queries: [{id, body, type?, documents}].
 
@@ -112,7 +115,8 @@ def run_retrieval_evaluation(
             outs = pipeline.query_batch(
                 [q["body"] for q in batch],
                 top_k=top_k, fusion_method=fusion_method,
-                rerank_top_n=rerank_top_n,
+                vector_weight=vector_weight, bm25_weight=bm25_weight,
+                rerank_top_n=rerank_top_n, **pipeline_kwargs,
             )
             dt = (time.perf_counter() - t0) / max(len(batch), 1)
             for q, out in zip(batch, outs):
@@ -122,6 +126,7 @@ def run_retrieval_evaluation(
             t0 = time.perf_counter()
             out = pipeline.query(
                 q["body"], top_k=top_k, fusion_method=fusion_method,
+                vector_weight=vector_weight, bm25_weight=bm25_weight,
                 rerank_top_n=rerank_top_n,
             )
             dt = time.perf_counter() - t0
@@ -155,6 +160,8 @@ def run_retrieval_evaluation(
         "config": {
             "top_k": top_k,
             "fusion_method": fusion_method,
+            "vector_weight": vector_weight,
+            "bm25_weight": bm25_weight,
             "rerank_top_n": rerank_top_n,
             "batch_size": batch_size,
             "reranker": getattr(pipeline.reranker, "name", "none"),

@@ -37,7 +37,9 @@ LENGTH_BUCKETS = (128, 512)
 
 def pick_bucket(length: int, max_length: int) -> int:
     for b in LENGTH_BUCKETS:
-        if length <= b and b <= max_length:
+        if b >= max_length:
+            break
+        if length <= b:
             return b
     return max_length
 
@@ -96,6 +98,10 @@ class BertEmbedder:
         self.tokenizer = tokenizer
         self.module = SentenceEncoder(config)
         self.params = jax.device_put({"params": params} if "params" not in params else params)
+        # Sequences beyond the trained position table would index the
+        # position embedding out of range (garbage embeddings, not an
+        # error) — clamp the usable length to the model's limit.
+        self.max_length = min(self.max_length, config.max_position_embeddings)
 
     @property
     def embedding_dim(self) -> int:
@@ -182,6 +188,7 @@ class CrossEncoderModel:
         self.tokenizer = tokenizer
         self.module = CrossEncoder(config)
         self.params = jax.device_put({"params": params} if "params" not in params else params)
+        self.max_length = min(self.max_length, config.max_position_embeddings)
 
     @functools.cached_property
     def _forward(self):

@@ -92,7 +92,7 @@ def rrf_fuse_batch(
     return jax.vmap(fuse)(ids_a, ids_b)
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "weight_a", "weight_b"))
+@functools.partial(jax.jit, static_argnames=("top_k",))
 def weighted_fuse_batch(
     ids_a: jax.Array, scores_a: jax.Array,   # [B, Ka]
     ids_b: jax.Array, scores_b: jax.Array,   # [B, Kb]

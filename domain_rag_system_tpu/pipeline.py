@@ -27,6 +27,7 @@ import jax
 from domain_rag_system_tpu.indexing import HybridIndex
 from domain_rag_system_tpu.ops.dense_topk import cosine_topk, lax_topk
 from domain_rag_system_tpu.ops.fusion import rrf_fuse_device, weighted_fuse_device
+from domain_rag_system_tpu.ops.prf import bm25_prf_expand
 from domain_rag_system_tpu.ops.sparse_bm25 import bm25_scores
 from domain_rag_system_tpu.preprocessing import QueryPreprocessor
 from domain_rag_system_tpu.reranker import BaseReranker, SimpleSimilarityReranker
@@ -59,8 +60,9 @@ def _device_cosine_rerank(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "over_k", "fetch_k", "fusion_method", "vector_weight", "bm25_weight",
-    "rerank_top_n", "vocab_size", "has_dense", "has_sparse", "use_rerank"))
+    "over_k", "fetch_k", "fusion_method",
+    "rerank_top_n", "vocab_size", "has_dense", "has_sparse", "use_rerank",
+    "prf_terms", "prf_docs"))
 def _fused_batch_retrieval(
     embeddings,    # [N_pad, d] or [1, 1] placeholder
     valid_mask,    # [N_pad] or [1]
@@ -70,17 +72,20 @@ def _fused_batch_retrieval(
     q_ids,         # [B, L] BM25 term ids (or [B, 1])
     q_w,           # [B, L]
     q_orig_emb,    # [B, d] ORIGINAL-query embeddings for rerank (or [B, 1])
+    vector_weight,   # traced scalar — not static, so weight sweeps don't recompile
+    bm25_weight,     # traced scalar
     *,
     over_k: int,
     fetch_k: int,
     fusion_method: str,
-    vector_weight: float,
-    bm25_weight: float,
     rerank_top_n: int,
     vocab_size: int,
     has_dense: bool,
     has_sparse: bool,
     use_rerank: bool,
+    prf_terms: int = 0,
+    prf_docs: int = 10,
+    prf_alpha: float = 0.6,
 ):
     """The whole query batch as ONE device program.
 
@@ -102,6 +107,13 @@ def _fused_batch_retrieval(
     if has_sparse:
         s = bm25_scores(doc_terms, doc_contrib, q_ids, q_w,
                         vocab_size=vocab_size)
+        if prf_terms > 0:
+            q_ids2, q_w2 = bm25_prf_expand(
+                doc_terms, doc_contrib, s, q_ids, q_w,
+                fb_docs=prf_docs, fb_terms=prf_terms, alpha=prf_alpha,
+                vocab_size=vocab_size)
+            s = bm25_scores(doc_terms, doc_contrib, q_ids2, q_w2,
+                            vocab_size=vocab_size)
         k_s = min(over_k, doc_terms.shape[0])
         sc_s, idx_s = lax_topk(s, k_s)
         # zero-score docs stay ranked (reference parity); only filtered
@@ -200,6 +212,9 @@ class RetrievalPipeline:
         bm25_weight: float = 0.5,
         rerank_top_n: int = 50,
         preprocess: bool = True,
+        prf_terms: int = 0,
+        prf_docs: int = 10,
+        prf_alpha: float = 0.6,
     ) -> List[Dict]:
         """Batched retrieval: heavy stages run once over the whole batch.
 
@@ -271,6 +286,7 @@ class RetrievalPipeline:
                 vocab_size=len(sparse.vocab) if has_sparse else 0,
                 has_dense=has_dense, has_sparse=has_sparse,
                 use_rerank=use_device_rerank,
+                prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
             )
             fused_ids_np = np.asarray(fused_ids_dev)
             fused_scores_np = np.asarray(fused_scores_dev)

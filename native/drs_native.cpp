@@ -31,14 +31,80 @@ struct Corpus {
   std::vector<int64_t> doc_offsets;          // n_docs + 1 offsets into ids
 };
 
-inline bool is_word_byte(unsigned char c) {
-  return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-         (c >= '0' && c <= '9') || c == '_' || c >= 0x80;
+// Decode one UTF-8 codepoint at p (p < end); advances p. Invalid bytes
+// decode as U+FFFD and advance by one byte.
+inline uint32_t decode_utf8(const char*& p, const char* end) {
+  unsigned char c0 = static_cast<unsigned char>(*p);
+  if (c0 < 0x80) { ++p; return c0; }
+  int extra; uint32_t cp;
+  if ((c0 & 0xE0) == 0xC0) { extra = 1; cp = c0 & 0x1F; }
+  else if ((c0 & 0xF0) == 0xE0) { extra = 2; cp = c0 & 0x0F; }
+  else if ((c0 & 0xF8) == 0xF0) { extra = 3; cp = c0 & 0x07; }
+  else { ++p; return 0xFFFD; }
+  if (p + extra >= end + 1 && p + extra > end) { ++p; return 0xFFFD; }
+  const char* q = p + 1;
+  for (int i = 0; i < extra; ++i, ++q) {
+    unsigned char cc = static_cast<unsigned char>(*q);
+    if ((cc & 0xC0) != 0x80) { ++p; return 0xFFFD; }
+    cp = (cp << 6) | (cc & 0x3F);
+  }
+  p = q;
+  return cp;
 }
 
-inline char lower_ascii(unsigned char c) {
-  return (c >= 'A' && c <= 'Z') ? static_cast<char>(c + 32)
-                                : static_cast<char>(c);
+inline void append_utf8(std::string& out, uint32_t cp) {
+  if (cp < 0x80) { out.push_back(static_cast<char>(cp)); }
+  else if (cp < 0x800) {
+    out.push_back(static_cast<char>(0xC0 | (cp >> 6)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else if (cp < 0x10000) {
+    out.push_back(static_cast<char>(0xE0 | (cp >> 12)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else {
+    out.push_back(static_cast<char>(0xF0 | (cp >> 18)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 12) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  }
+}
+
+// Python re.UNICODE \w semantics for the codepoint ranges that occur in
+// biomedical text: letters/digits/underscore are word characters; spaces,
+// punctuation and symbol blocks are not. Unknown high ranges default to
+// word (matching \w for CJK and other letters).
+inline bool is_word_cp(uint32_t cp) {
+  if (cp < 0x80) {
+    return (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+           (cp >= '0' && cp <= '9') || cp == '_';
+  }
+  // Latin-1 punctuation/symbols (NBSP, ·, ±, °, «, », ...) except the
+  // letters µ (B5), ª (AA), º (BA).
+  if (cp >= 0xA0 && cp <= 0xBF) return cp == 0xB5 || cp == 0xAA || cp == 0xBA;
+  if (cp == 0xD7 || cp == 0xF7) return false;          // × ÷
+  if (cp >= 0x2000 && cp <= 0x206F) return false;       // general punctuation
+  if (cp >= 0x2070 && cp <= 0x209F) return false;       // super/subscripts
+  if (cp >= 0x20A0 && cp <= 0x20CF) return false;       // currency
+  if (cp >= 0x2100 && cp <= 0x2BFF) return false;       // letterlike/arrows/math/symbols
+  if (cp >= 0x2E00 && cp <= 0x2E7F) return false;       // supplemental punct
+  if (cp >= 0x3000 && cp <= 0x303F) return false;       // CJK punctuation
+  if (cp >= 0xFE30 && cp <= 0xFE4F) return false;       // CJK compat forms
+  if (cp >= 0xFF01 && cp <= 0xFF20) return false;       // fullwidth punct
+  if (cp >= 0xFFF0 && cp <= 0xFFFF) return false;       // specials incl. U+FFFD
+  return true;
+}
+
+// Case folding for ASCII plus the non-ASCII ranges seen in biomedical
+// corpora (Latin-1, Latin Extended-A, Greek, Cyrillic).
+inline uint32_t lower_cp(uint32_t cp) {
+  if (cp >= 'A' && cp <= 'Z') return cp + 0x20;
+  if (cp >= 0xC0 && cp <= 0xDE && cp != 0xD7) return cp + 0x20;
+  if (cp >= 0x100 && cp <= 0x177 && (cp & 1) == 0) return cp + 1;   // Ext-A pairs
+  if (cp >= 0x179 && cp <= 0x17D && (cp & 1) == 1) return cp + 1;
+  if (cp >= 0x391 && cp <= 0x3AB && cp != 0x3A2) return cp + 0x20;  // Greek
+  if (cp >= 0x410 && cp <= 0x42F) return cp + 0x20;                 // Cyrillic
+  if (cp >= 0x400 && cp <= 0x40F) return cp + 0x50;
+  return cp;
 }
 
 }  // namespace
@@ -81,16 +147,31 @@ void* drs_corpus_tokenize(const char* buf, const int64_t* offsets,
     lowered.clear();
     if (!preserved_set.empty()) {
       lowered.reserve(end - start);
-      for (const char* p = start; p < end; ++p) lowered.push_back(lower_ascii(*p));
+      for (const char* p = start; p < end;) {
+        append_utf8(lowered, lower_cp(decode_utf8(p, end)));
+      }
     }
     for (const char* p = start; p < end;) {
-      if (!is_word_byte(static_cast<unsigned char>(*p))) { ++p; continue; }
+      const char* probe = p;
+      uint32_t cp = decode_utf8(probe, end);
+      if (!is_word_cp(cp)) { p = probe; continue; }
       token.clear();
-      while (p < end && is_word_byte(static_cast<unsigned char>(*p))) {
-        token.push_back(lower_ascii(static_cast<unsigned char>(*p)));
-        ++p;
+      while (p < end) {
+        probe = p;
+        cp = decode_utf8(probe, end);
+        if (!is_word_cp(cp)) break;
+        append_utf8(token, lower_cp(cp));
+        p = probe;
       }
-      if (token.size() < 2) {
+      // NB: token length is in CODEPOINTS for the >=2 filter; ASCII-only
+      // short tokens dominate, so byte length equals cp length except for
+      // rare single multibyte letters — count codepoints exactly.
+      size_t cp_len = 0;
+      for (const char* t = token.data(); t < token.data() + token.size();) {
+        decode_utf8(t, token.data() + token.size());
+        ++cp_len;
+      }
+      if (cp_len < 2) {
         if (preserved_set.empty() || !preserved_set.count(token) ||
             lowered.find(token) == std::string::npos) {
           continue;

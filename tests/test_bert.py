@@ -162,3 +162,27 @@ def test_wordpiece_train_and_encode():
     ids2, mask2, types2 = tok.encode_batch(
         ["what treats diabetes"], ["metformin treats diabetes"], max_length=32)
     assert types2[0].max() == 1
+
+
+def test_bert_embedder_clamps_to_position_table():
+    """Inputs longer than max_position_embeddings must be truncated, not
+    index the position embedding out of range (regression: garbage
+    embeddings for every text when buckets exceeded the trained length)."""
+    from domain_rag_system_tpu.models.bert_embedder import BertEmbedder
+    import jax, numpy as np
+    from domain_rag_system_tpu.models.bert import SentenceEncoder
+    import jax.numpy as jnp
+
+    texts = ["word " * 300]  # far beyond 32 positions
+    tokenizer = train_wordpiece(["word another token"] * 3, vocab_size=64)
+    config = BertConfig.tiny(vocab_size=len(tokenizer), dropout_rate=0.0,
+                             max_position_embeddings=32)
+    module = SentenceEncoder(config)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                         jnp.ones((1, 8), jnp.int32))
+    emb = BertEmbedder(config=config, params=params["params"],
+                       tokenizer=tokenizer, max_length=512, batch_size=2)
+    assert emb.max_length == 32
+    vecs = emb.encode(texts)
+    assert np.isfinite(vecs).all()
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-4)
