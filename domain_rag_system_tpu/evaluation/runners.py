@@ -78,6 +78,7 @@ def run_retrieval_evaluation(
     batch_size: int = 0,
     extra_ks: Sequence[int] = (1, 3, 5, 10),
     dataset: str = "dataset",
+    warmup: bool = True,
     **pipeline_kwargs,
 ) -> Dict:
     """Evaluate retrieval over queries: [{id, body, type?, documents}].
@@ -85,8 +86,21 @@ def run_retrieval_evaluation(
     ``batch_size > 0`` runs the pipeline's batched device path (the
     throughput configuration); 0 evaluates query-at-a-time (the latency
     configuration, matching how the reference measures per-query time).
+    ``warmup`` runs one untimed batch first so one-time XLA compiles don't
+    pollute the timing (results are identical either way).
     """
     per_query: List[Dict] = []
+    if warmup and queries:
+        first = [q["body"] for q in queries[: max(batch_size, 1)]]
+        if batch_size > 0:
+            pipeline.query_batch(first, top_k=top_k, fusion_method=fusion_method,
+                                 vector_weight=vector_weight,
+                                 bm25_weight=bm25_weight,
+                                 rerank_top_n=rerank_top_n, **pipeline_kwargs)
+        else:
+            pipeline.query(first[0], top_k=top_k, fusion_method=fusion_method,
+                           vector_weight=vector_weight, bm25_weight=bm25_weight,
+                           rerank_top_n=rerank_top_n)
     t_start = time.perf_counter()
 
     def evaluate_one(q: Dict, results: List[Dict], elapsed: float) -> Dict:

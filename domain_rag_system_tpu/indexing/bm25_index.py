@@ -41,7 +41,9 @@ class BM25Index:
         tokenizer: Optional[RegexTokenizer] = None,
         max_doc_terms: int = MAX_DOC_TERMS,
         max_query_terms: int = MAX_QUERY_TERMS,
+        mesh=None,
     ):
+        self.mesh = mesh
         self.k1 = k1
         self.b = b
         self.tokenizer = tokenizer or RegexTokenizer()
@@ -81,8 +83,23 @@ class BM25Index:
             encoded, len(self.vocab), k1=self.k1, b=self.b,
             max_doc_terms=self.max_doc_terms,
         )
-        self.doc_terms = jnp.asarray(doc_terms)
-        self.doc_contrib = jnp.asarray(doc_contrib)
+        if self.mesh is not None:
+            # Row-shard the doc arrays (pad rows to a shard-divisible count;
+            # padded rows have no terms so they never score).
+            shards = self.mesh.shape.get("shard", 1)
+            n = doc_terms.shape[0]
+            n_pad = -(-n // shards) * shards
+            if n_pad != n:
+                doc_terms = np.pad(doc_terms, ((0, n_pad - n), (0, 0)),
+                                   constant_values=-1)
+                doc_contrib = np.pad(doc_contrib, ((0, n_pad - n), (0, 0)))
+            from domain_rag_system_tpu.parallel.mesh import shard_rows
+
+            self.doc_terms = shard_rows(jnp.asarray(doc_terms), self.mesh)
+            self.doc_contrib = shard_rows(jnp.asarray(doc_contrib), self.mesh)
+        else:
+            self.doc_terms = jnp.asarray(doc_terms)
+            self.doc_contrib = jnp.asarray(doc_contrib)
         self.idf = idf
         self.stats = stats
         self._filters = FilterSet(self.chunks)
@@ -102,10 +119,11 @@ class BM25Index:
     def scores(self, query: str) -> np.ndarray:
         """Full [N] score vector for one query (device-computed)."""
         q_ids, q_w = self.encode_query(query)
-        return np.asarray(bm25_scores(
+        scores = np.asarray(bm25_scores(
             self.doc_terms, self.doc_contrib, jnp.asarray(q_ids), jnp.asarray(q_w),
             vocab_size=len(self.vocab),
         ))
+        return scores[: len(self.chunks)]  # trim mesh padding rows
 
     def search(
         self,

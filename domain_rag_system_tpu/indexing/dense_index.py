@@ -42,7 +42,13 @@ class DenseIndex:
         distance: str = "cosine",
         row_block: int = 1024,
         dtype: str = "float32",
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``"shard"`` axis —
+        the embedding matrix is row-sharded across it (``parallel/mesh.py``)
+        and every jitted consumer auto-partitions via the SPMD partitioner
+        (the corpus-scaling path; see ``parallel/sharded_search.py`` for the
+        explicit-collective variant)."""
         if distance not in ("cosine", "dot", "euclid"):
             raise ValueError(f"unsupported distance {distance!r}")
         self.embedder = embedder
@@ -50,6 +56,7 @@ class DenseIndex:
         self.distance = distance
         self.row_block = row_block
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.mesh = mesh
 
         self.chunks: List[Chunk] = []
         self.embeddings: Optional[jnp.ndarray] = None  # [N_pad, d] device
@@ -83,11 +90,20 @@ class DenseIndex:
                                                   normalize=normalize))
             emb = np.concatenate(parts, axis=0) if parts else np.zeros((0, 1), np.float32)
 
-        n_pad = -(-max(self.n_chunks, 1) // self.row_block) * self.row_block
+        block = self.row_block
+        if self.mesh is not None:
+            # rows must divide evenly across the shard axis
+            shards = self.mesh.shape.get("shard", 1)
+            block = -(-block // shards) * shards
+        n_pad = -(-max(self.n_chunks, 1) // block) * block
         d = emb.shape[1] if emb.size else self.embedder.embedding_dim
         padded = np.zeros((n_pad, d), dtype=np.float32)
         padded[: self.n_chunks] = emb
         self.embeddings = jnp.asarray(padded, dtype=self.dtype)
+        if self.mesh is not None:
+            from domain_rag_system_tpu.parallel.mesh import shard_rows
+
+            self.embeddings = shard_rows(self.embeddings, self.mesh)
         if self.distance == "euclid":
             self._row_norms_sq = jnp.sum(
                 jnp.asarray(padded, jnp.float32) ** 2, axis=1

@@ -109,7 +109,7 @@ class HybridIndex:
 
         results = []
         for i, score in zip(np.asarray(fused_ids), np.asarray(fused_scores)):
-            if i < 0:
+            if i < 0 or i >= len(self.chunks):
                 continue
             chunk = self.chunks[int(i)]
             results.append({

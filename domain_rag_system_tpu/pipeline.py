@@ -297,8 +297,9 @@ class RetrievalPipeline:
         for b, query in enumerate(queries):
             f_ids, f_scores = fused[b]
             results = []
+            n_chunks = len(self.index.chunks)
             for i, score in zip(f_ids, f_scores):
-                if i < 0:
+                if i < 0 or i >= n_chunks:  # padding / mesh-padded rows
                     continue
                 chunk = self.index.chunks[int(i)]
                 results.append({

@@ -75,3 +75,32 @@ def test_sharded_bm25_topk_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_mesh_sharded_indexes_end_to_end(toy_chunks):
+    """The SAME fused pipeline program must run and give identical results
+    when the index arrays are row-sharded across the 8-device mesh."""
+    from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+    from domain_rag_system_tpu.models import MedicalEmbedder
+    from domain_rag_system_tpu.pipeline import RetrievalPipeline
+
+    emb = MedicalEmbedder(dim=256)
+    plain = HybridIndex(dense_index=DenseIndex(emb, row_block=8),
+                        bm25_index=BM25Index())
+    plain.index_chunks(toy_chunks)
+    p_plain = RetrievalPipeline(plain)
+
+    mesh = get_mesh()
+    emb2 = MedicalEmbedder(dim=256)
+    sharded = HybridIndex(dense_index=DenseIndex(emb2, row_block=8, mesh=mesh),
+                          bm25_index=BM25Index(mesh=mesh))
+    sharded.index_chunks(toy_chunks)
+    assert len(sharded.dense_index.embeddings.sharding.device_set) == 8
+    p_shard = RetrievalPipeline(sharded)
+
+    queries = ["diabetes treatment", "pain relief", "blood pressure drug"]
+    out_plain = p_plain.query_batch(queries, top_k=5)
+    out_shard = p_shard.query_batch(queries, top_k=5)
+    for a, b in zip(out_plain, out_shard):
+        assert [r["chunk_id"] for r in a["results"]] == \
+               [r["chunk_id"] for r in b["results"]]
