@@ -42,7 +42,6 @@ def main() -> None:
     from domain_rag_system_tpu.models import MedicalEmbedder
     from domain_rag_system_tpu.pipeline import RetrievalPipeline
     from domain_rag_system_tpu.preprocessing import DataLoader, DocumentChunker
-    from domain_rag_system_tpu.reranker import build_reranker
 
     corpus_path = ROOT / "data" / "recovered" / "BioASQ" / "corpus_subset.json"
     queries_path = ROOT / "data" / "recovered" / "BioASQ" / "bioasq_queries.json"

@@ -16,7 +16,6 @@ Capability parity with the reference's BioASQ tooling:
 
 from __future__ import annotations
 
-import json
 import random
 import re
 import time

@@ -27,7 +27,7 @@ from __future__ import annotations
 import json
 import time
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 from domain_rag_system_tpu.evaluation.metrics import (
     calculate_retrieval_metrics,

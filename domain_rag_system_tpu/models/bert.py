@@ -20,8 +20,6 @@ and parameter shapes chosen to map onto the MXU (hidden sizes multiple of
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

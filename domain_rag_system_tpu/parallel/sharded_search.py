@@ -20,7 +20,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from domain_rag_system_tpu.ops.dense_topk import lax_topk
 from domain_rag_system_tpu.ops.sparse_bm25 import bm25_scores

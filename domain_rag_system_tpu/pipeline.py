@@ -166,6 +166,16 @@ class RetrievalPipeline:
         rerank_top_n: int = 50,
         preprocess: bool = True,
     ) -> Dict:
+        # Filter-free queries ride the fused batch program with B=1 — one
+        # device dispatch instead of the multi-call host orchestration.
+        # Metadata filters need per-query masks, which stay on the host path.
+        if filters is None:
+            return self.query_batch(
+                [query], top_k=top_k, fusion_method=fusion_method,
+                vector_weight=vector_weight, bm25_weight=bm25_weight,
+                rerank_top_n=rerank_top_n, preprocess=preprocess,
+            )[0]
+
         with self.timer.stage("preprocess"):
             if preprocess:
                 pre = self.preprocessor.preprocess(query)

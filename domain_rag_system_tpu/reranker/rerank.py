@@ -22,8 +22,6 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, List, Literal, Optional, Tuple
 
-import numpy as np
-
 from domain_rag_system_tpu.utils import get_logger
 
 log = get_logger(__name__)

@@ -21,7 +21,6 @@ This is also the framework's ``dryrun_multichip`` program (see
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax

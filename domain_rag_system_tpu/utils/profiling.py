@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import contextlib
 from pathlib import Path
-from typing import Iterator, Optional
+from typing import Iterator
 
 from domain_rag_system_tpu.utils.logging import get_logger
 

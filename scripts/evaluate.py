@@ -50,7 +50,11 @@ DATASETS = {
     },
     "kaggle": {
         "corpus_kwargs": {"kaggle_path": "data/recovered/kaggle/extracted_docs.json"},
-        "queries": None,  # no recoverable ground-truth queries (SURVEY §2.3 quirk 1)
+        # The reference's kaggle ground truth is unrecoverable AND broken
+        # (disjoint chunk-id spaces scored 0.0 — SURVEY §2.3 quirk 1).
+        # Queries are regenerated from the corpus with doc-level ground
+        # truth (etl/kaggle.py), making this eval meaningful.
+        "queries": "generate",
         "top_k": 5,
     },
 }
@@ -91,9 +95,18 @@ def main() -> None:
     all_results = {}
     for name in args.datasets:
         cfg = DATASETS[name]
-        if cfg["queries"] is None:
-            print(f"[{name}] skipped: no recoverable ground-truth queries")
-            continue
+        queries_spec = cfg["queries"]
+        if queries_spec == "generate":
+            import json as _json
+
+            from domain_rag_system_tpu.etl.kaggle import build_test_queries
+
+            corpus_path = cfg["corpus_kwargs"]["kaggle_path"]
+            records = _json.load(open(corpus_path))
+            generated = build_test_queries(records)
+            gen_path = results_dir / f"{name}_generated_queries.json"
+            _json.dump(generated, open(gen_path, "w"), indent=1)
+            cfg = {**cfg, "queries": str(gen_path)}
         out_path = results_dir / f"{name}_retrieval_results.json"
         if out_path.exists() and not args.force:
             print(f"[{name}] reusing existing {out_path}")

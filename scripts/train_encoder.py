@@ -34,15 +34,19 @@ from domain_rag_system_tpu.training.contrastive import make_pair_batches  # noqa
 
 
 def build_pairs(corpus):
+    """Leakage-free alignment pairs: title <-> abstract, title <-> sentence,
+    and adjacent-sentence pairs (local coherence signal)."""
     pairs = []
     for doc in corpus:
         title = (doc.get("title") or "").strip()
         abstract = (doc.get("abstract") or doc.get("text") or "").strip()
-        if title and abstract:
+        if not abstract:
+            continue
+        sentences = [s for s in split_sentences(abstract) if len(s) > 40]
+        if title:
             pairs.append((title, abstract))
-            for sentence in split_sentences(abstract):
-                if len(sentence) > 40:
-                    pairs.append((title, sentence))
+            pairs.extend((title, s) for s in sentences)
+        pairs.extend(zip(sentences, sentences[1:]))
     return pairs
 
 

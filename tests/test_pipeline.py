@@ -44,7 +44,9 @@ def test_pipeline_rerank_uses_original_query(pipeline, monkeypatch):
         return orig(query, results, top_k=top_k)
 
     monkeypatch.setattr(pipeline.reranker, "rerank", spy)
-    pipeline.query("Tx for DM", top_k=2)
+    # filters={} forces the host orchestration path (the fused device path
+    # embeds the original query directly — same semantics, no rerank() call)
+    pipeline.query("Tx for DM", top_k=2, filters={})
     # reranker gets the ORIGINAL query, not the normalized one (reference :160)
     assert captured["query"] == "Tx for DM"
 
@@ -71,7 +73,9 @@ def test_pipeline_no_reranker(toy_chunks):
 def test_pipeline_stage_timing(pipeline):
     pipeline.query("anything at all", top_k=2)
     summary = pipeline.timer.summary()
-    assert "search" in summary and summary["search"]["count"] >= 1
+    assert "retrieve" in summary and summary["retrieve"]["count"] >= 1
+    pipeline.query("filtered", top_k=2, filters={"source_tag": "even"})
+    assert "search" in pipeline.timer.summary()  # host path stage
 
 
 # ----------------------------------------------------------------- reranker
