@@ -174,11 +174,8 @@ class CrossEncoderModel:
         self.batch_size = batch_size
 
         if checkpoint_path is not None:
-            from domain_rag_system_tpu.models.hf_convert import load_hf_checkpoint
-
-            config, params, vocab = load_hf_checkpoint(checkpoint_path)
-            if tokenizer is None and vocab:
-                tokenizer = WordPieceTokenizer(vocab)
+            config, params, tokenizer = _load_any_checkpoint(
+                checkpoint_path, tokenizer)
         if config is None or params is None or tokenizer is None:
             raise ValueError(
                 "CrossEncoderModel needs checkpoint_path or explicit "

@@ -1,0 +1,166 @@
+"""From-scratch cross-encoder training (pointwise binary relevance).
+
+Makes the ``crossencoder`` reranker kind functional without downloads: the
+Flax :class:`~domain_rag_system_tpu.models.bert.CrossEncoder` is trained on
+(query, passage) pairs with sampled in-batch negatives — positives are
+aligned pairs (title ↔ abstract/sentence), negatives are passages of other
+pairs in the batch — under sigmoid BCE on the relevance logit.
+
+Shares the mesh story of the dual-encoder trainer (batch on ``data``,
+parameters Megatron-partitioned on ``model``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from domain_rag_system_tpu.models.bert import BertConfig, CrossEncoder
+from domain_rag_system_tpu.training.partitioning import partition_params
+from domain_rag_system_tpu.utils import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class CrossTrainState:
+    params: Dict
+    opt_state: optax.OptState
+    step: int = 0
+
+
+def bce_loss(logits: jax.Array, labels: jax.Array) -> Tuple[jax.Array, Dict]:
+    """Sigmoid binary cross-entropy over relevance logits [B]."""
+    loss = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+    accuracy = jnp.mean((logits > 0) == (labels > 0.5))
+    return loss, {"loss": loss, "accuracy": accuracy}
+
+
+def make_cross_train_step(
+    module: CrossEncoder,
+    optimizer: optax.GradientTransformation,
+) -> Callable:
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            logits = module.apply({"params": p}, batch["ids"], batch["mask"],
+                                  batch["types"], deterministic=True)
+            return bce_loss(logits, batch["labels"])
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+class CrossEncoderTrainer:
+    """Pointwise relevance trainer for the cross-encoder."""
+
+    def __init__(
+        self,
+        config: BertConfig,
+        mesh: Optional[Mesh] = None,
+        learning_rate: float = 3e-4,
+        seed: int = 0,
+        warmup_steps: int = 50,
+        total_steps: int = 5_000,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.module = CrossEncoder(config)
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1))
+        self.optimizer = optax.adamw(schedule, weight_decay=0.01)
+        self._seed = seed
+        self._step_fn = None
+        self.state: Optional[CrossTrainState] = None
+
+    def init_state(self, seq_len: int = 128) -> CrossTrainState:
+        rng = jax.random.PRNGKey(self._seed)
+        ids = jnp.zeros((1, seq_len), jnp.int32)
+        mask = jnp.ones((1, seq_len), jnp.int32)
+        params = self.module.init(rng, ids, mask, jnp.zeros_like(ids))["params"]
+        if self.mesh is not None:
+            pspecs = partition_params(params, self.mesh)
+            params = jax.tree_util.tree_map(
+                lambda v, s: jax.device_put(v, NamedSharding(self.mesh, s)),
+                params, pspecs)
+        self.state = CrossTrainState(params, self.optimizer.init(params))
+        return self.state
+
+    def train(self, batches: Iterable[Dict[str, np.ndarray]],
+              log_every: int = 20) -> List[Dict[str, float]]:
+        if self.state is None:
+            self.init_state()
+        if self._step_fn is None:
+            self._step_fn = jax.jit(
+                make_cross_train_step(self.module, self.optimizer))
+        history = []
+        for i, batch in enumerate(batches):
+            if self.mesh is not None:
+                spec = lambda v: NamedSharding(
+                    self.mesh, P("data", *([None] * (v.ndim - 1))))
+                batch = {k: jax.device_put(jnp.asarray(v), spec(jnp.asarray(v)))
+                         for k, v in batch.items()}
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt_state, metrics = self._step_fn(
+                self.state.params, self.state.opt_state, batch)
+            self.state = CrossTrainState(params, opt_state, self.state.step + 1)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            history.append(metrics)
+            if log_every and (i + 1) % log_every == 0:
+                log.info("step %d: loss=%.4f acc=%.3f",
+                         self.state.step, metrics["loss"], metrics["accuracy"])
+        return history
+
+
+def make_relevance_batches(
+    tokenizer,
+    pairs: List[Tuple[str, str]],
+    batch_size: int,
+    seq_len: int = 128,
+    negatives_per_positive: int = 1,
+    epochs: int = 1,
+    seed: int = 0,
+) -> Iterable[Dict[str, np.ndarray]]:
+    """(query, passage) pairs → (pair-encoded ids, binary labels) batches.
+
+    Each positive pair contributes ``negatives_per_positive`` negatives
+    built by pairing the query with another pair's passage.
+    """
+    rng = np.random.default_rng(seed)
+    n_pos = max(batch_size // (1 + negatives_per_positive), 1)
+    for _ in range(epochs):
+        order = rng.permutation(len(pairs))
+        for start in range(0, len(pairs) - n_pos + 1, n_pos):
+            sel = order[start:start + n_pos]
+            queries, passages, labels = [], [], []
+            for i in sel:
+                queries.append(pairs[i][0])
+                passages.append(pairs[i][1])
+                labels.append(1.0)
+                for _ in range(negatives_per_positive):
+                    j = int(rng.integers(0, len(pairs)))
+                    while j == i:
+                        j = int(rng.integers(0, len(pairs)))
+                    queries.append(pairs[i][0])
+                    passages.append(pairs[j][1])
+                    labels.append(0.0)
+            # pad to the full batch size with repeated last row (masked out
+            # by label weighting is unnecessary — BCE on duplicates is fine)
+            while len(queries) < batch_size:
+                queries.append(queries[-1])
+                passages.append(passages[-1])
+                labels.append(labels[-1])
+            ids, mask, types = tokenizer.encode_batch(
+                queries[:batch_size], passages[:batch_size], max_length=seq_len)
+            yield {"ids": ids, "mask": mask, "types": types,
+                   "labels": np.asarray(labels[:batch_size], np.float32)}

@@ -99,3 +99,49 @@ def test_partitioning_rules():
     assert by_path["bert/layer_0/intermediate/kernel"] == P(None, "model")
     assert by_path["bert/layer_0/mlp_output/kernel"] == P("model", None)
     assert by_path["bert/embeddings/word_embeddings/embedding"] == P()
+
+
+def test_cross_encoder_trainer_learns():
+    from domain_rag_system_tpu.training.cross_encoder import (
+        CrossEncoderTrainer, make_relevance_batches)
+
+    tok = train_wordpiece([q + " " + p for q, p in PAIRS], vocab_size=256)
+    config = BertConfig.tiny(vocab_size=len(tok), dropout_rate=0.0,
+                             max_position_embeddings=48)
+    trainer = CrossEncoderTrainer(config, learning_rate=1e-3, warmup_steps=2,
+                                  total_steps=80)
+    trainer.init_state(seq_len=48)
+    batches = list(make_relevance_batches(tok, PAIRS, batch_size=16,
+                                          seq_len=48, negatives_per_positive=1,
+                                          epochs=40))[:60]
+    history = trainer.train(batches, log_every=0)
+    first = np.mean([h["loss"] for h in history[:3]])
+    last = np.mean([h["loss"] for h in history[-3:]])
+    assert last < first * 0.8, (first, last)
+    assert history[-1]["accuracy"] >= 0.7
+
+
+def test_cross_encoder_checkpoint_roundtrip_into_reranker(tmp_path):
+    from domain_rag_system_tpu.models.bert_embedder import CrossEncoderModel
+    from domain_rag_system_tpu.persistence.checkpoints import (
+        save_encoder_checkpoint)
+    from domain_rag_system_tpu.training.cross_encoder import CrossEncoderTrainer
+
+    tok = train_wordpiece([q + " " + p for q, p in PAIRS], vocab_size=128)
+    config = BertConfig.tiny(vocab_size=len(tok), dropout_rate=0.0,
+                             max_position_embeddings=48)
+    trainer = CrossEncoderTrainer(config)
+    trainer.init_state(seq_len=48)
+    save_encoder_checkpoint(tmp_path / "cross", config, trainer.state.params, tok)
+
+    model = CrossEncoderModel(checkpoint_path=str(tmp_path / "cross"),
+                              batch_size=4)
+    scores = model.predict([("what treats diabetes", "metformin treats diabetes"),
+                            ("what treats diabetes", "astronomy of stars")])
+    assert scores.shape == (2,)
+    assert np.isfinite(scores).all()
+
+    # reranker factory now builds a REAL cross-encoder from the checkpoint
+    from domain_rag_system_tpu.reranker import build_reranker
+    rr = build_reranker("crossencoder", cross_checkpoint=str(tmp_path / "cross"))
+    assert type(rr).__name__ == "CrossEncoderReranker"
