@@ -42,14 +42,34 @@ def bce_loss(logits: jax.Array, labels: jax.Array) -> Tuple[jax.Array, Dict]:
     return loss, {"loss": loss, "accuracy": accuracy}
 
 
+def grouped_softmax_loss(
+    logits: jax.Array, group_size: int
+) -> Tuple[jax.Array, Dict]:
+    """Listwise ranking loss: each group is [positive, negatives...]; the
+    positive (slot 0) must win the softmax. Far stronger training signal
+    than pointwise BCE when token embeddings start from scratch."""
+    groups = logits.reshape(-1, group_size)
+    labels = jnp.zeros(groups.shape[0], jnp.int32)
+    loss = jnp.mean(
+        optax.softmax_cross_entropy_with_integer_labels(groups, labels))
+    accuracy = jnp.mean(jnp.argmax(groups, axis=1) == 0)
+    return loss, {"loss": loss, "accuracy": accuracy}
+
+
 def make_cross_train_step(
     module: CrossEncoder,
     optimizer: optax.GradientTransformation,
+    group_size: int = 0,
 ) -> Callable:
+    """``group_size > 0`` → grouped softmax ranking loss (batches laid out
+    as [pos, neg...] groups); 0 → pointwise BCE on ``batch['labels']``."""
+
     def train_step(params, opt_state, batch):
         def loss_fn(p):
             logits = module.apply({"params": p}, batch["ids"], batch["mask"],
                                   batch["types"], deterministic=True)
+            if group_size > 0:
+                return grouped_softmax_loss(logits, group_size)
             return bce_loss(logits, batch["labels"])
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -71,7 +91,9 @@ class CrossEncoderTrainer:
         seed: int = 0,
         warmup_steps: int = 50,
         total_steps: int = 5_000,
+        group_size: int = 0,
     ):
+        self.group_size = group_size
         self.config = config
         self.mesh = mesh
         self.module = CrossEncoder(config)
@@ -101,7 +123,8 @@ class CrossEncoderTrainer:
             self.init_state()
         if self._step_fn is None:
             self._step_fn = jax.jit(
-                make_cross_train_step(self.module, self.optimizer))
+                make_cross_train_step(self.module, self.optimizer,
+                                      self.group_size))
         history = []
         for i, batch in enumerate(batches):
             if self.mesh is not None:
@@ -154,12 +177,13 @@ def make_relevance_batches(
                     queries.append(pairs[i][0])
                     passages.append(pairs[j][1])
                     labels.append(0.0)
-            # pad to the full batch size with repeated last row (masked out
-            # by label weighting is unnecessary — BCE on duplicates is fine)
+            # pad with whole duplicate GROUPS so grouped-softmax layouts
+            # stay aligned (duplicated groups just repeat a valid example)
+            group = 1 + negatives_per_positive
             while len(queries) < batch_size:
-                queries.append(queries[-1])
-                passages.append(passages[-1])
-                labels.append(labels[-1])
+                queries.extend(queries[-group:])
+                passages.extend(passages[-group:])
+                labels.extend(labels[-group:])
             ids, mask, types = tokenizer.encode_batch(
                 queries[:batch_size], passages[:batch_size], max_length=seq_len)
             yield {"ids": ids, "mask": mask, "types": types,

@@ -62,7 +62,8 @@ def main() -> None:
     )
     trainer = CrossEncoderTrainer(config, learning_rate=args.lr,
                                   warmup_steps=max(args.steps // 10, 5),
-                                  total_steps=args.steps)
+                                  total_steps=args.steps,
+                                  group_size=1 + args.negatives)
     trainer.init_state(seq_len=args.seq_len)
     batches = make_relevance_batches(
         tokenizer, pairs, args.batch_size, seq_len=args.seq_len,

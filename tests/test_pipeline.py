@@ -139,3 +139,13 @@ def test_answer_generator_degrades_without_api():
     # either client init failed or the API call failed (no network) —
     # both must degrade to an error-string answer, never raise
     assert out["answer"].startswith("[generation")
+
+
+def test_pipeline_prf_expansion_runs(pipeline):
+    """PRF-expanded batch path returns valid results and can only help or
+    reshuffle — never crash or return empty on a matching query."""
+    out = pipeline.query_batch(["diabetes treatment"], top_k=5,
+                               prf_terms=5, prf_docs=3, prf_alpha=0.6)[0]
+    assert out["num_results"] >= 1
+    ids = [r["chunk_id"] for r in out["results"]]
+    assert "doc2_body" in ids or "doc3_body" in ids

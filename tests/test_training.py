@@ -109,7 +109,7 @@ def test_cross_encoder_trainer_learns():
     config = BertConfig.tiny(vocab_size=len(tok), dropout_rate=0.0,
                              max_position_embeddings=48)
     trainer = CrossEncoderTrainer(config, learning_rate=1e-3, warmup_steps=2,
-                                  total_steps=80)
+                                  total_steps=80, group_size=2)
     trainer.init_state(seq_len=48)
     batches = list(make_relevance_batches(tok, PAIRS, batch_size=16,
                                           seq_len=48, negatives_per_positive=1,
