@@ -1,10 +1,20 @@
-"""From-scratch cross-encoder training (pointwise binary relevance).
+"""Cross-encoder relevance training.
 
 Makes the ``crossencoder`` reranker kind functional without downloads: the
 Flax :class:`~domain_rag_system_tpu.models.bert.CrossEncoder` is trained on
-(query, passage) pairs with sampled in-batch negatives — positives are
-aligned pairs (title ↔ abstract/sentence), negatives are passages of other
-pairs in the batch — under sigmoid BCE on the relevance logit.
+(query, passage) pairs with sampled negatives — positives are aligned pairs
+(title ↔ abstract/sentence), negatives are passages of other pairs.
+
+Two objectives:
+  * grouped softmax (default in the CLI): listwise 1-of-K ranking over
+    [positive, negatives] groups — required from scratch (pointwise
+    training collapses to uniform logits);
+  * pointwise sigmoid BCE (``group_size=0``) — fine-tuning a pretrained
+    trunk.
+
+From-scratch cross-attention still collapses even listwise; initialize the
+trunk from a contrastively trained bi-encoder
+(``scripts/train_cross_encoder.py --init_from``).
 
 Shares the mesh story of the dual-encoder trainer (batch on ``data``,
 parameters Megatron-partitioned on ``model``).

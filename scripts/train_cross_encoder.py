@@ -31,6 +31,8 @@ from domain_rag_system_tpu.training.cross_encoder import (  # noqa: E402
     make_relevance_batches,
 )
 
+import jax  # noqa: E402
+
 from train_encoder import build_pairs  # noqa: E402
 
 
@@ -47,24 +49,47 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--negatives", type=int, default=3)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--init_from", default=None,
+                    help="bi-encoder checkpoint dir to initialize the BERT "
+                         "trunk from (from-scratch cross-attention training "
+                         "collapses to uniform logits; a contrastively "
+                         "pretrained trunk fixes it)")
     args = ap.parse_args()
 
     corpus = json.load(open(args.corpus))
     pairs = build_pairs(corpus)
     print(f"{len(pairs)} relevance pairs")
-    tokenizer = train_wordpiece([t for pair in pairs for t in pair],
-                                vocab_size=args.vocab_size)
-    config = BertConfig(
-        vocab_size=len(tokenizer), hidden_size=args.hidden,
-        num_layers=args.layers, num_heads=args.heads,
-        intermediate_size=args.hidden * 4, dropout_rate=0.1,
-        max_position_embeddings=args.seq_len, dtype="bfloat16",
-    )
+
+    init_trunk = None
+    if args.init_from:
+        from domain_rag_system_tpu.persistence.checkpoints import (
+            load_encoder_checkpoint)
+
+        config, trunk_params, tokenizer = load_encoder_checkpoint(args.init_from)
+        init_trunk = trunk_params["bert"]
+        args.seq_len = min(args.seq_len, config.max_position_embeddings)
+        print(f"initializing trunk from {args.init_from} "
+              f"({config.num_layers}L/{config.hidden_size}H)")
+    else:
+        tokenizer = train_wordpiece([t for pair in pairs for t in pair],
+                                    vocab_size=args.vocab_size)
+        config = BertConfig(
+            vocab_size=len(tokenizer), hidden_size=args.hidden,
+            num_layers=args.layers, num_heads=args.heads,
+            intermediate_size=args.hidden * 4, dropout_rate=0.1,
+            max_position_embeddings=args.seq_len, dtype="bfloat16",
+        )
     trainer = CrossEncoderTrainer(config, learning_rate=args.lr,
                                   warmup_steps=max(args.steps // 10, 5),
                                   total_steps=args.steps,
                                   group_size=1 + args.negatives)
     trainer.init_state(seq_len=args.seq_len)
+    if init_trunk is not None:
+        import jax.numpy as jnp
+
+        params = dict(trainer.state.params)
+        params["bert"] = jax.tree_util.tree_map(jnp.asarray, init_trunk)
+        trainer.state.params = params
     batches = make_relevance_batches(
         tokenizer, pairs, args.batch_size, seq_len=args.seq_len,
         negatives_per_positive=args.negatives, epochs=1000)
