@@ -33,9 +33,33 @@ from domain_rag_system_tpu.training import ContrastiveTrainer  # noqa: E402
 from domain_rag_system_tpu.training.contrastive import make_pair_batches  # noqa: E402
 
 
-def build_pairs(corpus):
-    """Leakage-free alignment pairs: title <-> abstract, title <-> sentence,
-    and adjacent-sentence pairs (local coherence signal)."""
+def build_pairs(corpus, style="title"):
+    """Leakage-free alignment pairs.
+
+    style="title":   title <-> abstract, title <-> sentence, and
+                     adjacent-sentence pairs (document-style queries).
+    style="keyword": sampled informative-term keyword queries <-> passage —
+                     closer to the lexical shape of real search queries
+                     (short, content words only, no document phrasing).
+    """
+    import hashlib
+    import re as _re
+
+    stop = set("the a an and or of in on for with to from by is are was were "
+               "be been this that these those it its as at we our their than "
+               "which who whom has have had can could may might not no".split())
+
+    def keyword_query(text, salt):
+        words = [w for w in _re.findall(r"[A-Za-z][A-Za-z0-9-]+", text)
+                 if w.lower() not in stop and len(w) > 3]
+        if len(words) < 4:
+            return None
+        # deterministic pseudo-random pick seeded by content
+        seed = int(hashlib.md5(f"{salt}|{text[:64]}".encode()).hexdigest()[:8], 16)
+        rng = __import__("random").Random(seed)
+        k = min(rng.randint(3, 6), len(words))
+        return " ".join(rng.sample(words, k))
+
     pairs = []
     for doc in corpus:
         title = (doc.get("title") or "").strip()
@@ -43,10 +67,20 @@ def build_pairs(corpus):
         if not abstract:
             continue
         sentences = [s for s in split_sentences(abstract) if len(s) > 40]
-        if title:
-            pairs.append((title, abstract))
-            pairs.extend((title, s) for s in sentences)
-        pairs.extend(zip(sentences, sentences[1:]))
+        if style == "keyword":
+            for i, passage in enumerate([abstract] + sentences):
+                q = keyword_query(passage, i)
+                if q:
+                    pairs.append((q, passage))
+            if title:
+                q = keyword_query(title + " " + abstract, "t")
+                if q:
+                    pairs.append((q, title))
+        else:
+            if title:
+                pairs.append((title, abstract))
+                pairs.extend((title, s) for s in sentences)
+            pairs.extend(zip(sentences, sentences[1:]))
     return pairs
 
 
@@ -63,10 +97,11 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pair_style", default="title", choices=["title", "keyword"])
     args = ap.parse_args()
 
     corpus = json.load(open(args.corpus))
-    pairs = build_pairs(corpus)
+    pairs = build_pairs(corpus, style=args.pair_style)
     print(f"{len(pairs)} training pairs from {len(corpus)} docs")
 
     texts = [t for pair in pairs for t in pair]

@@ -145,3 +145,32 @@ def test_cross_encoder_checkpoint_roundtrip_into_reranker(tmp_path):
     from domain_rag_system_tpu.reranker import build_reranker
     rr = build_reranker("crossencoder", cross_checkpoint=str(tmp_path / "cross"))
     assert type(rr).__name__ == "CrossEncoderReranker"
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    """Mid-training save/resume: restored trainer continues bit-identically."""
+    from domain_rag_system_tpu.training.checkpointing import (
+        restore_train_state, save_train_state)
+
+    tok = train_wordpiece([q + " " + p for q, p in PAIRS], vocab_size=128)
+    config = BertConfig.tiny(vocab_size=len(tok), dropout_rate=0.0,
+                             max_position_embeddings=32)
+    batches = list(make_pair_batches(tok, PAIRS, batch_size=8, seq_len=32,
+                                     epochs=4))
+
+    trainer = ContrastiveTrainer(config, learning_rate=1e-3, warmup_steps=1,
+                                 total_steps=20)
+    trainer.init_state(seq_len=32)
+    trainer.train(batches[:2], log_every=0)
+    save_train_state(trainer, tmp_path / "ck")
+    after_save = trainer.train(batches[2:4], log_every=0)
+
+    resumed = ContrastiveTrainer(config, learning_rate=1e-3, warmup_steps=1,
+                                 total_steps=20)
+    resumed.init_state(seq_len=32)
+    step = restore_train_state(resumed, tmp_path / "ck")
+    assert step == 2
+    after_restore = resumed.train(batches[2:4], log_every=0)
+    np.testing.assert_allclose(
+        [h["loss"] for h in after_restore],
+        [h["loss"] for h in after_save], rtol=1e-6)
