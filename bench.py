@@ -54,7 +54,15 @@ def main() -> None:
 
     docs = DataLoader(pubmed_path=str(corpus_path)).load_pubmed()
     chunks = DocumentChunker().chunk_documents(docs)
-    embedder = MedicalEmbedder(dim=2048)
+    # Dense encoder: the from-scratch keyword-query-trained domain encoder
+    # when its checkpoint exists (best measured quality), else the
+    # deterministic lexical-hash embedder.
+    kw_ckpt = ROOT / "checkpoints" / "medrag-kw"
+    if kw_ckpt.exists():
+        embedder = MedicalEmbedder(model_name="medrag-kw", backend="bert",
+                                   checkpoint_path=str(kw_ckpt))
+    else:
+        embedder = MedicalEmbedder(dim=2048)
     hybrid = HybridIndex(
         dense_index=DenseIndex(embedder),
         bm25_index=BM25Index(),
@@ -71,7 +79,7 @@ def main() -> None:
     # encoder (models/bert_embedder.py) the rrf+rerank path is preferred.
     pipeline = RetrievalPipeline(hybrid, reranker=None)
     queries = load_queries(queries_path)
-    cfg = dict(fusion_method="weighted", vector_weight=0.1, bm25_weight=0.9)
+    cfg = dict(fusion_method="weighted", vector_weight=0.2, bm25_weight=0.8)
 
     # Warmup: compile every program in the batched path.
     pipeline.query_batch([q["body"] for q in queries[:50]], top_k=10, **cfg)
@@ -95,6 +103,7 @@ def main() -> None:
         "avg_query_latency_ms": round(overall["avg_query_time"] * 1000, 3),
         "index_build_s": round(build_s, 2),
         "n_chunks": len(chunks),
+        "encoder": embedder.backend_name,
         "devices": describe_devices(),
     }
     print(json.dumps(line))
