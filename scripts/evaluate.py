@@ -80,6 +80,8 @@ def main() -> None:
                     choices=list(DATASETS))
     ap.add_argument("--results_dir", default="results")
     ap.add_argument("--fusion_method", default="rrf", choices=["rrf", "weighted"])
+    ap.add_argument("--vector_weight", type=float, default=0.5)
+    ap.add_argument("--bm25_weight", type=float, default=0.5)
     ap.add_argument("--reranker", default="simple",
                     choices=["none", "simple", "crossencoder"])
     ap.add_argument("--rerank_top_n", type=int, default=50)
@@ -118,6 +120,8 @@ def main() -> None:
             pipeline, queries,
             top_k=cfg["top_k"],
             fusion_method=args.fusion_method,
+            vector_weight=args.vector_weight,
+            bm25_weight=args.bm25_weight,
             rerank_top_n=args.rerank_top_n,
             batch_size=args.batch_size,
             dataset=name,
