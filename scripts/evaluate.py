@@ -63,7 +63,10 @@ DATASETS = {
 def build_pipeline_for(corpus_kwargs, args) -> RetrievalPipeline:
     docs = DataLoader(**corpus_kwargs).load_all(missing_ok=True)
     chunks = DocumentChunker().chunk_documents(docs)
-    embedder = MedicalEmbedder(dim=args.embedding_dim)
+    if args.checkpoint:
+        embedder = MedicalEmbedder(backend="bert", checkpoint_path=args.checkpoint)
+    else:
+        embedder = MedicalEmbedder(dim=args.embedding_dim)
     hybrid = HybridIndex(
         dense_index=DenseIndex(embedder),
         bm25_index=BM25Index(),
@@ -86,6 +89,9 @@ def main() -> None:
                     choices=["none", "simple", "crossencoder"])
     ap.add_argument("--rerank_top_n", type=int, default=50)
     ap.add_argument("--embedding_dim", type=int, default=2048)
+    ap.add_argument("--checkpoint", default=None,
+                    help="trained encoder checkpoint dir (e.g. "
+                         "checkpoints/medrag-kw); default: lexical-hash")
     ap.add_argument("--batch_size", type=int, default=32,
                     help="0 = per-query latency mode")
     ap.add_argument("--force", action="store_true",

@@ -93,3 +93,29 @@ def test_weighted_equal_scores_fallback():
     expected = weighted_oracle(ids_a, sc_a, ids_b, sc_b, 3)
     got = [(int(i), float(s)) for i, s in zip(fused_ids, fused_scores) if i >= 0]
     assert [g[0] for g in got] == [e[0] for e in expected]
+
+
+def test_batch_fusion_wrappers_match_single():
+    from domain_rag_system_tpu.ops.fusion import rrf_fuse_batch, weighted_fuse_batch
+
+    ids_a = np.array([[5, 3, 9, -1], [1, 2, 3, 4]], dtype=np.int32)
+    ids_b = np.array([[3, 7, 5, 2], [4, 5, -1, -1]], dtype=np.int32)
+    sc_a = np.array([[0.9, 0.7, 0.2, 0.0], [0.5, 0.4, 0.3, 0.2]], np.float32)
+    sc_b = np.array([[12.0, 8.0, 3.0, 1.0], [2.0, 1.0, 0.0, 0.0]], np.float32)
+
+    b_ids, b_scores = rrf_fuse_batch(jnp.asarray(ids_a), jnp.asarray(ids_b), 4)
+    for row in range(2):
+        s_ids, s_scores = rrf_fuse_device(jnp.asarray(ids_a[row]),
+                                          jnp.asarray(ids_b[row]), 4)
+        np.testing.assert_array_equal(np.asarray(b_ids[row]), np.asarray(s_ids))
+        np.testing.assert_allclose(np.asarray(b_scores[row]),
+                                   np.asarray(s_scores), rtol=1e-6)
+
+    wb_ids, _ = weighted_fuse_batch(
+        jnp.asarray(ids_a), jnp.asarray(sc_a),
+        jnp.asarray(ids_b), jnp.asarray(sc_b), 4, 0.6, 0.4)
+    for row in range(2):
+        ws_ids, _ = weighted_fuse_device(
+            jnp.asarray(ids_a[row]), jnp.asarray(sc_a[row]),
+            jnp.asarray(ids_b[row]), jnp.asarray(sc_b[row]), 4, 0.6, 0.4)
+        np.testing.assert_array_equal(np.asarray(wb_ids[row]), np.asarray(ws_ids))
