@@ -51,6 +51,8 @@ class BM25Index:
         self.max_query_terms = max_query_terms
 
         self.chunks: List[Chunk] = []
+        self._tokenized: List[List[str]] = []
+        self._alive = np.zeros(0, dtype=bool)
         self.vocab: Optional[Vocabulary] = None
         self.doc_terms: Optional[jnp.ndarray] = None     # [N, D] int32 on device
         self.doc_contrib: Optional[jnp.ndarray] = None   # [N, D] f32 on device
@@ -60,28 +62,65 @@ class BM25Index:
 
     # ------------------------------------------------------------------ build
 
-    def index_chunks(self, chunks: Sequence[Chunk], use_native: bool = True) -> None:
-        self.chunks = list(chunks)
-        encoded = None
+    def _tokenize_texts(self, texts: List[str], use_native: bool = True):
+        """→ per-doc token-string lists (native C++ path when available —
+        parity-tested, much faster on this single-core host)."""
         if use_native:
-            # Native (C++) corpus tokenization — same token stream as the
-            # Python tokenizer (parity-tested), ~50× faster on this
-            # single-core host. Falls back silently when unavailable.
             from domain_rag_system_tpu.native import tokenize_corpus_native
 
-            native = tokenize_corpus_native([c.text for c in self.chunks])
+            native = tokenize_corpus_native(texts)
             if native is not None:
                 vocab_terms, docs = native
-                self.vocab = Vocabulary(vocab_terms)
-                encoded = [d.tolist() for d in docs]
-        if encoded is None:
-            tokenized = [self.tokenizer.tokenize(c.text) for c in self.chunks]
-            self.vocab = Vocabulary.build(tokenized)
-            encoded = [self.vocab.encode(toks) for toks in tokenized]
+                return [[vocab_terms[t] for t in d] for d in docs]
+        return [self.tokenizer.tokenize(t) for t in texts]
+
+    def index_chunks(self, chunks: Sequence[Chunk], use_native: bool = True) -> None:
+        self.chunks = list(chunks)
+        self._tokenized = self._tokenize_texts(
+            [c.text for c in self.chunks], use_native)
+        self._alive = np.ones(len(self.chunks), dtype=bool)
+        self._rebuild()
+
+    def add_chunks(self, chunks: Sequence[Chunk], use_native: bool = True) -> None:
+        """Append chunks (IDF/avgdl recomputed over the full corpus —
+        incremental adds are a host-side array rebuild, ~1 s at 91k docs)."""
+        if not self.chunks and self.vocab is None:
+            self.index_chunks(chunks, use_native)
+            return
+        chunks = list(chunks)
+        self.chunks.extend(chunks)
+        self._tokenized.extend(self._tokenize_texts(
+            [c.text for c in chunks], use_native))
+        self._alive = np.concatenate([self._alive,
+                                      np.ones(len(chunks), dtype=bool)])
+        self._rebuild()
+        log.info("BM25 index: +%d chunks → %d", len(chunks), len(self.chunks))
+
+    def delete_chunks(self, chunk_ids: Sequence[str]) -> int:
+        """Remove chunks by id. Rows stay allocated (index alignment) but
+        carry no terms and are excluded from N/df/avgdl statistics."""
+        targets = set(chunk_ids)
+        deleted = 0
+        for i, chunk in enumerate(self.chunks):
+            if chunk.chunk_id in targets and self._alive[i]:
+                self._alive[i] = False
+                deleted += 1
+        if deleted:
+            self._rebuild()
+        log.info("BM25 index: deleted %d chunks", deleted)
+        return deleted
+
+    def _rebuild(self) -> None:
+        """(Re)build vocab + device arrays from the tokenized corpus."""
+        alive_tokens = [toks if self._alive[i] else []
+                        for i, toks in enumerate(self._tokenized)]
+        self.vocab = Vocabulary.build(t for t in alive_tokens if t)
+        encoded = [self.vocab.encode(toks) for toks in alive_tokens]
 
         doc_terms, doc_contrib, idf, stats = build_okapi_arrays(
             encoded, len(self.vocab), k1=self.k1, b=self.b,
             max_doc_terms=self.max_doc_terms,
+            alive=self._alive,
         )
         if self.mesh is not None:
             # Row-shard the doc arrays (pad rows to a shard-divisible count;
@@ -139,6 +178,8 @@ class BM25Index:
         mask = self._filters.mask(filters)
         if mask is not None:
             scores = np.where(mask > 0, scores, -np.inf)
+        if not self._alive.all():
+            scores = np.where(self._alive, scores, -np.inf)
         top = topk_desc(scores, min(top_k, len(self.chunks)))
         results = []
         for idx in top:

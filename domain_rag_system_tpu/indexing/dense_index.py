@@ -115,6 +115,64 @@ class DenseIndex:
         log.info("dense index: %d chunks (padded to %d), dim=%d, distance=%s",
                  self.n_chunks, n_pad, d, self.distance)
 
+    # ------------------------------------------------------------- mutation
+
+    def add_chunks(self, chunks: Sequence[Chunk], batch_size: int = 256) -> None:
+        """Append chunks to the live index (Qdrant-upsert equivalent,
+        reference ``vector_indexer.py:105-163``).
+
+        New rows fill the existing padding; when capacity is exceeded the
+        matrix grows by ``row_block`` multiples (one recompile per growth,
+        not per add).
+        """
+        if self.embeddings is None:
+            self.index_chunks(chunks, batch_size=batch_size)
+            return
+        chunks = list(chunks)
+        normalize = self.distance == "cosine"
+        new_emb = self.embedder.encode([c.text for c in chunks],
+                                       normalize=normalize)
+        old_n = self.n_chunks
+        needed = old_n + len(chunks)
+        emb_host = np.array(self.embeddings, dtype=np.float32)  # writable copy
+        if needed > emb_host.shape[0]:
+            block = self.row_block
+            if self.mesh is not None:
+                shards = self.mesh.shape.get("shard", 1)
+                block = -(-block // shards) * shards
+            n_pad = -(-needed // block) * block
+            grown = np.zeros((n_pad, emb_host.shape[1]), np.float32)
+            grown[:old_n] = emb_host[:old_n]
+            emb_host = grown
+            self._valid = np.zeros(n_pad, dtype=np.uint8)
+            self._valid[:old_n] = 1
+        emb_host[old_n:needed] = new_emb
+        self.embeddings = jnp.asarray(emb_host, dtype=self.dtype)
+        if self.mesh is not None:
+            from domain_rag_system_tpu.parallel.mesh import shard_rows
+
+            self.embeddings = shard_rows(self.embeddings, self.mesh)
+        self.chunks.extend(chunks)
+        self.n_chunks = needed
+        self._valid[old_n:needed] = 1
+        self._filters = FilterSet(self.chunks)
+        log.info("dense index: +%d chunks → %d (capacity %d)",
+                 len(chunks), self.n_chunks, self.embeddings.shape[0])
+
+    def delete_chunks(self, chunk_ids: Sequence[str]) -> int:
+        """Tombstone chunks by id (rows stay allocated, never returned;
+        Qdrant-delete equivalent, reference ``vector_indexer.py:241-249``)."""
+        targets = set(chunk_ids)
+        deleted = 0
+        valid = self._valid.copy()
+        for i, chunk in enumerate(self.chunks):
+            if chunk.chunk_id in targets and valid[i]:
+                valid[i] = 0
+                deleted += 1
+        self._valid = valid
+        log.info("dense index: tombstoned %d chunks", deleted)
+        return deleted
+
     # ------------------------------------------------------------------ query
 
     def _combined_mask(self, filters: Optional[Dict]) -> np.ndarray:

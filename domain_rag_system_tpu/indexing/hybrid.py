@@ -53,6 +53,24 @@ class HybridIndex:
             log.warning("no BM25 index configured")
         log.info("hybrid index built over %d chunks", len(self.chunks))
 
+    def add_chunks_incremental(self, chunks: Sequence[Chunk]) -> None:
+        """Upsert chunks into both live sub-indexes (no full rebuild)."""
+        chunks = list(chunks)
+        self.chunks.extend(chunks)
+        if self.dense_index is not None:
+            self.dense_index.add_chunks(chunks)
+        if self.bm25_index is not None:
+            self.bm25_index.add_chunks(chunks)
+
+    def delete_chunks(self, chunk_ids: Sequence[str]) -> int:
+        """Tombstone chunks in both sub-indexes; returns count removed."""
+        deleted = 0
+        if self.dense_index is not None:
+            deleted = self.dense_index.delete_chunks(chunk_ids)
+        if self.bm25_index is not None:
+            deleted = max(deleted, self.bm25_index.delete_chunks(chunk_ids))
+        return deleted
+
     # ------------------------------------------------------------------ query
 
     def _dense_candidates(self, query: str, k: int, filters) -> tuple:

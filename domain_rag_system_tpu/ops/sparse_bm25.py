@@ -58,6 +58,7 @@ def build_okapi_arrays(
     b: float = 0.75,
     epsilon: float = OKAPI_EPSILON,
     max_doc_terms: int = MAX_DOC_TERMS,
+    alive: "np.ndarray | None" = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Dict[str, float]]:
     """Precompute the doc-major BM25 arrays from an id-encoded corpus.
 
@@ -73,13 +74,20 @@ def build_okapi_arrays(
     Returns:
       (doc_terms [N, D] int32, doc_contrib [N, D] f32, idf [V] f32, stats)
     """
-    n_docs = len(tokenized_corpus)
+    # ``alive`` (tombstone support): dead rows keep their position (index
+    # alignment with the chunk list) but are excluded from N/df/avgdl and
+    # carry no terms. Callers pass dead docs as empty token lists.
+    if alive is None:
+        alive = np.ones(len(tokenized_corpus), dtype=bool)
+    n_docs = int(alive.sum())
     doc_lens = np.array([len(doc) for doc in tokenized_corpus], dtype=np.float64)
-    avgdl = float(doc_lens.mean()) if n_docs else 0.0
+    avgdl = float(doc_lens[alive].mean()) if n_docs else 0.0
 
-    # Document frequency per term.
+    # Document frequency per term (alive docs only).
     df = np.zeros(vocab_size, dtype=np.int64)
-    for doc in tokenized_corpus:
+    for i, doc in enumerate(tokenized_corpus):
+        if not alive[i]:
+            continue
         for tid in set(doc):
             df[tid] += 1
 
@@ -96,11 +104,12 @@ def build_okapi_arrays(
         log.info("floored %d negative-IDF terms to eps*avg_idf=%.4f",
                  int(negative.sum()), epsilon * average_idf)
 
-    doc_terms = np.full((n_docs, max_doc_terms), -1, dtype=np.int32)
-    doc_contrib = np.zeros((n_docs, max_doc_terms), dtype=np.float32)
+    n_rows = len(tokenized_corpus)  # includes tombstoned rows (alignment)
+    doc_terms = np.full((n_rows, max_doc_terms), -1, dtype=np.int32)
+    doc_contrib = np.zeros((n_rows, max_doc_terms), dtype=np.float32)
     overflow = 0
     for i, doc in enumerate(tokenized_corpus):
-        if not doc:
+        if not doc or not alive[i]:
             continue
         tids, tfs = np.unique(np.asarray(doc, dtype=np.int64), return_counts=True)
         denom_norm = k1 * (1.0 - b + b * doc_lens[i] / avgdl)
@@ -116,7 +125,7 @@ def build_okapi_arrays(
         log.warning(
             "%d/%d docs exceeded max_doc_terms=%d — lowest-contribution terms "
             "dropped (raise max_doc_terms for exactness)",
-            overflow, n_docs, max_doc_terms,
+            overflow, n_rows, max_doc_terms,
         )
 
     stats = {

@@ -1,0 +1,71 @@
+"""Incremental index updates: add/delete chunks on live indexes."""
+
+import numpy as np
+
+from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+from domain_rag_system_tpu.models import MedicalEmbedder
+from domain_rag_system_tpu.pipeline import RetrievalPipeline
+from domain_rag_system_tpu.preprocessing import Chunk
+
+
+def _chunk(i, text):
+    return Chunk(f"new{i}", f"newdoc{i}", "pubmed", "abstract", text,
+                 {"section": "abstract"})
+
+
+def test_dense_add_and_delete(toy_chunks):
+    idx = DenseIndex(MedicalEmbedder(dim=256), row_block=8)
+    idx.index_chunks(toy_chunks)
+    assert idx.n_chunks == 12
+
+    idx.add_chunks([_chunk(0, "zanamivir treats influenza virus infections")])
+    assert idx.n_chunks == 13
+    results = idx.search("zanamivir influenza", top_k=3)
+    assert results[0]["chunk_id"] == "new0"
+
+    # growth beyond capacity (12→16 padded; add 5 more → grow)
+    idx.add_chunks([_chunk(i, f"filler text number {i} about nothing") for i in range(1, 6)])
+    assert idx.n_chunks == 18
+    assert idx.embeddings.shape[0] >= 18
+
+    assert idx.delete_chunks(["new0"]) == 1
+    results = idx.search("zanamivir influenza", top_k=3)
+    assert all(r["chunk_id"] != "new0" for r in results)
+    # idempotent delete
+    assert idx.delete_chunks(["new0"]) == 0
+
+
+def test_bm25_add_and_delete(toy_chunks):
+    idx = BM25Index()
+    idx.index_chunks(toy_chunks)
+    n0 = idx.get_stats()["num_documents"]
+
+    idx.add_chunks([_chunk(0, "zanamivir treats influenza virus infections")])
+    results = idx.search("zanamivir influenza", top_k=3)
+    assert results[0]["chunk_id"] == "new0"
+    # new vocabulary terms exist
+    assert "zanamivir" in idx.vocab.term_to_id
+
+    assert idx.delete_chunks(["new0"]) == 1
+    results = idx.search("zanamivir influenza", top_k=3)
+    assert all(r["chunk_id"] != "new0" for r in results)
+    # stats reflect the alive corpus only
+    # (df of 'zanamivir' gone; avgdl recomputed)
+    assert "zanamivir" not in idx.vocab.term_to_id
+
+
+def test_hybrid_add_delete_through_pipeline(toy_chunks):
+    emb = MedicalEmbedder(dim=256)
+    h = HybridIndex(dense_index=DenseIndex(emb, row_block=8),
+                    bm25_index=BM25Index())
+    h.index_chunks(toy_chunks)
+    p = RetrievalPipeline(h)
+
+    new = [_chunk(0, "zanamivir treats influenza virus infections")]
+    h.add_chunks_incremental(new)
+    out = p.query("zanamivir for influenza", top_k=3)
+    assert out["results"][0]["chunk_id"] == "new0"
+
+    h.delete_chunks(["new0"])
+    out = p.query("zanamivir for influenza", top_k=3)
+    assert all(r["chunk_id"] != "new0" for r in out["results"])
