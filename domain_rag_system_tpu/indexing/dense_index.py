@@ -41,7 +41,7 @@ class DenseIndex:
         collection_name: str = "medical_rag",
         distance: str = "cosine",
         row_block: int = 1024,
-        dtype: str = "float32",
+        dtype: str = "float32",     # "float32" | "bfloat16" | "int8"
         mesh=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``"shard"`` axis —
@@ -55,8 +55,10 @@ class DenseIndex:
         self.collection_name = collection_name
         self.distance = distance
         self.row_block = row_block
+        self.quantize = dtype == "int8"
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self.mesh = mesh
+        self.row_scale = None  # [N_pad] f32 dequant scales (int8 mode)
 
         self.chunks: List[Chunk] = []
         self.embeddings: Optional[jnp.ndarray] = None  # [N_pad, d] device
@@ -99,11 +101,23 @@ class DenseIndex:
         d = emb.shape[1] if emb.size else self.embedder.embedding_dim
         padded = np.zeros((n_pad, d), dtype=np.float32)
         padded[: self.n_chunks] = emb
-        self.embeddings = jnp.asarray(padded, dtype=self.dtype)
+        if self.quantize:
+            # int8 symmetric per-row quantization: 4x less HBM per corpus
+            # row; scores rescale per row after the matmul (ops/dense_topk).
+            from domain_rag_system_tpu.ops.dense_topk import quantize_rows_int8
+
+            q, scale = quantize_rows_int8(padded)
+            self.embeddings = jnp.asarray(q)
+            self.row_scale = jnp.asarray(scale)
+        else:
+            self.embeddings = jnp.asarray(padded, dtype=self.dtype)
+            self.row_scale = None
         if self.mesh is not None:
             from domain_rag_system_tpu.parallel.mesh import shard_rows
 
             self.embeddings = shard_rows(self.embeddings, self.mesh)
+            if self.row_scale is not None:
+                self.row_scale = shard_rows(self.row_scale, self.mesh)
         if self.distance == "euclid":
             self._row_norms_sq = jnp.sum(
                 jnp.asarray(padded, jnp.float32) ** 2, axis=1
@@ -134,7 +148,12 @@ class DenseIndex:
                                        normalize=normalize)
         old_n = self.n_chunks
         needed = old_n + len(chunks)
-        emb_host = np.array(self.embeddings, dtype=np.float32)  # writable copy
+        if self.quantize:
+            # dequantize to host f32, mutate, re-quantize below
+            emb_host = (np.array(self.embeddings, dtype=np.float32)
+                        * np.asarray(self.row_scale)[:, None])
+        else:
+            emb_host = np.array(self.embeddings, dtype=np.float32)  # writable copy
         if needed > emb_host.shape[0]:
             block = self.row_block
             if self.mesh is not None:
@@ -147,11 +166,20 @@ class DenseIndex:
             self._valid = np.zeros(n_pad, dtype=np.uint8)
             self._valid[:old_n] = 1
         emb_host[old_n:needed] = new_emb
-        self.embeddings = jnp.asarray(emb_host, dtype=self.dtype)
+        if self.quantize:
+            from domain_rag_system_tpu.ops.dense_topk import quantize_rows_int8
+
+            q8, scale = quantize_rows_int8(emb_host)
+            self.embeddings = jnp.asarray(q8)
+            self.row_scale = jnp.asarray(scale)
+        else:
+            self.embeddings = jnp.asarray(emb_host, dtype=self.dtype)
         if self.mesh is not None:
             from domain_rag_system_tpu.parallel.mesh import shard_rows
 
             self.embeddings = shard_rows(self.embeddings, self.mesh)
+            if self.row_scale is not None:
+                self.row_scale = shard_rows(self.row_scale, self.mesh)
         self.chunks.extend(chunks)
         self.n_chunks = needed
         self._valid[old_n:needed] = 1
@@ -201,6 +229,7 @@ class DenseIndex:
             self.embeddings,
             k,
             mask=jnp.asarray(mask),
+            row_scale=self.row_scale,
         )
         scores = np.asarray(scores, dtype=np.float32)
         idx = np.asarray(idx)

@@ -105,20 +105,40 @@ def pallas_masked_scores(
 @functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
 def cosine_topk(
     queries: jax.Array,                 # [B, d]
-    embeddings: jax.Array,              # [N, d]
+    embeddings: jax.Array,              # [N, d] f32/bf16 or int8 (quantized)
     k: int,
     mask: Optional[jax.Array] = None,   # [N] nonzero = keep
+    row_scale: Optional[jax.Array] = None,  # [N] dequant scales for int8 rows
     use_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k (scores [B, k], indices [B, k]) by similarity, optionally masked.
 
-    Ties break toward the lower index (lax.top_k semantics), which matches
-    the reference's stable argsort ordering.
+    int8 corpora: rows are symmetric-quantized (``row_scale`` = max|x|/127);
+    HBM reads stay int8 — the convert-to-f32 fuses into the matmul operand
+    read — and scores are rescaled per row after the dot. Ties break toward
+    the lower index (lax.top_k semantics), matching the reference's stable
+    argsort ordering.
     """
-    if use_pallas and mask is not None:
+    if embeddings.dtype == jnp.int8:
+        scores = dense_scores(queries.astype(jnp.float32),
+                              embeddings.astype(jnp.float32))
+        scores = scores * row_scale.reshape(1, -1)
+        if mask is not None:
+            scores = jnp.where(mask.reshape(1, -1) > 0, scores, NEG_INF)
+    elif use_pallas and mask is not None:
         scores = pallas_masked_scores(queries, embeddings, mask)
     else:
         scores = dense_scores(queries, embeddings)
         if mask is not None:
             scores = jnp.where(mask.reshape(1, -1) > 0, scores, NEG_INF)
     return lax_topk(scores, k)
+
+
+def quantize_rows_int8(emb: "jax.Array | None"):
+    """Symmetric per-row int8 quantization → (int8 rows, f32 scales)."""
+    import numpy as np
+
+    emb = np.asarray(emb, dtype=np.float32)
+    scale = np.maximum(np.abs(emb).max(axis=1), 1e-12) / 127.0
+    q = np.clip(np.round(emb / scale[:, None]), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)

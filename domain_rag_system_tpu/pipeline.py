@@ -38,10 +38,11 @@ log = get_logger(__name__)
 
 @functools.partial(jax.jit, static_argnames=("top_n",))
 def _device_cosine_rerank(
-    embeddings: jax.Array,  # [N_pad, d] L2-normalized corpus matrix
+    embeddings: jax.Array,  # [N_pad, d] corpus matrix (f32/bf16 or int8)
     q_emb: jax.Array,       # [B, d]   L2-normalized ORIGINAL-query embeddings
     cand_idx: jax.Array,    # [B, K] int32 fused candidate rows, -1 padded
     top_n: int,
+    row_scale=None,         # [N_pad] dequant scales when embeddings are int8
 ) -> jax.Array:
     """Cosine rerank scores for fused candidates via embedding-table lookup.
 
@@ -55,6 +56,8 @@ def _device_cosine_rerank(
     cand_emb = jnp.take(embeddings, safe_idx, axis=0)          # [B, K, d]
     scores = jnp.einsum("bkd,bd->bk", cand_emb.astype(jnp.float32),
                         q_emb.astype(jnp.float32))
+    if row_scale is not None:
+        scores = scores * jnp.take(row_scale, safe_idx, axis=0)
     in_pool = (jnp.arange(cand_idx.shape[1])[None, :] < top_n) & (cand_idx >= 0)
     return jnp.where(in_pool, scores, -1e30)
 
@@ -72,6 +75,7 @@ def _fused_batch_retrieval(
     q_ids,         # [B, L] BM25 term ids (or [B, 1])
     q_w,           # [B, L]
     q_orig_emb,    # [B, d] ORIGINAL-query embeddings for rerank (or [B, 1])
+    row_scale,     # [N_pad] int8 dequant scales or scalar 0.0 placeholder
     vector_weight,   # traced scalar — not static, so weight sweeps don't recompile
     bm25_weight,     # traced scalar
     *,
@@ -96,9 +100,11 @@ def _fused_batch_retrieval(
     """
     b = q_ids.shape[0] if has_sparse else q_emb.shape[0]
 
+    has_scale = row_scale is not None and getattr(row_scale, "ndim", 0) == 1
     if has_dense:
         k_d = min(over_k, embeddings.shape[0])
-        sc_d, idx_d = cosine_topk(q_emb, embeddings, k_d, mask=valid_mask)
+        sc_d, idx_d = cosine_topk(q_emb, embeddings, k_d, mask=valid_mask,
+                                  row_scale=row_scale if has_scale else None)
         ids_d = jnp.where(sc_d <= -1e29, -1, idx_d).astype(jnp.int32)
     else:
         ids_d = jnp.full((b, 1), -1, jnp.int32)
@@ -133,7 +139,8 @@ def _fused_batch_retrieval(
 
     if use_rerank and has_dense:
         rerank_scores = _device_cosine_rerank(
-            embeddings, q_orig_emb, fused_ids, rerank_top_n)
+            embeddings, q_orig_emb, fused_ids, rerank_top_n,
+            row_scale=row_scale if has_scale else None)
     else:
         rerank_scores = jnp.zeros_like(fused_scores)
     return fused_ids, fused_scores, rerank_scores
@@ -265,14 +272,16 @@ class RetrievalPipeline:
         b = len(queries)
         with self.timer.stage("encode"):
             if has_dense:
+                q_dtype = (jnp.float32 if dense.embeddings.dtype == jnp.int8
+                           else dense.embeddings.dtype)
                 q_emb = jnp.asarray(
                     dense.embedder.encode(search_queries, normalize=True),
-                    dense.embeddings.dtype)
+                    q_dtype)
                 q_orig_emb = (
                     q_emb if not use_device_rerank
                     else jnp.asarray(dense.embedder.encode(list(queries),
                                                            normalize=True),
-                                     dense.embeddings.dtype))
+                                     q_dtype))
             else:
                 q_emb = q_orig_emb = jnp.zeros((b, 1), jnp.float32)
             if has_sparse:
@@ -290,6 +299,8 @@ class RetrievalPipeline:
                 sparse.doc_terms if has_sparse else jnp.full((1, 1), -1, jnp.int32),
                 sparse.doc_contrib if has_sparse else jnp.zeros((1, 1), jnp.float32),
                 q_emb, q_ids, q_w, q_orig_emb,
+                (dense.row_scale if has_dense and dense.row_scale is not None
+                 else jnp.zeros((), jnp.float32)),
                 over_k=over_k, fetch_k=fetch_k, fusion_method=fusion_method,
                 vector_weight=vector_weight, bm25_weight=bm25_weight,
                 rerank_top_n=(self.reranker.top_n if use_device_rerank else 0),

@@ -100,3 +100,39 @@ def test_pallas_masked_scores_matches_xla():
     except Exception as exc:  # pallas unsupported on this backend
         pytest.skip(f"pallas unavailable: {exc}")
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_quantized_index_matches_f32_ranking(toy_chunks):
+    emb = MedicalEmbedder(dim=512)
+    f32 = DenseIndex(emb, row_block=8)
+    f32.index_chunks(toy_chunks)
+    q8 = DenseIndex(emb, row_block=8, dtype="int8")
+    q8.index_chunks(toy_chunks)
+    assert q8.embeddings.dtype.name == "int8"
+
+    for query in ["diabetes insulin treatment", "pain relief", "cholesterol"]:
+        _, idx_f = f32.search_batch([query], top_k=5)
+        _, idx_q = q8.search_batch([query], top_k=5)
+        # int8 quantization noise may swap distant ties; top-3 must agree
+        np.testing.assert_array_equal(idx_f[0][:3], idx_q[0][:3])
+
+    # scores close to f32
+    s_f, _ = f32.search_batch(["diabetes"], top_k=3)
+    s_q, _ = q8.search_batch(["diabetes"], top_k=3)
+    np.testing.assert_allclose(s_q, s_f, atol=0.02)
+
+
+def test_int8_through_fused_pipeline(toy_chunks):
+    from domain_rag_system_tpu.indexing import BM25Index, HybridIndex
+    from domain_rag_system_tpu.pipeline import RetrievalPipeline
+    from domain_rag_system_tpu.reranker import SimpleSimilarityReranker
+
+    emb = MedicalEmbedder(dim=512)
+    h = HybridIndex(dense_index=DenseIndex(emb, row_block=8, dtype="int8"),
+                    bm25_index=BM25Index())
+    h.index_chunks(toy_chunks)
+    p = RetrievalPipeline(h, reranker=SimpleSimilarityReranker(embedder=emb,
+                                                               top_n=8))
+    out = p.query("treatment for diabetes", top_k=3)
+    assert out["num_results"] == 3
+    assert "diabetes" in out["results"][0]["text"]
