@@ -81,12 +81,21 @@ class BM25Index:
         self._alive = np.ones(len(self.chunks), dtype=bool)
         self._rebuild()
 
+    def _ensure_tokenized(self, use_native: bool = True) -> None:
+        """Bundle-loaded indexes carry arrays but not the tokenized corpus;
+        re-tokenize on first mutation (deterministic, parity-tested)."""
+        if not self._tokenized and self.chunks:
+            self._tokenized = self._tokenize_texts(
+                [c.text for c in self.chunks], use_native)
+            self._alive = np.ones(len(self.chunks), dtype=bool)
+
     def add_chunks(self, chunks: Sequence[Chunk], use_native: bool = True) -> None:
         """Append chunks (IDF/avgdl recomputed over the full corpus —
         incremental adds are a host-side array rebuild, ~1 s at 91k docs)."""
         if not self.chunks and self.vocab is None:
             self.index_chunks(chunks, use_native)
             return
+        self._ensure_tokenized(use_native)
         chunks = list(chunks)
         self.chunks.extend(chunks)
         self._tokenized.extend(self._tokenize_texts(
@@ -99,6 +108,7 @@ class BM25Index:
     def delete_chunks(self, chunk_ids: Sequence[str]) -> int:
         """Remove chunks by id. Rows stay allocated (index alignment) but
         carry no terms and are excluded from N/df/avgdl statistics."""
+        self._ensure_tokenized()
         targets = set(chunk_ids)
         deleted = 0
         for i, chunk in enumerate(self.chunks):

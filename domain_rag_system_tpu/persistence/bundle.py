@@ -70,9 +70,15 @@ def save_index(hybrid: HybridIndex, out_dir, extra_manifest: Optional[Dict] = No
 
     dense = hybrid.dense_index
     if dense is not None and dense.embeddings is not None:
-        arrays = {
-            "embeddings": np.asarray(dense.embeddings, dtype=np.float32)[: dense.n_chunks],
-        }
+        if dense.quantize:
+            arrays = {
+                "embeddings_int8": np.asarray(dense.embeddings)[: dense.n_chunks],
+                "row_scale": np.asarray(dense.row_scale)[: dense.n_chunks],
+            }
+        else:
+            arrays = {
+                "embeddings": np.asarray(dense.embeddings, dtype=np.float32)[: dense.n_chunks],
+            }
         embedder_state = {}
         impl = getattr(dense.embedder, "_impl", dense.embedder)
         if hasattr(impl, "state_arrays"):
@@ -83,6 +89,7 @@ def save_index(hybrid: HybridIndex, out_dir, extra_manifest: Optional[Dict] = No
             "distance": dense.distance,
             "collection_name": dense.collection_name,
             "row_block": dense.row_block,
+            "quantized": dense.quantize,
             "embedder": dense.embedder.get_model_info(),
         }
 
@@ -137,8 +144,17 @@ def load_index(bundle_dir) -> HybridIndex:
             collection_name=dcfg.get("collection_name", "medical_rag"),
             distance=dcfg.get("distance", "cosine"),
             row_block=dcfg.get("row_block", 1024),
+            dtype="int8" if dcfg.get("quantized") else "float32",
         )
-        dense_index.index_chunks(chunks, precomputed=data["embeddings"])
+        if dcfg.get("quantized"):
+            # reload the quantized rows directly (dequantize for the
+            # precomputed path; index_chunks re-quantizes losslessly since
+            # values are exact multiples of the scales)
+            dequant = (data["embeddings_int8"].astype(np.float32)
+                       * data["row_scale"][:, None])
+            dense_index.index_chunks(chunks, precomputed=dequant)
+        else:
+            dense_index.index_chunks(chunks, precomputed=data["embeddings"])
 
     bm25_index = None
     if manifest.get("has_bm25") and (root / "bm25.npz").exists():

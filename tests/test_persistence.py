@@ -57,3 +57,34 @@ def test_loaded_index_supports_filters(tmp_path, toy_chunks):
     results = loaded.search("pain", top_k=4, filters={"source_tag": "odd"})
     assert results
     assert all(r["metadata"]["source_tag"] == "odd" for r in results)
+
+
+def test_bundle_round_trip_int8(tmp_path, toy_chunks):
+    hybrid = HybridIndex(
+        dense_index=DenseIndex(MedicalEmbedder(dim=256), row_block=8,
+                               dtype="int8"),
+        bm25_index=BM25Index(),
+    )
+    hybrid.index_chunks(toy_chunks)
+    before = hybrid.search("diabetes treatment", top_k=5)
+    save_index(hybrid, tmp_path / "idx8")
+    loaded = load_index(tmp_path / "idx8")
+    assert loaded.dense_index.embeddings.dtype.name == "int8"
+    after = loaded.search("diabetes treatment", top_k=5)
+    assert [r["chunk_id"] for r in after] == [r["chunk_id"] for r in before]
+    np.testing.assert_allclose([r["score"] for r in after],
+                               [r["score"] for r in before], rtol=1e-5)
+
+
+def test_loaded_bundle_supports_incremental_updates(tmp_path, toy_chunks):
+    from domain_rag_system_tpu.preprocessing import Chunk
+
+    hybrid = HybridIndex(bm25_index=BM25Index())
+    hybrid.index_chunks(toy_chunks)
+    save_index(hybrid, tmp_path / "idx")
+    loaded = load_index(tmp_path / "idx")
+    loaded.bm25_index.add_chunks([Chunk("new0", "nd0", "pubmed", "abstract",
+                                        "zanamivir treats influenza", {})])
+    r = loaded.bm25_index.search("zanamivir", top_k=2)
+    assert r and r[0]["chunk_id"] == "new0"
+    assert loaded.bm25_index.delete_chunks(["new0"]) == 1
