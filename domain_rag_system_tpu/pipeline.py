@@ -309,10 +309,12 @@ class RetrievalPipeline:
                 use_rerank=use_device_rerank,
                 prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
             )
-            fused_ids_np = np.asarray(fused_ids_dev)
-            fused_scores_np = np.asarray(fused_scores_dev)
+            # one consolidated device→host pull (each separate np.asarray
+            # costs a tunnel round trip — measurable at B=1)
+            fused_ids_np, fused_scores_np, rerank_np = jax.device_get(
+                (fused_ids_dev, fused_scores_dev, rerank_dev))
             fused = [(fused_ids_np[i], fused_scores_np[i]) for i in range(b)]
-            device_rerank_scores = np.asarray(rerank_dev) if use_device_rerank else None
+            device_rerank_scores = rerank_np if use_device_rerank else None
 
         outputs = []
         for b, query in enumerate(queries):

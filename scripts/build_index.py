@@ -44,6 +44,11 @@ def main() -> None:
                     help="lexical-hash | HF model name (needs local checkpoint)")
     ap.add_argument("--embedding_dim", type=int, default=2048,
                     help="dimension for the lexical-hash embedder")
+    ap.add_argument("--checkpoint", default=None,
+                    help="trained encoder checkpoint dir (overrides "
+                         "--embedding_model)")
+    ap.add_argument("--dense_dtype", default="float32",
+                    choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--collection_name", default="medical_rag")
     ap.add_argument("--distance_metric", default="cosine",
@@ -56,11 +61,17 @@ def main() -> None:
     chunks = load_chunks(args.chunks_path)
     print(f"Loaded {len(chunks)} chunks from {args.chunks_path}")
 
-    embedder = MedicalEmbedder(
-        model_name=args.embedding_model,
-        dim=args.embedding_dim,
-        batch_size=args.batch_size,
-    )
+    if args.checkpoint:
+        embedder = MedicalEmbedder(model_name=args.embedding_model,
+                                   backend="bert",
+                                   checkpoint_path=args.checkpoint,
+                                   batch_size=args.batch_size)
+    else:
+        embedder = MedicalEmbedder(
+            model_name=args.embedding_model,
+            dim=args.embedding_dim,
+            batch_size=args.batch_size,
+        )
 
     # Drug-mapping-aware tokenizer parity: the reference injects the mapping
     # into the BM25 normalizer (build_index.py:52-61); here the mapping only
@@ -73,6 +84,7 @@ def main() -> None:
             embedder,
             collection_name=args.collection_name,
             distance=args.distance_metric,
+            dtype=args.dense_dtype,
         ),
         bm25_index=BM25Index(k1=args.bm25_k1, b=args.bm25_b, tokenizer=tokenizer),
     )

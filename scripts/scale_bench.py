@@ -80,6 +80,8 @@ def main() -> None:
     ap.add_argument("--n_chunks", type=int, default=91853)
     ap.add_argument("--batch_size", type=int, default=50)
     ap.add_argument("--embedding_dim", type=int, default=2048)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16", "int8"])
     args = ap.parse_args()
 
     root = Path(__file__).resolve().parent.parent
@@ -92,7 +94,7 @@ def main() -> None:
     queries = load_queries(root / "data/recovered/BioASQ/bioasq_queries.json")
 
     embedder = MedicalEmbedder(dim=args.embedding_dim)
-    hybrid = HybridIndex(dense_index=DenseIndex(embedder),
+    hybrid = HybridIndex(dense_index=DenseIndex(embedder, dtype=args.dtype),
                          bm25_index=BM25Index())
     t0 = time.perf_counter()
     hybrid.index_chunks(chunks)
@@ -115,6 +117,7 @@ def main() -> None:
         "mrr": round(o["mrr"], 4),
         "index_build_s": round(build_s, 2),
         "avg_query_latency_ms": round(o["avg_query_time"] * 1000, 3),
+        "dense_dtype": args.dtype,
         "devices": describe_devices(),
     }))
 
