@@ -102,6 +102,12 @@ class BertEmbedder:
         # position embedding out of range (garbage embeddings, not an
         # error) — clamp the usable length to the model's limit.
         self.max_length = min(self.max_length, config.max_position_embeddings)
+        # Native (C++) WordPiece encoder for single-text batches: exact
+        # parity with the Python tokenizer (tests), ~10x faster on this
+        # single-core host. None → Python fallback.
+        from domain_rag_system_tpu.native import make_native_wordpiece
+
+        self._native_wp = make_native_wordpiece(self.tokenizer.vocab)
 
     @property
     def embedding_dim(self) -> int:
@@ -123,7 +129,8 @@ class BertEmbedder:
         for start in range(0, len(texts), self.batch_size):
             sel = order[start:start + self.batch_size]
             batch = [texts[i] for i in sel]
-            ids, mask, types = self.tokenizer.encode_batch(
+            encoder = self._native_wp or self.tokenizer
+            ids, mask, types = encoder.encode_batch(
                 batch, max_length=self._bucket_for(batch))
             # Pad the batch dimension to the full batch size (static shapes).
             pad = self.batch_size - ids.shape[0]

@@ -117,3 +117,59 @@ def tokenize_corpus_native(
         return vocab, docs
     finally:
         lib.drs_free(handle)
+
+
+class NativeWordPiece:
+    """C++ greedy WordPiece encoder (drs_wordpiece_* entry points).
+
+    Construction fails (returns None from :func:`make_native_wordpiece`) when
+    the native library is unavailable; parity with the Python tokenizer is
+    asserted by tests over the recovered corpora.
+    """
+
+    def __init__(self, lib: ctypes.CDLL, vocab: List[str]):
+        self._lib = lib
+        blob = "\n".join(vocab).encode("utf-8")
+        self._handle = lib.drs_wordpiece_create(blob)
+
+    def encode_batch(self, texts: List[str], max_length: int):
+        encoded = [t.encode("utf-8") for t in texts]
+        buf = b"".join(encoded)
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in encoded], out=offsets[1:])
+        ids = np.zeros((len(texts), max_length), dtype=np.int32)
+        mask = np.zeros((len(texts), max_length), dtype=np.int32)
+        self._lib.drs_wordpiece_encode(
+            self._handle, buf,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(texts), max_length,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        types = np.zeros_like(ids)
+        return ids, mask, types
+
+    def __del__(self):
+        try:
+            self._lib.drs_wordpiece_free(self._handle)
+        except Exception:
+            pass
+
+
+def make_native_wordpiece(vocab: List[str]) -> "NativeWordPiece | None":
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        lib.drs_wordpiece_create.restype = ctypes.c_void_p
+        lib.drs_wordpiece_create.argtypes = [ctypes.c_char_p]
+        lib.drs_wordpiece_encode.restype = None
+        lib.drs_wordpiece_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.drs_wordpiece_free.restype = None
+        lib.drs_wordpiece_free.argtypes = [ctypes.c_void_p]
+        return NativeWordPiece(lib, vocab)
+    except Exception as exc:
+        log.warning("native wordpiece unavailable: %s", exc)
+        return None

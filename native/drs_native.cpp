@@ -252,3 +252,181 @@ void drs_copy_tokens(void* handle, int32_t* out_ids, int64_t* out_offsets) {
 void drs_free(void* handle) { delete static_cast<Corpus*>(handle); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// WordPiece encoding (greedy longest-match-first), matching the Python
+// WordPieceTokenizer: BERT basic tokenization (lowercase via lower_cp, NFD
+// diacritic folding for Latin-1/Ext-A, punctuation isolation) then greedy
+// wordpiece with '##' continuations. Used for corpus encoding with trained
+// encoders — the host-side bottleneck of BERT index builds.
+
+namespace {
+
+struct WordPiece {
+  std::unordered_set<std::string> vocab;
+  std::unordered_map<std::string, int32_t> ids;
+  int32_t unk_id = 0, cls_id = 0, sep_id = 0, pad_id = 0;
+  size_t max_chars = 100;
+};
+
+// Fold Latin-1 / Latin-Ext-A letters to their base ASCII letter (NFD strip).
+inline uint32_t fold_diacritic(uint32_t cp) {
+  if (cp >= 0xC0 && cp <= 0xFF) {
+    static const char* map =
+        // 0xC0..0xFF lowercase-folded base letters ('?' = keep)
+        "aaaaaa?ceeeeiiii"   // C0-CF (Æ,Ð kept)
+        "?nooooo?ouuuuy??"   // D0-DF (×,Ø,Þ,ß kept)
+        "aaaaaa?ceeeeiiii"   // E0-EF
+        "?nooooo?ouuuuy?y";  // F0-FF
+    char c = map[cp - 0xC0];
+    if (c != '?') return static_cast<uint32_t>(c);
+  }
+  if (cp >= 0x100 && cp <= 0x17F) {
+    switch (cp) {  // Ext-A letters with NO canonical decomposition stay as-is
+      case 0x110: case 0x111: case 0x126: case 0x127: case 0x131:
+      case 0x138: case 0x141: case 0x142: case 0x14A: case 0x14B:
+      case 0x152: case 0x153: case 0x166: case 0x167: case 0x17F:
+        return cp;
+    }
+    // Latin Extended-A: base letter cycles; approximate via pairs table
+    static const char* base =
+        "aaaaaaccccccccddddeeeeeeeeeegggggggghhhhiiiiiiiiii"
+        "jjkkklllllllllnnnnnnnnnoooooooorrrrrrsssssssstttttt"
+        "uuuuuuuuuuuuwwyyyzzzzzz?";
+    size_t idx = (cp - 0x100) / 2 * 2 + ((cp - 0x100) & 1);
+    if (idx < strlen(base) && base[idx] != '?')
+      return static_cast<uint32_t>(base[idx]);
+  }
+  return cp;
+}
+
+// Python's BERT basic tokenization splits on category-P punctuation ONLY —
+// symbols (™ ° ±, category S) stay inside words. Match that.
+inline bool is_punct_cp(uint32_t cp) {
+  if ((cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126)) return true;
+  switch (cp) {  // Latin-1 Po/Pi/Pf
+    case 0xA1: case 0xA7: case 0xAB: case 0xB6: case 0xB7: case 0xBB:
+    case 0xBF: return true;
+  }
+  if (cp >= 0x2010 && cp <= 0x2027) return true;   // dashes, quotes, ellipsis
+  if (cp >= 0x2030 && cp <= 0x205E) return true;   // permille, daggers, ...
+  if (cp >= 0x3001 && cp <= 0x3011) return true;   // CJK punctuation
+  if (cp >= 0xFF01 && cp <= 0xFF0F) return true;   // fullwidth punct
+  if (cp >= 0xFF1A && cp <= 0xFF20) return true;
+  if (cp >= 0xFF3B && cp <= 0xFF40) return true;
+  if (cp >= 0xFF5B && cp <= 0xFF65) return true;
+  return false;
+}
+
+// Python str.isspace() codepoints that occur in practice.
+inline bool is_space_cp(uint32_t cp) {
+  if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+      cp == '\f' || cp == '\v') return true;
+  if (cp == 0x85 || cp == 0xA0 || cp == 0x1680) return true;
+  if (cp >= 0x2000 && cp <= 0x200A) return true;
+  return cp == 0x2028 || cp == 0x2029 || cp == 0x202F ||
+         cp == 0x205F || cp == 0x3000;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* drs_wordpiece_create(const char* vocab_blob) {
+  auto* wp = new WordPiece();
+  const char* p = vocab_blob;
+  int32_t id = 0;
+  while (*p) {
+    const char* e = strchr(p, '\n');
+    size_t len = e ? static_cast<size_t>(e - p) : strlen(p);
+    std::string tok(p, len);
+    wp->vocab.insert(tok);
+    wp->ids.emplace(tok, id);
+    if (tok == "[UNK]") wp->unk_id = id;
+    else if (tok == "[CLS]") wp->cls_id = id;
+    else if (tok == "[SEP]") wp->sep_id = id;
+    else if (tok == "[PAD]") wp->pad_id = id;
+    ++id;
+    if (!e) break;
+    p = e + 1;
+  }
+  return wp;
+}
+
+// Encode documents into [n_docs, max_length] ids + attention mask.
+void drs_wordpiece_encode(void* handle, const char* buf,
+                          const int64_t* offsets, int64_t n_docs,
+                          int32_t max_length, int32_t* out_ids,
+                          int32_t* out_mask) {
+  auto* wp = static_cast<WordPiece*>(handle);
+  std::string word;
+  std::vector<int32_t> pieces;
+
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const char* start = buf + offsets[d];
+    const char* end = buf + offsets[d + 1];
+    int32_t* ids = out_ids + d * max_length;
+    int32_t* mask = out_mask + d * max_length;
+    int32_t pos = 0;
+    ids[pos] = wp->cls_id;
+    mask[pos++] = 1;
+    int32_t budget = max_length - 2;  // room for [CLS] and [SEP]
+
+    auto flush_word = [&]() {
+      if (word.empty() || pos - 1 >= budget + 0) { word.clear(); return; }
+      pieces.clear();
+      if (word.size() > wp->max_chars) {
+        pieces.push_back(wp->unk_id);
+      } else {
+        size_t s = 0;
+        bool bad = false;
+        while (s < word.size()) {
+          size_t e2 = word.size();
+          int32_t pid = -1;
+          while (s < e2) {
+            std::string cand = (s > 0 ? "##" : "") + word.substr(s, e2 - s);
+            auto it = wp->ids.find(cand);
+            if (it != wp->ids.end()) { pid = it->second; break; }
+            --e2;
+          }
+          if (pid < 0) { bad = true; break; }
+          pieces.push_back(pid);
+          s = e2;
+        }
+        if (bad) { pieces.clear(); pieces.push_back(wp->unk_id); }
+      }
+      for (int32_t pid : pieces) {
+        if (pos - 1 >= budget) break;
+        ids[pos] = pid;
+        mask[pos++] = 1;
+      }
+      word.clear();
+    };
+
+    for (const char* p = start; p < end;) {
+      uint32_t cp = lower_cp(decode_utf8(p, end));
+      cp = fold_diacritic(cp);
+      if (is_space_cp(cp)) {
+        flush_word();
+      } else if (cp >= 0x300 && cp <= 0x36F) {
+        // combining marks are stripped (NFD semantics)
+      } else if (is_punct_cp(cp)) {
+        flush_word();
+        word.clear();
+        append_utf8(word, cp);
+        flush_word();
+      } else {
+        append_utf8(word, cp);
+      }
+    }
+    flush_word();
+    ids[pos] = wp->sep_id;
+    mask[pos++] = 1;
+    for (; pos < max_length; ++pos) { ids[pos] = wp->pad_id; mask[pos] = 0; }
+  }
+}
+
+void drs_wordpiece_free(void* handle) { delete static_cast<WordPiece*>(handle); }
+
+}  // extern "C"

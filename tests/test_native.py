@@ -73,3 +73,41 @@ def test_bm25_index_native_matches_python(toy_chunks):
     assert a.vocab.id_to_term == b.vocab.id_to_term
     np.testing.assert_allclose(a.scores("diabetes treatment"),
                                b.scores("diabetes treatment"), rtol=1e-6)
+
+
+def test_native_wordpiece_parity():
+    from domain_rag_system_tpu.native import make_native_wordpiece
+    from domain_rag_system_tpu.tokenization import train_wordpiece
+
+    texts = ["Apixaban (Eliquis™) is an oral factor Xa inhibitor.",
+             "Exon—skipping restores the reading frame… naïve patients",
+             "plain ascii medical text with drugs and doses 50mg"] * 5
+    tok = train_wordpiece(texts, vocab_size=300)
+    nwp = make_native_wordpiece(tok.vocab)
+    if nwp is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    py_ids, py_mask, _ = tok.encode_batch(texts, max_length=48)
+    n_ids, n_mask, _ = nwp.encode_batch(texts, max_length=48)
+    np.testing.assert_array_equal(py_ids, n_ids)
+    np.testing.assert_array_equal(py_mask, n_mask)
+
+
+@pytest.mark.skipif(not RECOVERED.exists(), reason="recovered data absent")
+def test_native_wordpiece_parity_real_corpus():
+    import pathlib
+
+    from domain_rag_system_tpu.native import make_native_wordpiece
+    from domain_rag_system_tpu.persistence.checkpoints import (
+        load_encoder_checkpoint)
+
+    ckpt = pathlib.Path(__file__).resolve().parent.parent / "checkpoints" / "medrag-kw"
+    if not ckpt.exists():
+        pytest.skip("medrag-kw checkpoint absent")
+    _, _, tok = load_encoder_checkpoint(ckpt)
+    nwp = make_native_wordpiece(tok.vocab)
+    corpus = json.load(open(RECOVERED / "BioASQ" / "corpus_subset.json"))
+    texts = [f"{d['title']} {d['abstract']}" for d in corpus[:500]]
+    py_ids, _, _ = tok.encode_batch(texts, max_length=128)
+    n_ids, _, _ = nwp.encode_batch(texts, max_length=128)
+    np.testing.assert_array_equal(py_ids, n_ids)
