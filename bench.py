@@ -59,8 +59,11 @@ def main() -> None:
     # deterministic lexical-hash embedder.
     kw_ckpt = ROOT / "checkpoints" / "medrag-kw"
     if kw_ckpt.exists():
+        # batch 128: corpus encode costs dispatches through the remote
+        # tunnel (~0.8 s each), so fewer, larger batches win
         embedder = MedicalEmbedder(model_name="medrag-kw", backend="bert",
-                                   checkpoint_path=str(kw_ckpt))
+                                   checkpoint_path=str(kw_ckpt),
+                                   batch_size=128)
     else:
         embedder = MedicalEmbedder(dim=2048)
     hybrid = HybridIndex(
