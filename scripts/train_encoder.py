@@ -69,9 +69,11 @@ def build_pairs(corpus, style="title"):
         sentences = [s for s in split_sentences(abstract) if len(s) > 40]
         if style == "keyword":
             for i, passage in enumerate([abstract] + sentences):
-                q = keyword_query(passage, i)
-                if q:
-                    pairs.append((q, passage))
+                # several sampled keyword queries per passage (augmentation)
+                for rep in range(3):
+                    q = keyword_query(passage, f"{i}.{rep}")
+                    if q:
+                        pairs.append((q, passage))
             if title:
                 q = keyword_query(title + " " + abstract, "t")
                 if q:
