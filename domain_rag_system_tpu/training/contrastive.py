@@ -58,12 +58,37 @@ def infonce_loss(
     return loss, {"loss": loss, "accuracy": accuracy}
 
 
+def infonce_loss_with_hards(
+    q_emb: jax.Array,   # [B, H]
+    p_emb: jax.Array,   # [B, H] positives
+    h_emb: jax.Array,   # [B*K, H] hard negatives (K per query, flattened)
+    temperature: float = 0.05,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """InfoNCE over [in-batch positives ‖ mined hard negatives].
+
+    Candidates for query i: all B positives (in-batch negatives) plus all
+    B·K hard negatives; the label stays the aligned positive i.
+    """
+    cand = jnp.concatenate([p_emb, h_emb], axis=0)     # [B + B*K, H]
+    logits = (q_emb @ cand.T) / temperature            # [B, B + B*K]
+    labels = jnp.arange(q_emb.shape[0])
+    loss = jnp.mean(
+        optax.softmax_cross_entropy_with_integer_labels(logits, labels))
+    accuracy = jnp.mean(jnp.argmax(logits, axis=1) == labels)
+    return loss, {"loss": loss, "accuracy": accuracy}
+
+
 def make_train_step(
     module: SentenceEncoder,
     optimizer: optax.GradientTransformation,
     temperature: float = 0.05,
 ) -> Callable:
-    """Build the pure (state, batch) → (state, metrics) step function."""
+    """Build the pure (state, batch) → (state, metrics) step function.
+
+    Batches may carry mined hard negatives as ``h_ids``/``h_mask``
+    [B·K, L]; the loss then ranks the positive against in-batch AND hard
+    candidates (BM25-mined hards are the standard lexical→semantic lever).
+    """
 
     def train_step(params, opt_state, batch):
         def loss_fn(p):
@@ -71,6 +96,10 @@ def make_train_step(
                                  deterministic=True)
             p_emb = module.apply({"params": p}, batch["p_ids"], batch["p_mask"],
                                  deterministic=True)
+            if "h_ids" in batch:
+                h_emb = module.apply({"params": p}, batch["h_ids"],
+                                     batch["h_mask"], deterministic=True)
+                return infonce_loss_with_hards(q_emb, p_emb, h_emb, temperature)
             return infonce_loss(q_emb, p_emb, temperature)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -176,9 +205,17 @@ def make_pair_batches(
     seq_len: int = 128,
     epochs: int = 1,
     seed: int = 0,
+    hard_negatives: "Optional[List[List[str]]]" = None,
+    hards_per_query: int = 0,
 ) -> Iterable[Dict[str, np.ndarray]]:
-    """Tokenize (query, passage) pairs into fixed-shape training batches."""
+    """Tokenize (query, passage) pairs into fixed-shape training batches.
+
+    ``hard_negatives[i]`` = candidate negative passages for pair i
+    (e.g. BM25 top hits that are not the positive); ``hards_per_query`` of
+    them are sampled per example into ``h_ids``/``h_mask`` [B·K, L].
+    """
     rng = np.random.default_rng(seed)
+    use_hards = hard_negatives is not None and hards_per_query > 0
     for _ in range(epochs):
         order = rng.permutation(len(pairs))
         for start in range(0, len(pairs) - batch_size + 1, batch_size):
@@ -187,5 +224,18 @@ def make_pair_batches(
             ps = [pairs[i][1] for i in sel]
             q_ids, q_mask, _ = tokenizer.encode_batch(qs, max_length=seq_len)
             p_ids, p_mask, _ = tokenizer.encode_batch(ps, max_length=seq_len)
-            yield {"q_ids": q_ids, "q_mask": q_mask,
-                   "p_ids": p_ids, "p_mask": p_mask}
+            batch = {"q_ids": q_ids, "q_mask": q_mask,
+                     "p_ids": p_ids, "p_mask": p_mask}
+            if use_hards:
+                hards: List[str] = []
+                for i in sel:
+                    pool = hard_negatives[i] or [pairs[i][1]]
+                    picks = rng.choice(len(pool),
+                                       size=hards_per_query,
+                                       replace=len(pool) < hards_per_query)
+                    hards.extend(pool[j] for j in picks)
+                h_ids, h_mask, _ = tokenizer.encode_batch(hards,
+                                                          max_length=seq_len)
+                batch["h_ids"] = h_ids
+                batch["h_mask"] = h_mask
+            yield batch

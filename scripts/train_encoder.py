@@ -86,6 +86,42 @@ def build_pairs(corpus, style="title"):
     return pairs
 
 
+def mine_hard_negatives(pairs, k=8):
+    """Per pair: BM25 top-k passages (excluding the positive) as hard
+    negatives — batched device scoring over the unique-passage corpus."""
+    import numpy as np
+
+    from domain_rag_system_tpu.indexing import BM25Index
+    from domain_rag_system_tpu.preprocessing import Chunk
+    from domain_rag_system_tpu.ops.sparse_bm25 import bm25_scores
+    from domain_rag_system_tpu.utils import topk_desc
+    import jax.numpy as jnp
+
+    passages = sorted({p for _, p in pairs})
+    pass_id = {p: i for i, p in enumerate(passages)}
+    chunks = [Chunk(f"p{i}", f"p{i}", "pubmed", "abstract", p, {})
+              for i, p in enumerate(passages)]
+    index = BM25Index()
+    index.index_chunks(chunks)
+
+    out = []
+    B = 256
+    for start in range(0, len(pairs), B):
+        batch = pairs[start:start + B]
+        enc = [index.encode_query(q) for q, _ in batch]
+        q_ids = jnp.asarray(np.stack([e[0] for e in enc]))
+        q_w = jnp.asarray(np.stack([e[1] for e in enc]))
+        scores = np.asarray(bm25_scores(index.doc_terms, index.doc_contrib,
+                                        q_ids, q_w,
+                                        vocab_size=len(index.vocab)))
+        top = topk_desc(scores, k + 1)
+        for row, (q, pos) in enumerate(batch):
+            pos_idx = pass_id[pos]
+            hards = [passages[j] for j in top[row] if j != pos_idx][:k]
+            out.append(hards)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--corpus", default="data/recovered/BioASQ/corpus_subset.json")
@@ -100,6 +136,8 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--pair_style", default="title", choices=["title", "keyword"])
+    ap.add_argument("--hard_negatives", type=int, default=0,
+                    help="BM25-mined hard negatives per query (0 = off)")
     args = ap.parse_args()
 
     corpus = json.load(open(args.corpus))
@@ -122,11 +160,18 @@ def main() -> None:
                                  total_steps=args.steps, seed=args.seed)
     trainer.init_state(seq_len=args.seq_len)
 
+    hard_pool = None
+    if args.hard_negatives > 0:
+        hard_pool = mine_hard_negatives(pairs, k=max(args.hard_negatives * 4, 8))
+        print(f"mined hard negatives for {len(hard_pool)} pairs")
+
     steps_per_epoch = max(len(pairs) // args.batch_size, 1)
     epochs = -(-args.steps // steps_per_epoch)
     batches = make_pair_batches(tokenizer, pairs, args.batch_size,
                                 seq_len=args.seq_len, epochs=epochs,
-                                seed=args.seed)
+                                seed=args.seed,
+                                hard_negatives=hard_pool,
+                                hards_per_query=args.hard_negatives)
     import itertools
 
     history = trainer.train(itertools.islice(batches, args.steps), log_every=20)

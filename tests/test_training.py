@@ -174,3 +174,31 @@ def test_orbax_train_state_roundtrip(tmp_path):
     np.testing.assert_allclose(
         [h["loss"] for h in after_restore],
         [h["loss"] for h in after_save], rtol=1e-6)
+
+
+def test_training_with_hard_negatives():
+    from domain_rag_system_tpu.training.contrastive import (
+        infonce_loss_with_hards)
+
+    tok = train_wordpiece([q + " " + p for q, p in PAIRS], vocab_size=256)
+    config = BertConfig.tiny(vocab_size=len(tok), dropout_rate=0.0,
+                             max_position_embeddings=32)
+    trainer = ContrastiveTrainer(config, learning_rate=1e-3, warmup_steps=2,
+                                 total_steps=40)
+    trainer.init_state(seq_len=32)
+    hards = [[PAIRS[(i + 1) % len(PAIRS)][1], PAIRS[(i + 2) % len(PAIRS)][1]]
+             for i in range(len(PAIRS))]
+    batches = list(make_pair_batches(tok, PAIRS, batch_size=8, seq_len=32,
+                                     epochs=10, hard_negatives=hards,
+                                     hards_per_query=2))
+    assert "h_ids" in batches[0]
+    assert batches[0]["h_ids"].shape == (16, 32)  # B*K rows
+    history = trainer.train(batches, log_every=0)
+    assert history[-1]["loss"] < history[0]["loss"]
+
+    # loss fn sanity: aligned positives + orthogonal hards -> acc 1
+    import jax.numpy as jnp
+    emb = jnp.eye(4, 32)
+    hard = jnp.eye(8, 32, k=10)
+    loss, m = infonce_loss_with_hards(emb, emb, hard)
+    assert m["accuracy"] == 1.0
