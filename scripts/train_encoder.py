@@ -67,7 +67,27 @@ def build_pairs(corpus, style="title"):
         if not abstract:
             continue
         sentences = [s for s in split_sentences(abstract) if len(s) > 40]
-        if style == "keyword":
+        if style == "question":
+            # question-shaped pseudo-queries: keyword kernel wrapped in
+            # natural question templates so the encoder sees query phrasing
+            templates = [
+                "what is known about {}?",
+                "what is the role of {}?",
+                "which factors are associated with {}?",
+                "how does {} work?",
+                "is {} effective?",
+                "what are the effects of {}?",
+            ]
+            for i, passage in enumerate([abstract] + sentences):
+                for rep in range(3):
+                    kw = keyword_query(passage, f"q{i}.{rep}")
+                    if not kw:
+                        continue
+                    import hashlib as _h
+                    t_idx = int(_h.md5(f"t{i}.{rep}|{passage[:32]}".encode())
+                                .hexdigest()[:4], 16) % len(templates)
+                    pairs.append((templates[t_idx].format(kw), passage))
+        elif style == "keyword":
             for i, passage in enumerate([abstract] + sentences):
                 # several sampled keyword queries per passage (augmentation)
                 for rep in range(3):
@@ -135,7 +155,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--pair_style", default="title", choices=["title", "keyword"])
+    ap.add_argument("--pair_style", default="title",
+                    choices=["title", "keyword", "question"])
     ap.add_argument("--hard_negatives", type=int, default=0,
                     help="BM25-mined hard negatives per query (0 = off)")
     args = ap.parse_args()
