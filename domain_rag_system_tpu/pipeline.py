@@ -15,14 +15,12 @@ where the ≥10× queries/sec target comes from.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
-
-import functools
-
-import jax
 
 from domain_rag_system_tpu.indexing import HybridIndex
 from domain_rag_system_tpu.ops.dense_topk import cosine_topk, lax_topk
