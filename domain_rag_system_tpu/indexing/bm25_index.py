@@ -59,6 +59,7 @@ class BM25Index:
         self.idf: Optional[np.ndarray] = None            # [V] f32 host
         self.stats: Dict[str, float] = {}
         self._filters: Optional[FilterSet] = None
+        self._valid_rows_dev: Optional[jnp.ndarray] = None  # [N_rows] uint8 cache
 
     # ------------------------------------------------------------------ build
 
@@ -152,12 +153,35 @@ class BM25Index:
         self.idf = idf
         self.stats = stats
         self._filters = FilterSet(self.chunks)
+        self._valid_rows_dev = None  # recomputed lazily (alive set changed)
         log.info(
             "BM25 index: %d chunks, %d terms, avgdl=%.1f",
             len(self.chunks), len(self.vocab), stats["avgdl"],
         )
 
     # ------------------------------------------------------------------ query
+
+    def alive_mask(self) -> Optional[np.ndarray]:
+        """[len(chunks)] bool alive mask, or None when every chunk is alive
+        (including bundle-loaded indexes, which carry no tombstones)."""
+        if self._alive.size == 0 or bool(self._alive.all()):
+            return None
+        return self._alive
+
+    def valid_rows(self) -> jnp.ndarray:
+        """[N_rows] uint8 device mask over ``doc_terms`` rows: 1 for alive
+        chunks, 0 for tombstoned chunks and mesh-padding rows. Cached on
+        device so the fused batch program pays no per-call transfer."""
+        if self._valid_rows_dev is None:
+            n_rows = int(self.doc_terms.shape[0])
+            mask = np.zeros(n_rows, dtype=np.uint8)
+            n = min(len(self.chunks), n_rows)
+            if self._alive.size:
+                mask[:n] = self._alive[:n]
+            else:
+                mask[:n] = 1
+            self._valid_rows_dev = jnp.asarray(mask)
+        return self._valid_rows_dev
 
     def encode_query(self, query: str) -> Tuple[np.ndarray, np.ndarray]:
         """Query text → fixed-width (term ids, multiplicity weights)."""

@@ -233,14 +233,22 @@ class DenseIndex:
         )
         scores = np.asarray(scores, dtype=np.float32)
         idx = np.asarray(idx)
+        # masked/tombstoned slots must be detected on the RAW top-k scores —
+        # the euclid transform below rewrites -1e30 into a finite value.
+        invalid = scores <= -1e29
         if self.distance == "euclid":
             # ||q - e||² = ||q||² - 2q·e + ||e||²; top-k by dot is not top-k by
             # euclid unless normalized, so recompute the true distances for the
-            # returned candidates (cosine-normalized corpora are unaffected).
+            # returned candidates (cosine-normalized corpora are unaffected)
+            # and re-sort the k candidates by them.
             qn = np.sum(q ** 2, axis=1, keepdims=True)
             en = np.asarray(self._row_norms_sq)[idx]
-            scores = -np.sqrt(np.maximum(qn - 2.0 * scores + en, 0.0))
-        invalid = scores <= -1e29
+            dist = -np.sqrt(np.maximum(qn - 2.0 * scores + en, 0.0))
+            scores = np.where(invalid, np.float32(-1e30), dist)
+            order = np.argsort(-scores, axis=1, kind="stable")
+            scores = np.take_along_axis(scores, order, axis=1)
+            idx = np.take_along_axis(idx, order, axis=1)
+            invalid = scores <= -1e29
         idx = np.where(invalid | (idx >= self.n_chunks), -1, idx)
         return scores, idx
 

@@ -82,6 +82,10 @@ class HybridIndex:
         mask = self.bm25_index._filters.mask(filters)
         if mask is not None:
             scores = np.where(mask > 0, scores, -np.inf)
+        alive = self.bm25_index.alive_mask()
+        if alive is not None:
+            # tombstoned rows score exactly 0 and would otherwise stay ranked
+            scores = np.where(alive[: len(scores)], scores, -np.inf)
         top = topk_desc(scores, k).astype(np.int32)
         top_scores = scores[top].astype(np.float32)
         # Zero-score docs stay in the ranked list (reference argsort keeps

@@ -42,11 +42,19 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the library is missing or older than its source."""
+    if not _SO_PATH.exists():
+        return True
+    src = _NATIVE_DIR / "drs_native.cpp"
+    return src.exists() and src.stat().st_mtime > _SO_PATH.stat().st_mtime
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _lib_failed
     if _lib is not None or _lib_failed:
         return _lib
-    if not _SO_PATH.exists() and not _build():
+    if _stale() and not _build() and not _SO_PATH.exists():
         _lib_failed = True
         return None
     try:

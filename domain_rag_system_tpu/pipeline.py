@@ -69,6 +69,7 @@ def _fused_batch_retrieval(
     valid_mask,    # [N_pad] or [1]
     doc_terms,     # [N, D] or [1, 1]
     doc_contrib,   # [N, D] or [1, 1]
+    sparse_valid,  # [N] uint8 — alive (non-tombstoned, non-padding) BM25 rows
     q_emb,         # [B, d] search-query embeddings (or [B, 1])
     q_ids,         # [B, L] BM25 term ids (or [B, 1])
     q_w,           # [B, L]
@@ -111,6 +112,11 @@ def _fused_batch_retrieval(
     if has_sparse:
         s = bm25_scores(doc_terms, doc_contrib, q_ids, q_w,
                         vocab_size=vocab_size)
+        # Tombstoned chunks and mesh-padding rows score exactly 0 and would
+        # otherwise stay ranked (zero-score ALIVE docs do stay, reference
+        # argsort parity) — invalidate them before top-k so they can never
+        # reach fusion or the rerank pool.
+        s = jnp.where(sparse_valid.reshape(1, -1) > 0, s, -1e30)
         if prf_terms > 0:
             q_ids2, q_w2 = bm25_prf_expand(
                 doc_terms, doc_contrib, s, q_ids, q_w,
@@ -118,11 +124,10 @@ def _fused_batch_retrieval(
                 vocab_size=vocab_size)
             s = bm25_scores(doc_terms, doc_contrib, q_ids2, q_w2,
                             vocab_size=vocab_size)
+            s = jnp.where(sparse_valid.reshape(1, -1) > 0, s, -1e30)
         k_s = min(over_k, doc_terms.shape[0])
         sc_s, idx_s = lax_topk(s, k_s)
-        # zero-score docs stay ranked (reference parity); only filtered
-        # slots (−inf, not used in the batch path) would be dropped.
-        ids_s = idx_s.astype(jnp.int32)
+        ids_s = jnp.where(sc_s <= -1e29, -1, idx_s).astype(jnp.int32)
     else:
         ids_s = jnp.full((b, 1), -1, jnp.int32)
         sc_s = jnp.zeros((b, 1), jnp.float32)
@@ -296,6 +301,7 @@ class RetrievalPipeline:
                 jnp.asarray(dense._valid) if has_dense else jnp.ones(1, jnp.uint8),
                 sparse.doc_terms if has_sparse else jnp.full((1, 1), -1, jnp.int32),
                 sparse.doc_contrib if has_sparse else jnp.zeros((1, 1), jnp.float32),
+                sparse.valid_rows() if has_sparse else jnp.ones(1, jnp.uint8),
                 q_emb, q_ids, q_w, q_orig_emb,
                 (dense.row_scale if has_dense and dense.row_scale is not None
                  else jnp.zeros((), jnp.float32)),
@@ -318,10 +324,12 @@ class RetrievalPipeline:
         for b, query in enumerate(queries):
             f_ids, f_scores = fused[b]
             results = []
+            slots = []  # each result's original fused slot (rerank alignment)
             n_chunks = len(self.index.chunks)
-            for i, score in zip(f_ids, f_scores):
+            for slot, (i, score) in enumerate(zip(f_ids, f_scores)):
                 if i < 0 or i >= n_chunks:  # padding / mesh-padded rows
                     continue
+                slots.append(slot)
                 chunk = self.index.chunks[int(i)]
                 results.append({
                     "chunk_id": chunk.chunk_id,
@@ -334,12 +342,16 @@ class RetrievalPipeline:
                     "fusion_method": fusion_method,
                 })
             if use_device_rerank and results:
+                # rerank scores are indexed by fused SLOT (the device pool is
+                # the first top_n fused slots), not by compacted result
+                # position — slots can be skipped when padded rows interleave.
                 rr_scores = device_rerank_scores[b]
-                pool = min(self.reranker.top_n, len(results))
                 rescored = []
-                for j, r in enumerate(results[:pool]):
+                for r, slot in zip(results, slots):
+                    if slot >= self.reranker.top_n:
+                        break  # outside the device rerank pool
                     out_r = r.copy()
-                    out_r["rerank_score"] = float(rr_scores[j])
+                    out_r["rerank_score"] = float(rr_scores[slot])
                     out_r["fusion_method"] = r["fusion_method"] + "+rerank"
                     rescored.append(out_r)
                 rescored.sort(key=lambda x: -x["rerank_score"])

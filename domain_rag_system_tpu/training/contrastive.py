@@ -229,7 +229,20 @@ def make_pair_batches(
             if use_hards:
                 hards: List[str] = []
                 for i in sel:
-                    pool = hard_negatives[i] or [pairs[i][1]]
+                    pool = hard_negatives[i]
+                    if not pool:
+                        # no mined negatives for this pair: sample random
+                        # NON-positive passages — substituting the positive
+                        # itself would cap the pair's loss at log 2 and
+                        # distort the accuracy metric.
+                        pool = []
+                        for _ in range(4 * hards_per_query):
+                            j = int(rng.integers(len(pairs)))
+                            if pairs[j][1] != pairs[i][1]:
+                                pool.append(pairs[j][1])
+                                if len(pool) >= hards_per_query:
+                                    break
+                        pool = pool or [""]  # degenerate single-passage corpus
                     picks = rng.choice(len(pool),
                                        size=hards_per_query,
                                        replace=len(pool) < hards_per_query)

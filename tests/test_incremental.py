@@ -69,3 +69,32 @@ def test_hybrid_add_delete_through_pipeline(toy_chunks):
     h.delete_chunks(["new0"])
     out = p.query("zanamivir for influenza", top_k=3)
     assert all(r["chunk_id"] != "new0" for r in out["results"])
+
+
+def test_tombstones_never_resurface_small_corpus():
+    """Regression: tombstoned BM25 rows score exactly 0 and used to stay
+    ranked through fusion when top_k spans the whole corpus — both the
+    hybrid host path and the fused batch program must exclude them."""
+    docs = [
+        _chunk(0, "aspirin reduces fever and mild pain"),
+        _chunk(1, "ibuprofen is a common anti inflammatory drug"),
+        _chunk(2, "metformin controls blood sugar in diabetes"),
+        _chunk(3, "lisinopril lowers blood pressure"),
+        _chunk(4, "atorvastatin reduces cholesterol levels"),
+    ]
+    emb = MedicalEmbedder(dim=64)
+    h = HybridIndex(dense_index=DenseIndex(emb, row_block=8),
+                    bm25_index=BM25Index())
+    h.index_chunks(docs)
+    h.delete_chunks(["new0"])
+
+    direct = h.search("unrelated query words", top_k=5)
+    assert all(r["chunk_id"] != "new0" for r in direct)
+
+    p = RetrievalPipeline(h)
+    out = p.query("unrelated query words", top_k=5)
+    assert all(r["chunk_id"] != "new0" for r in out["results"])
+    # weighted fusion path too
+    out = p.query_batch(["aspirin for fever"], top_k=5,
+                        fusion_method="weighted")[0]
+    assert all(r["chunk_id"] != "new0" for r in out["results"])
