@@ -79,6 +79,7 @@ def run_retrieval_evaluation(
     extra_ks: Sequence[int] = (1, 3, 5, 10),
     dataset: str = "dataset",
     warmup: bool = True,
+    group_by_doc: bool = False,
     **pipeline_kwargs,
 ) -> Dict:
     """Evaluate retrieval over queries: [{id, body, type?, documents}].
@@ -88,6 +89,8 @@ def run_retrieval_evaluation(
     configuration, matching how the reference measures per-query time).
     ``warmup`` runs one untimed batch first so one-time XLA compiles don't
     pollute the timing (results are identical either way).
+    ``group_by_doc`` returns ``top_k`` distinct documents (best chunk per
+    doc) — the same contract as the doc-level dense control.
     """
     per_query: List[Dict] = []
     if warmup and queries:
@@ -96,11 +99,12 @@ def run_retrieval_evaluation(
             pipeline.query_batch(first, top_k=top_k, fusion_method=fusion_method,
                                  vector_weight=vector_weight,
                                  bm25_weight=bm25_weight,
-                                 rerank_top_n=rerank_top_n, **pipeline_kwargs)
+                                 rerank_top_n=rerank_top_n,
+                                 group_by_doc=group_by_doc, **pipeline_kwargs)
         else:
             pipeline.query(first[0], top_k=top_k, fusion_method=fusion_method,
                            vector_weight=vector_weight, bm25_weight=bm25_weight,
-                           rerank_top_n=rerank_top_n)
+                           rerank_top_n=rerank_top_n, group_by_doc=group_by_doc)
     t_start = time.perf_counter()
 
     def evaluate_one(q: Dict, results: List[Dict], elapsed: float) -> Dict:
@@ -130,7 +134,8 @@ def run_retrieval_evaluation(
                 [q["body"] for q in batch],
                 top_k=top_k, fusion_method=fusion_method,
                 vector_weight=vector_weight, bm25_weight=bm25_weight,
-                rerank_top_n=rerank_top_n, **pipeline_kwargs,
+                rerank_top_n=rerank_top_n,
+                group_by_doc=group_by_doc, **pipeline_kwargs,
             )
             dt = (time.perf_counter() - t0) / max(len(batch), 1)
             for q, out in zip(batch, outs):
@@ -141,7 +146,7 @@ def run_retrieval_evaluation(
             out = pipeline.query(
                 q["body"], top_k=top_k, fusion_method=fusion_method,
                 vector_weight=vector_weight, bm25_weight=bm25_weight,
-                rerank_top_n=rerank_top_n,
+                rerank_top_n=rerank_top_n, group_by_doc=group_by_doc,
             )
             dt = time.perf_counter() - t0
             per_query.append(evaluate_one(q, out["results"], dt))
@@ -178,6 +183,7 @@ def run_retrieval_evaluation(
             "bm25_weight": bm25_weight,
             "rerank_top_n": rerank_top_n,
             "batch_size": batch_size,
+            "group_by_doc": group_by_doc,
             "reranker": getattr(pipeline.reranker, "name", "none"),
         },
         "overall": overall,

@@ -149,6 +149,29 @@ def _fused_batch_retrieval(
     return fused_ids, fused_scores, rerank_scores
 
 
+def _group_first_per_doc(results: List[Dict], top_k: int) -> List[Dict]:
+    """MaxP-style doc grouping: keep each document's highest-ranked chunk,
+    in rank order, until ``top_k`` distinct documents are collected.
+
+    Chunked corpora hand doc-level retrieval a structural handicap — several
+    chunks of one document crowd out other documents (measured: only ~8.5
+    unique docs in a top-10 chunk list on BioASQ). Grouping makes the system
+    return ``top_k`` distinct documents, the same contract as a doc-level
+    flat index (cf. ``baselines/jax_flat_baseline.py``).
+    """
+    out: List[Dict] = []
+    seen = set()
+    for r in results:
+        doc_id = r["doc_id"]
+        if doc_id in seen:
+            continue
+        seen.add(doc_id)
+        out.append(r)
+        if len(out) >= top_k:
+            break
+    return out
+
+
 class RetrievalPipeline:
     """preprocess → hybrid retrieve → fuse → rerank."""
 
@@ -175,6 +198,7 @@ class RetrievalPipeline:
         filters: Optional[Dict] = None,
         rerank_top_n: int = 50,
         preprocess: bool = True,
+        group_by_doc: bool = False,
     ) -> Dict:
         # Filter-free queries ride the fused batch program with B=1 — one
         # device dispatch instead of the multi-call host orchestration.
@@ -184,6 +208,7 @@ class RetrievalPipeline:
                 [query], top_k=top_k, fusion_method=fusion_method,
                 vector_weight=vector_weight, bm25_weight=bm25_weight,
                 rerank_top_n=rerank_top_n, preprocess=preprocess,
+                group_by_doc=group_by_doc,
             )[0]
 
         with self.timer.stage("preprocess"):
@@ -196,6 +221,9 @@ class RetrievalPipeline:
                 search_query = query
 
         fetch_k = max(top_k, rerank_top_n if self.reranker is not None else top_k)
+        if group_by_doc:
+            fetch_k = max(fetch_k, top_k * 4)
+        keep = fetch_k if group_by_doc else top_k
 
         with self.timer.stage("search"):
             results = self.index.search(
@@ -209,9 +237,11 @@ class RetrievalPipeline:
 
         if self.reranker is not None and results:
             with self.timer.stage("rerank"):
-                results = self.reranker.rerank(query, results, top_k=top_k)
+                results = self.reranker.rerank(query, results, top_k=keep)
         else:
-            results = results[:top_k]
+            results = results[:keep]
+        if group_by_doc:
+            results = _group_first_per_doc(results, top_k)
 
         return {
             "query": query,
@@ -235,12 +265,15 @@ class RetrievalPipeline:
         prf_terms: int = 0,
         prf_docs: int = 10,
         prf_alpha: float = 0.6,
+        group_by_doc: bool = False,
     ) -> List[Dict]:
         """Batched retrieval: heavy stages run once over the whole batch.
 
         Dense encode+top-k and BM25 scoring are [B, ...] device programs;
         fusion runs per query on device (cheap fixed-shape ops); reranking
-        uses one batched embed per query pool.
+        uses one batched embed per query pool. ``group_by_doc`` makes
+        ``top_k`` count distinct documents (MaxP grouping over the fused
+        chunk ranking — see :func:`_group_first_per_doc`).
         """
         queries = list(queries)
         if not queries:
@@ -248,6 +281,9 @@ class RetrievalPipeline:
         dense = self.index.dense_index
         sparse = self.index.bm25_index
         fetch_k = max(top_k, rerank_top_n if self.reranker is not None else top_k)
+        if group_by_doc:
+            fetch_k = max(fetch_k, top_k * 4)
+        keep = fetch_k if group_by_doc else top_k
         over_k = fetch_k * 2  # hybrid over-fetch parity
 
         with self.timer.stage("preprocess"):
@@ -355,12 +391,14 @@ class RetrievalPipeline:
                     out_r["fusion_method"] = r["fusion_method"] + "+rerank"
                     rescored.append(out_r)
                 rescored.sort(key=lambda x: -x["rerank_score"])
-                results = rescored[:top_k]
+                results = rescored[:keep]
             elif self.reranker is not None and results:
                 with self.timer.stage("rerank"):
-                    results = self.reranker.rerank(query, results, top_k=top_k)
+                    results = self.reranker.rerank(query, results, top_k=keep)
             else:
-                results = results[:top_k]
+                results = results[:keep]
+            if group_by_doc:
+                results = _group_first_per_doc(results, top_k)
             outputs.append({
                 "query": query,
                 "preprocessed": pres[b],

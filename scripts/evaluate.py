@@ -94,6 +94,9 @@ def main() -> None:
                          "checkpoints/medrag-kw); default: lexical-hash")
     ap.add_argument("--batch_size", type=int, default=32,
                     help="0 = per-query latency mode")
+    ap.add_argument("--group_by_doc", action="store_true",
+                    help="top_k counts distinct documents (best chunk per "
+                         "doc), matching the doc-level control's contract")
     ap.add_argument("--force", action="store_true",
                     help="recompute even if result files exist")
     args = ap.parse_args()
@@ -130,6 +133,7 @@ def main() -> None:
             bm25_weight=args.bm25_weight,
             rerank_top_n=args.rerank_top_n,
             batch_size=args.batch_size,
+            group_by_doc=args.group_by_doc,
             dataset=name,
         )
         save_results(results, out_path)

@@ -26,6 +26,43 @@ def pipeline(toy_chunks):
     return RetrievalPipeline(hybrid, reranker=reranker)
 
 
+def test_group_by_doc_returns_distinct_docs():
+    """MaxP grouping: top_k counts distinct documents, best chunk per doc,
+    rank order preserved (the doc-level control's contract)."""
+    from domain_rag_system_tpu.preprocessing import Chunk
+
+    chunks = []
+    for d in range(4):
+        for c in range(4):
+            chunks.append(Chunk(
+                chunk_id=f"d{d}_c{c}", doc_id=f"doc{d}", source="pubmed",
+                chunk_type="abstract",
+                text=f"aspirin dose study part {c} of document {d}"
+                     + (" fever pain relief" if d == 1 else ""),
+                metadata={}))
+    emb = MedicalEmbedder(dim=128)
+    hybrid = HybridIndex(dense_index=DenseIndex(emb, row_block=8),
+                         bm25_index=BM25Index())
+    hybrid.index_chunks(chunks)
+    pipe = RetrievalPipeline(hybrid)
+
+    plain = pipe.query("aspirin fever pain", top_k=4)["results"]
+    grouped = pipe.query("aspirin fever pain", top_k=4,
+                         group_by_doc=True)["results"]
+    # ungrouped: doc1's four matching chunks crowd the list
+    assert len({r["doc_id"] for r in plain}) < 4
+    # grouped: exactly 4 distinct docs, first doc unchanged
+    assert [r["doc_id"] for r in grouped] != [r["doc_id"] for r in plain]
+    assert len({r["doc_id"] for r in grouped}) == 4
+    assert grouped[0]["doc_id"] == plain[0]["doc_id"]
+    # grouping preserves rank order of each doc's best chunk
+    assert grouped[0]["chunk_id"] == plain[0]["chunk_id"]
+    # batch path agrees with single path
+    batched = pipe.query_batch(["aspirin fever pain"], top_k=4,
+                               group_by_doc=True)[0]["results"]
+    assert [r["chunk_id"] for r in batched] == [r["chunk_id"] for r in grouped]
+
+
 def test_pipeline_single_query(pipeline):
     out = pipeline.query("treatment for diabetes", top_k=3)
     assert out["num_results"] == 3
