@@ -107,30 +107,33 @@ def cosine_topk(
     queries: jax.Array,                 # [B, d]
     embeddings: jax.Array,              # [N, d] f32/bf16 or int8 (quantized)
     k: int,
-    mask: Optional[jax.Array] = None,   # [N] nonzero = keep
+    mask: Optional[jax.Array] = None,   # [N] or [B, N]; nonzero = keep
     row_scale: Optional[jax.Array] = None,  # [N] dequant scales for int8 rows
     use_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k (scores [B, k], indices [B, k]) by similarity, optionally masked.
 
-    int8 corpora: rows are symmetric-quantized (``row_scale`` = max|x|/127);
-    HBM reads stay int8 — the convert-to-f32 fuses into the matmul operand
-    read — and scores are rescaled per row after the dot. Ties break toward
-    the lower index (lax.top_k semantics), matching the reference's stable
-    argsort ordering.
+    ``mask`` may be a global [N] corpus mask or a per-query [B, N] mask
+    (metadata filters differing across the batch). int8 corpora: rows are
+    symmetric-quantized (``row_scale`` = max|x|/127); HBM reads stay int8 —
+    the convert-to-f32 fuses into the matmul operand read — and scores are
+    rescaled per row after the dot. Ties break toward the lower index
+    (lax.top_k semantics), matching the reference's stable argsort ordering.
     """
+    def apply_mask(scores):
+        if mask is None:
+            return scores
+        m = mask if mask.ndim == 2 else mask.reshape(1, -1)
+        return jnp.where(m > 0, scores, NEG_INF)
+
     if embeddings.dtype == jnp.int8:
         scores = dense_scores(queries.astype(jnp.float32),
                               embeddings.astype(jnp.float32))
-        scores = scores * row_scale.reshape(1, -1)
-        if mask is not None:
-            scores = jnp.where(mask.reshape(1, -1) > 0, scores, NEG_INF)
-    elif use_pallas and mask is not None:
+        scores = apply_mask(scores * row_scale.reshape(1, -1))
+    elif use_pallas and mask is not None and mask.ndim == 1:
         scores = pallas_masked_scores(queries, embeddings, mask)
     else:
-        scores = dense_scores(queries, embeddings)
-        if mask is not None:
-            scores = jnp.where(mask.reshape(1, -1) > 0, scores, NEG_INF)
+        scores = apply_mask(dense_scores(queries, embeddings))
     return lax_topk(scores, k)
 
 

@@ -63,7 +63,7 @@ def _device_cosine_rerank(
 @functools.partial(jax.jit, static_argnames=(
     "over_k", "fetch_k", "fusion_method",
     "rerank_top_n", "vocab_size", "has_dense", "has_sparse", "use_rerank",
-    "prf_terms", "prf_docs"))
+    "prf_terms", "prf_docs", "has_qfilter"))
 def _fused_batch_retrieval(
     embeddings,    # [N_pad, d] or [1, 1] placeholder
     valid_mask,    # [N_pad] or [1]
@@ -77,6 +77,8 @@ def _fused_batch_retrieval(
     row_scale,     # [N_pad] int8 dequant scales or scalar 0.0 placeholder
     vector_weight,   # traced scalar — not static, so weight sweeps don't recompile
     bm25_weight,     # traced scalar
+    q_filter_d,    # [B, N_pad] per-query dense filter masks or [1, 1]
+    q_filter_s,    # [B, N]     per-query sparse filter masks or [1, 1]
     *,
     over_k: int,
     fetch_k: int,
@@ -89,6 +91,7 @@ def _fused_batch_retrieval(
     prf_terms: int = 0,
     prf_docs: int = 10,
     prf_alpha: float = 0.6,
+    has_qfilter: bool = False,
 ):
     """The whole query batch as ONE device program.
 
@@ -102,7 +105,11 @@ def _fused_batch_retrieval(
     has_scale = row_scale is not None and getattr(row_scale, "ndim", 0) == 1
     if has_dense:
         k_d = min(over_k, embeddings.shape[0])
-        sc_d, idx_d = cosine_topk(q_emb, embeddings, k_d, mask=valid_mask,
+        d_mask = valid_mask
+        if has_qfilter:
+            # per-query metadata filters AND the global validity mask
+            d_mask = q_filter_d * valid_mask[None, :]
+        sc_d, idx_d = cosine_topk(q_emb, embeddings, k_d, mask=d_mask,
                                   row_scale=row_scale if has_scale else None)
         ids_d = jnp.where(sc_d <= -1e29, -1, idx_d).astype(jnp.int32)
     else:
@@ -117,6 +124,8 @@ def _fused_batch_retrieval(
         # argsort parity) — invalidate them before top-k so they can never
         # reach fusion or the rerank pool.
         s = jnp.where(sparse_valid.reshape(1, -1) > 0, s, -1e30)
+        if has_qfilter:
+            s = jnp.where(q_filter_s > 0, s, -1e30)
         if prf_terms > 0:
             q_ids2, q_w2 = bm25_prf_expand(
                 doc_terms, doc_contrib, s, q_ids, q_w,
@@ -125,6 +134,8 @@ def _fused_batch_retrieval(
             s = bm25_scores(doc_terms, doc_contrib, q_ids2, q_w2,
                             vocab_size=vocab_size)
             s = jnp.where(sparse_valid.reshape(1, -1) > 0, s, -1e30)
+            if has_qfilter:
+                s = jnp.where(q_filter_s > 0, s, -1e30)
         k_s = min(over_k, doc_terms.shape[0])
         sc_s, idx_s = lax_topk(s, k_s)
         ids_s = jnp.where(sc_s <= -1e29, -1, idx_s).astype(jnp.int32)
@@ -199,16 +210,20 @@ class RetrievalPipeline:
         rerank_top_n: int = 50,
         preprocess: bool = True,
         group_by_doc: bool = False,
+        use_batch_path: bool = True,
     ) -> Dict:
-        # Filter-free queries ride the fused batch program with B=1 — one
-        # device dispatch instead of the multi-call host orchestration.
-        # Metadata filters need per-query masks, which stay on the host path.
-        if filters is None:
+        # All queries — filtered or not — ride the fused batch program with
+        # B=1: one device dispatch instead of the multi-call host
+        # orchestration. Metadata filters compile to per-query mask rows
+        # inside the fused program (``has_qfilter``), so filtered latency ≈
+        # unfiltered latency. ``use_batch_path=False`` keeps the host
+        # orchestration (reference-shaped, used for parity testing).
+        if use_batch_path:
             return self.query_batch(
                 [query], top_k=top_k, fusion_method=fusion_method,
                 vector_weight=vector_weight, bm25_weight=bm25_weight,
                 rerank_top_n=rerank_top_n, preprocess=preprocess,
-                group_by_doc=group_by_doc,
+                group_by_doc=group_by_doc, filters=filters,
             )[0]
 
         with self.timer.stage("preprocess"):
@@ -266,6 +281,7 @@ class RetrievalPipeline:
         prf_docs: int = 10,
         prf_alpha: float = 0.6,
         group_by_doc: bool = False,
+        filters=None,
     ) -> List[Dict]:
         """Batched retrieval: heavy stages run once over the whole batch.
 
@@ -273,11 +289,23 @@ class RetrievalPipeline:
         fusion runs per query on device (cheap fixed-shape ops); reranking
         uses one batched embed per query pool. ``group_by_doc`` makes
         ``top_k`` count distinct documents (MaxP grouping over the fused
-        chunk ranking — see :func:`_group_first_per_doc`).
+        chunk ranking — see :func:`_group_first_per_doc`). ``filters`` is
+        one metadata-equality dict applied to every query, or a per-query
+        sequence of dicts/None — either way they become [B, N] mask rows
+        fused into the device program (exact filtered top-k at unfiltered
+        latency; cf. the reference's post-hoc truncation,
+        ``bm25_indexer.py:140-147``).
         """
         queries = list(queries)
         if not queries:
             return []
+        if isinstance(filters, dict) or filters is None:
+            per_query_filters = [filters] * len(queries)
+        else:
+            per_query_filters = list(filters)
+            if len(per_query_filters) != len(queries):
+                raise ValueError("filters sequence must match queries length")
+        has_qfilter = any(f for f in per_query_filters)
         dense = self.index.dense_index
         sparse = self.index.bm25_index
         fetch_k = max(top_k, rerank_top_n if self.reranker is not None else top_k)
@@ -331,6 +359,27 @@ class RetrievalPipeline:
                 q_ids = jnp.full((b, 1), -2, jnp.int32)
                 q_w = jnp.zeros((b, 1), jnp.float32)
 
+        q_filter_d = q_filter_s = jnp.ones((1, 1), jnp.uint8)
+        if has_qfilter:
+            def mask_rows(filter_set, n_rows: int, n_chunks: int):
+                rows = np.zeros((b, n_rows), np.uint8)
+                for qi, f in enumerate(per_query_filters):
+                    m = filter_set.mask(f) if f else None
+                    if m is None:
+                        rows[qi, :n_chunks] = 1
+                    else:
+                        rows[qi, : len(m)] = m
+                return jnp.asarray(rows)
+
+            if has_dense:
+                q_filter_d = mask_rows(dense._filters,
+                                       int(dense.embeddings.shape[0]),
+                                       dense.n_chunks)
+            if has_sparse:
+                q_filter_s = mask_rows(sparse._filters,
+                                       int(sparse.doc_terms.shape[0]),
+                                       len(sparse.chunks))
+
         with self.timer.stage("retrieve"):
             fused_ids_dev, fused_scores_dev, rerank_dev = _fused_batch_retrieval(
                 dense.embeddings if has_dense else jnp.zeros((1, 1), jnp.float32),
@@ -341,13 +390,15 @@ class RetrievalPipeline:
                 q_emb, q_ids, q_w, q_orig_emb,
                 (dense.row_scale if has_dense and dense.row_scale is not None
                  else jnp.zeros((), jnp.float32)),
+                vector_weight, bm25_weight,
+                q_filter_d, q_filter_s,
                 over_k=over_k, fetch_k=fetch_k, fusion_method=fusion_method,
-                vector_weight=vector_weight, bm25_weight=bm25_weight,
                 rerank_top_n=(self.reranker.top_n if use_device_rerank else 0),
                 vocab_size=len(sparse.vocab) if has_sparse else 0,
                 has_dense=has_dense, has_sparse=has_sparse,
                 use_rerank=use_device_rerank,
                 prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
+                has_qfilter=has_qfilter,
             )
             # one consolidated device→host pull (each separate np.asarray
             # costs a tunnel round trip — measurable at B=1)

@@ -63,6 +63,31 @@ def test_group_by_doc_returns_distinct_docs():
     assert [r["chunk_id"] for r in batched] == [r["chunk_id"] for r in grouped]
 
 
+def test_filtered_queries_ride_fused_batch_path(pipeline):
+    """Metadata filters become per-query mask rows in the fused program;
+    results must match the host-orchestrated filtered path exactly."""
+    f = {"source_tag": "even"}
+    fast = pipeline.query("pain treatment", top_k=4, filters=f)
+    host = pipeline.query("pain treatment", top_k=4, filters=f,
+                          use_batch_path=False)
+    assert [r["chunk_id"] for r in fast["results"]] == \
+        [r["chunk_id"] for r in host["results"]]
+    assert all(r["metadata"]["source_tag"] == "even"
+               for r in fast["results"])
+
+    # mixed per-query filters in ONE batch
+    outs = pipeline.query_batch(
+        ["pain treatment", "pain treatment", "pain treatment"],
+        top_k=4,
+        filters=[{"source_tag": "even"}, {"source_tag": "odd"}, None])
+    assert all(r["metadata"]["source_tag"] == "even"
+               for r in outs[0]["results"])
+    assert all(r["metadata"]["source_tag"] == "odd"
+               for r in outs[1]["results"])
+    tags = {r["metadata"]["source_tag"] for r in outs[2]["results"]}
+    assert tags == {"even", "odd"}  # unfiltered sees both
+
+
 def test_pipeline_single_query(pipeline):
     out = pipeline.query("treatment for diabetes", top_k=3)
     assert out["num_results"] == 3
@@ -81,9 +106,10 @@ def test_pipeline_rerank_uses_original_query(pipeline, monkeypatch):
         return orig(query, results, top_k=top_k)
 
     monkeypatch.setattr(pipeline.reranker, "rerank", spy)
-    # filters={} forces the host orchestration path (the fused device path
-    # embeds the original query directly — same semantics, no rerank() call)
-    pipeline.query("Tx for DM", top_k=2, filters={})
+    # use_batch_path=False keeps the host orchestration path (the fused
+    # device path embeds the original query directly — same semantics, no
+    # rerank() call)
+    pipeline.query("Tx for DM", top_k=2, use_batch_path=False)
     # reranker gets the ORIGINAL query, not the normalized one (reference :160)
     assert captured["query"] == "Tx for DM"
 
@@ -111,7 +137,10 @@ def test_pipeline_stage_timing(pipeline):
     pipeline.query("anything at all", top_k=2)
     summary = pipeline.timer.summary()
     assert "retrieve" in summary and summary["retrieve"]["count"] >= 1
-    pipeline.query("filtered", top_k=2, filters={"source_tag": "even"})
+    # filtered queries now ride the fused batch path too; the host
+    # orchestration stage only appears when explicitly requested
+    pipeline.query("filtered", top_k=2, filters={"source_tag": "even"},
+                   use_batch_path=False)
     assert "search" in pipeline.timer.summary()  # host path stage
 
 
