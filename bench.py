@@ -1,9 +1,9 @@
 #!/usr/bin/env python
 """End-to-end benchmark: BioASQ 200-query hybrid retrieval on one chip.
 
-Measures the full serving path (preprocess → dense top-k → BM25 → RRF
-fusion → rerank-candidate selection + cosine rerank) over the recovered
-BioASQ corpus, batched, and prints ONE JSON line:
+Measures the full serving path (preprocess → dense top-k → BM25+PRF →
+weighted fusion → doc-level grouping) over the recovered BioASQ corpus,
+batched, and prints ONE JSON line:
 
     {"metric": "bioasq200_e2e_qps", "value": <queries/sec>, "unit":
      "queries/sec", "vs_baseline": <value / 0.705>, ...quality metrics...}
@@ -13,11 +13,13 @@ the same 200-query eval (BASELINE.md, `results/comprehensive_evaluation.json`
 bioasq.overall.avg_query_time). Quality metrics (recall@5 / nDCG@10 / MRR)
 are reported alongside; corpus provenance (recovered, ~92% gt coverage) in
 data/recovered/.
+
+Configuration: ``RetrievalConfig.tuned()`` — the SAME config object
+scripts/evaluate.py and scripts/scale_bench.py consume (no config drift).
 """
 
 import json
 import sys
-import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent
@@ -34,14 +36,12 @@ REFERENCE_RAG_QPS = 1.0 / 1.418  # reference avg 1.418 s/query on BioASQ-200
 
 
 def main() -> None:
+    from domain_rag_system_tpu.config import RetrievalConfig
     from domain_rag_system_tpu.evaluation.runners import (
         load_queries,
         run_retrieval_evaluation,
     )
-    from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
-    from domain_rag_system_tpu.models import MedicalEmbedder
-    from domain_rag_system_tpu.pipeline import RetrievalPipeline
-    from domain_rag_system_tpu.preprocessing import DataLoader, DocumentChunker
+    from domain_rag_system_tpu.serving import build_pipeline
 
     corpus_path = ROOT / "data" / "recovered" / "BioASQ" / "corpus_subset.json"
     queries_path = ROOT / "data" / "recovered" / "BioASQ" / "bioasq_queries.json"
@@ -52,43 +52,18 @@ def main() -> None:
         recover_bioasq_corpus(output_path=corpus_path)
         recover_bioasq_queries(output_path=queries_path)
 
-    docs = DataLoader(pubmed_path=str(corpus_path)).load_pubmed()
-    chunks = DocumentChunker().chunk_documents(docs)
-    # Dense encoder: the from-scratch keyword-query-trained domain encoder
-    # when its checkpoint exists (best measured quality), else the
-    # deterministic lexical-hash embedder.
-    kw_ckpt = ROOT / "checkpoints" / "medrag-kw"
-    if kw_ckpt.exists():
-        # batch 128: corpus encode costs dispatches through the remote
-        # tunnel (~0.8 s each), so fewer, larger batches win
-        embedder = MedicalEmbedder(model_name="medrag-kw", backend="bert",
-                                   checkpoint_path=str(kw_ckpt),
-                                   batch_size=128)
-    else:
-        embedder = MedicalEmbedder(dim=2048)
-    hybrid = HybridIndex(
-        dense_index=DenseIndex(embedder),
-        bm25_index=BM25Index(),
-    )
-    t0 = time.perf_counter()
-    hybrid.index_chunks(chunks)
-    build_s = time.perf_counter() - t0
-
-    # Config selection (measured on the recovered BioASQ-200 eval): weighted
-    # fusion with a bm25-heavy mix outperforms RRF here because the offline
-    # lexical-hash dense signal is weaker than BM25; the dense side still
-    # contributes tie-breaking. The cosine rerank is disabled for the same
-    # reason (it would re-sort by the weaker signal). With a learned dense
-    # encoder (models/bert_embedder.py) the rrf+rerank path is preferred.
-    pipeline = RetrievalPipeline(hybrid, reranker=None)
+    cfg = RetrievalConfig.tuned()
+    pipeline, info = build_pipeline(
+        cfg, corpus_kwargs={"pubmed_path": str(corpus_path)})
     queries = load_queries(queries_path)
-    cfg = dict(fusion_method="weighted", vector_weight=0.2, bm25_weight=0.8)
 
     # Warmup: compile every program in the batched path.
-    pipeline.query_batch([q["body"] for q in queries[:50]], top_k=10, **cfg)
+    kwargs = cfg.query_kwargs()
+    pipeline.query_batch([q["body"] for q in queries[:cfg.batch_size]], **kwargs)
 
     results = run_retrieval_evaluation(
-        pipeline, queries, top_k=10, batch_size=50, dataset="bioasq", **cfg,
+        pipeline, queries, batch_size=cfg.batch_size, dataset="bioasq",
+        warmup=False, **kwargs,
     )
     overall = results["overall"]
     qps = overall["queries_per_second"]
@@ -104,9 +79,13 @@ def main() -> None:
         "hit@10": round(overall.get("hit@10", 0.0), 4),
         "recall": round(overall["recall"], 4),
         "avg_query_latency_ms": round(overall["avg_query_time"] * 1000, 3),
-        "index_build_s": round(build_s, 2),
-        "n_chunks": len(chunks),
-        "encoder": embedder.backend_name,
+        "index_build_s": info["index_build_s"],
+        "n_chunks": info["n_chunks"],
+        "encoder": info["encoder"],
+        "config": {k: v for k, v in cfg.to_dict().items()
+                   if k in ("fusion_method", "vector_weight", "bm25_weight",
+                            "prf_terms", "group_by_doc", "bm25_k1", "bm25_b",
+                            "mine_terms")},
         "devices": describe_devices(),
     }
     print(json.dumps(line))

@@ -1,0 +1,112 @@
+"""Unified run configuration.
+
+The reference scatters its knobs across four argparse CLIs plus hardcoded
+constants (RRF k=60, over-fetch 2×, BM25 k1/b — SURVEY.md §5.6). Round-1's
+bench and evaluate scripts drifted the same way (bench weighted 0.2/0.8 vs
+evaluate rrf 0.5/0.5 — VERDICT.md item 10). This dataclass is the single
+source of truth: bench.py, scripts/evaluate.py and scripts/scale_bench.py
+all consume it, so headline numbers are always produced by ONE recorded
+configuration.
+
+``RetrievalConfig.tuned()`` is the committed operating point, selected on
+the BioASQ-200 eval (see PERFORMANCE.md for the sweep evidence).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Dict, Optional
+
+
+@dataclasses.dataclass
+class RetrievalConfig:
+    """Every knob that affects retrieval quality or speed."""
+
+    # query-time
+    top_k: int = 10
+    fusion_method: str = "weighted"       # "rrf" | "weighted"
+    vector_weight: float = 0.5
+    bm25_weight: float = 0.5
+    prf_terms: int = 0                    # RM3 expansion terms (0 = off)
+    prf_docs: int = 10
+    prf_alpha: float = 0.6
+    group_by_doc: bool = False            # top_k counts distinct documents
+    reranker: str = "none"                # "none" | "simple" | "crossencoder"
+    rerank_top_n: int = 50
+    batch_size: int = 50                  # serving batch
+
+    # index-time
+    bm25_k1: float = 1.5                  # reference defaults (bm25_indexer.py:29)
+    bm25_b: float = 0.75
+    encoder_checkpoint: Optional[str] = None  # None = lexical-hash embedder
+    embedding_dim: int = 2048             # hash embedder dim
+    dense_dtype: str = "float32"          # "float32" | "bfloat16" | "int8"
+    mine_terms: bool = False              # corpus-mined abbreviations + drug map
+
+    @classmethod
+    def reference_parity(cls) -> "RetrievalConfig":
+        """The reference system's own defaults (rrf, k1=1.5/b=0.75,
+        ``run_bioasq_evaluation.py:23-31``) — for parity comparisons."""
+        return cls(fusion_method="rrf", reranker="simple")
+
+    @classmethod
+    def tuned(cls) -> "RetrievalConfig":
+        """The committed operating point (BioASQ-200, one v5e chip):
+        BM25 k1=0.9/b=0.5 (512-char chunks saturate tf quickly and need
+        less length normalization), RM3 PRF with 15 terms, doc-level MaxP
+        grouping, and the semantically-trained dense arm at weight 0.1."""
+        ckpt = Path(__file__).resolve().parent.parent / "checkpoints" / "medrag-sem"
+        return cls(
+            fusion_method="weighted",
+            vector_weight=0.1,
+            bm25_weight=0.9,
+            prf_terms=15,
+            group_by_doc=True,
+            bm25_k1=0.9,
+            bm25_b=0.5,
+            encoder_checkpoint=str(ckpt) if ckpt.exists() else None,
+            mine_terms=True,
+        )
+
+    # ---------------------------------------------------------- conversions
+
+    def query_kwargs(self) -> Dict:
+        """kwargs for ``RetrievalPipeline.query_batch`` /
+        ``evaluation.runners.run_retrieval_evaluation``."""
+        return dict(
+            top_k=self.top_k,
+            fusion_method=self.fusion_method,
+            vector_weight=self.vector_weight,
+            bm25_weight=self.bm25_weight,
+            prf_terms=self.prf_terms,
+            prf_docs=self.prf_docs,
+            prf_alpha=self.prf_alpha,
+            group_by_doc=self.group_by_doc,
+            rerank_top_n=self.rerank_top_n,
+        )
+
+    def to_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "RetrievalConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    def save(self, path) -> None:
+        Path(path).write_text(json.dumps(self.to_dict(), indent=1))
+
+    @classmethod
+    def load(cls, path) -> "RetrievalConfig":
+        return cls.from_dict(json.loads(Path(path).read_text()))
+
+    def apply_overrides(self, args) -> "RetrievalConfig":
+        """Overlay argparse-style attributes that are not None."""
+        out = dataclasses.replace(self)
+        for f in dataclasses.fields(self):
+            v = getattr(args, f.name, None)
+            if v is not None:
+                setattr(out, f.name, v)
+        return out

@@ -174,7 +174,10 @@ class CrossEncoderModel:
         params: Optional[Dict] = None,
         tokenizer: Optional[WordPieceTokenizer] = None,
         max_length: int = 512,
-        batch_size: int = 32,
+        # 256: rerank_batch flattens a whole query batch's pools into one
+        # predict() call; large fixed batches amortize the remote-TPU
+        # dispatch cost (~0.8 s each) that per-query reranking would pay
+        batch_size: int = 256,
     ):
         self.model_name = model_name
         self.max_length = max_length

@@ -407,12 +407,15 @@ class RetrievalPipeline:
             fused = [(fused_ids_np[i], fused_scores_np[i]) for i in range(b)]
             device_rerank_scores = rerank_np if use_device_rerank else None
 
-        outputs = []
-        for b, query in enumerate(queries):
-            f_ids, f_scores = fused[b]
+        # Materialize per-query result dicts (with each result's original
+        # fused SLOT — rerank scores are slot-indexed).
+        n_chunks = len(self.index.chunks)
+        all_results: List[List[Dict]] = []
+        all_slots: List[List[int]] = []
+        for qi in range(b):
+            f_ids, f_scores = fused[qi]
             results = []
-            slots = []  # each result's original fused slot (rerank alignment)
-            n_chunks = len(self.index.chunks)
+            slots = []
             for slot, (i, score) in enumerate(zip(f_ids, f_scores)):
                 if i < 0 or i >= n_chunks:  # padding / mesh-padded rows
                     continue
@@ -428,11 +431,16 @@ class RetrievalPipeline:
                     "score": float(score),
                     "fusion_method": fusion_method,
                 })
-            if use_device_rerank and results:
-                # rerank scores are indexed by fused SLOT (the device pool is
-                # the first top_n fused slots), not by compacted result
-                # position — slots can be skipped when padded rows interleave.
-                rr_scores = device_rerank_scores[b]
+            all_results.append(results)
+            all_slots.append(slots)
+
+        if use_device_rerank:
+            for qi, (results, slots) in enumerate(zip(all_results, all_slots)):
+                if not results:
+                    continue
+                # device pool = the first top_n fused slots; slots can be
+                # skipped when padded rows interleave, so index by slot.
+                rr_scores = device_rerank_scores[qi]
                 rescored = []
                 for r, slot in zip(results, slots):
                     if slot >= self.reranker.top_n:
@@ -442,18 +450,26 @@ class RetrievalPipeline:
                     out_r["fusion_method"] = r["fusion_method"] + "+rerank"
                     rescored.append(out_r)
                 rescored.sort(key=lambda x: -x["rerank_score"])
-                results = rescored[:keep]
-            elif self.reranker is not None and results:
-                with self.timer.stage("rerank"):
-                    results = self.reranker.rerank(query, results, top_k=keep)
-            else:
-                results = results[:keep]
+                all_results[qi] = rescored[:keep]
+        elif self.reranker is not None:
+            # ONE batched scoring pass over every query's pool (the
+            # cross-encoder path: a few large device forwards instead of
+            # one dispatch per query)
+            with self.timer.stage("rerank"):
+                all_results = self.reranker.rerank_batch(
+                    list(queries), all_results, top_k=keep)
+        else:
+            all_results = [r[:keep] for r in all_results]
+
+        outputs = []
+        for qi, query in enumerate(queries):
+            results = all_results[qi]
             if group_by_doc:
                 results = _group_first_per_doc(results, top_k)
             outputs.append({
                 "query": query,
-                "preprocessed": pres[b],
-                "search_query": search_queries[b],
+                "preprocessed": pres[qi],
+                "search_query": search_queries[qi],
                 "num_results": len(results),
                 "results": results,
             })

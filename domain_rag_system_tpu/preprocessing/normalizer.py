@@ -197,6 +197,36 @@ class MedicalTermNormalizer:
         synonyms.discard(term_lower)
         return list(synonyms)
 
+    # ------------------------------------------------------------ mined terms
+
+    def extend_abbreviations(self, extra: Dict[str, str]) -> int:
+        """Merge mined abbreviation pairs (curated entries win on conflict).
+        Returns the number of new entries; patterns recompile once."""
+        added = 0
+        for short, long_form in extra.items():
+            if short not in self.abbreviations and short.lower() not in (
+                    k.lower() for k in self.abbreviations):
+                self.abbreviations[short] = long_form
+                added += 1
+        if added:
+            self._compile()
+            log.info("extended abbreviation table: +%d mined entries (%d total)",
+                     added, len(self.abbreviations))
+        return added
+
+    def mine_terms_from_texts(self, texts: Iterable[str],
+                              min_count: int = 1) -> int:
+        """Mine abbreviation pairs from corpus texts (Schwartz–Hearst,
+        preprocessing/term_mining.py) and merge them into the live table —
+        the open-vocabulary replacement for the reference's SciSpacy NER +
+        fixed dictionary (``query_preprocessor.py:105-127``)."""
+        from domain_rag_system_tpu.preprocessing.term_mining import (
+            mine_abbreviations,
+        )
+
+        mined = mine_abbreviations(texts, min_count=min_count)
+        return self.extend_abbreviations(mined)
+
     # ------------------------------------------------------------ drug map
 
     def build_drug_mapping_from_data(self, documents: List[Document]) -> None:

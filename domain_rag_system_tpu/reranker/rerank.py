@@ -40,17 +40,38 @@ class BaseReranker:
     def rerank(self, query: str, results: List[Dict], top_k: int = 10) -> List[Dict]:
         if not results:
             return results
-        pool = results[: min(self.top_n, len(results))]
-        pairs = [(query, r.get("text", "") or "") for r in pool]
-        scores = self.score_pairs(pairs)
-        rescored = []
-        for r, s in zip(pool, scores):
-            out = r.copy()
-            out["rerank_score"] = float(s)
-            out["fusion_method"] = (out.get("fusion_method") or "pre") + "+rerank"
-            rescored.append(out)
-        rescored.sort(key=lambda x: x["rerank_score"], reverse=True)
-        return rescored[:top_k]
+        return self.rerank_batch([query], [results], top_k=top_k)[0]
+
+    def rerank_batch(
+        self,
+        queries: List[str],
+        results_lists: List[List[Dict]],
+        top_k: int = 10,
+    ) -> List[List[Dict]]:
+        """Rerank many query pools with ONE ``score_pairs`` pass.
+
+        The whole batch's (query, passage) pairs flatten into a single
+        scoring call — for the cross-encoder that means a handful of large
+        padded device forwards instead of one dispatch per query (each
+        dispatch costs ~0.8 s through the remote-TPU tunnel)."""
+        pools = [r[: min(self.top_n, len(r))] for r in results_lists]
+        flat = [(q, r.get("text", "") or "")
+                for q, pool in zip(queries, pools) for r in pool]
+        scores = self.score_pairs(flat) if flat else []
+        out: List[List[Dict]] = []
+        i = 0
+        for pool in pools:
+            rescored = []
+            for r in pool:
+                new_r = r.copy()
+                new_r["rerank_score"] = float(scores[i])
+                new_r["fusion_method"] = (
+                    (new_r.get("fusion_method") or "pre") + "+rerank")
+                rescored.append(new_r)
+                i += 1
+            rescored.sort(key=lambda x: x["rerank_score"], reverse=True)
+            out.append(rescored[:top_k])
+        return out
 
 
 class SimpleSimilarityReranker(BaseReranker):
@@ -65,12 +86,20 @@ class SimpleSimilarityReranker(BaseReranker):
         self.embedder = embedder
 
     def score_pairs(self, pairs: Iterable[Tuple[str, str]]) -> List[float]:
+        import numpy as np
+
         pairs = list(pairs)
         if not pairs:
             return []
-        q_vec = self.embedder.encode(pairs[0][0], normalize=True)[0]
+        # pairs may span multiple queries (rerank_batch): encode each
+        # distinct query once, all passages in one batch, score row-wise
+        queries = [q for q, _ in pairs]
+        unique = list(dict.fromkeys(queries))
+        q_vecs = self.embedder.encode(unique, normalize=True)
+        q_idx = {q: i for i, q in enumerate(unique)}
         d_vecs = self.embedder.encode([p for _, p in pairs], normalize=True)
-        return (d_vecs @ q_vec).astype(float).tolist()
+        rows = np.asarray([q_idx[q] for q in queries])
+        return np.sum(d_vecs * q_vecs[rows], axis=1).astype(float).tolist()
 
 
 class CrossEncoderReranker(BaseReranker):

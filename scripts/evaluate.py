@@ -3,9 +3,13 @@
 emit the comparison report (the moral equivalent of the reference's
 ``evaluation/comprehensive_evaluation.py`` main flow).
 
+Configuration comes from ONE source — ``RetrievalConfig.tuned()`` — with
+CLI flags as explicit overrides, so evaluate/bench/scale_bench can never
+silently drift apart (VERDICT.md round-1 item 10).
+
 Usage:
     python scripts/evaluate.py [--datasets bioasq openfda kaggle]
-                               [--batch_size 32] [--reranker simple]
+                               [--reference_parity] [--force]
 """
 
 import argparse
@@ -22,20 +26,14 @@ from domain_rag_system_tpu.utils.jaxtools import (  # noqa: E402
 
 enable_compilation_cache()
 
+from domain_rag_system_tpu.config import RetrievalConfig  # noqa: E402
 from domain_rag_system_tpu.evaluation.report import generate_report  # noqa: E402
 from domain_rag_system_tpu.evaluation.runners import (  # noqa: E402
     load_queries,
     run_retrieval_evaluation,
     save_results,
 )
-from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex  # noqa: E402
-from domain_rag_system_tpu.models import MedicalEmbedder  # noqa: E402
-from domain_rag_system_tpu.pipeline import RetrievalPipeline  # noqa: E402
-from domain_rag_system_tpu.preprocessing import (  # noqa: E402
-    DataLoader,
-    DocumentChunker,
-)
-from domain_rag_system_tpu.reranker import build_reranker  # noqa: E402
+from domain_rag_system_tpu.serving import build_pipeline  # noqa: E402
 
 DATASETS = {
     "bioasq": {
@@ -59,22 +57,7 @@ DATASETS = {
     },
 }
 
-
-def build_pipeline_for(corpus_kwargs, args) -> RetrievalPipeline:
-    docs = DataLoader(**corpus_kwargs).load_all(missing_ok=True)
-    chunks = DocumentChunker().chunk_documents(docs)
-    if args.checkpoint:
-        embedder = MedicalEmbedder(backend="bert", checkpoint_path=args.checkpoint)
-    else:
-        embedder = MedicalEmbedder(dim=args.embedding_dim)
-    hybrid = HybridIndex(
-        dense_index=DenseIndex(embedder),
-        bm25_index=BM25Index(),
-    )
-    hybrid.index_chunks(chunks)
-    reranker = build_reranker(args.reranker, top_n=args.rerank_top_n,
-                              embedder=embedder)
-    return RetrievalPipeline(hybrid, reranker=reranker)
+BOOL = argparse.BooleanOptionalAction
 
 
 def main() -> None:
@@ -82,68 +65,74 @@ def main() -> None:
     ap.add_argument("--datasets", nargs="+", default=["bioasq", "openfda"],
                     choices=list(DATASETS))
     ap.add_argument("--results_dir", default="results")
-    ap.add_argument("--fusion_method", default="rrf", choices=["rrf", "weighted"])
-    ap.add_argument("--vector_weight", type=float, default=0.5)
-    ap.add_argument("--bm25_weight", type=float, default=0.5)
-    ap.add_argument("--reranker", default="simple",
+    ap.add_argument("--reference_parity", action="store_true",
+                    help="start from the reference's own defaults "
+                         "(rrf, k1=1.5/b=0.75, simple rerank) instead of "
+                         "the tuned operating point")
+    # config overrides (None = keep the base config's value)
+    ap.add_argument("--fusion_method", default=None, choices=["rrf", "weighted"])
+    ap.add_argument("--vector_weight", type=float, default=None)
+    ap.add_argument("--bm25_weight", type=float, default=None)
+    ap.add_argument("--bm25_k1", type=float, default=None)
+    ap.add_argument("--bm25_b", type=float, default=None)
+    ap.add_argument("--prf_terms", type=int, default=None)
+    ap.add_argument("--reranker", default=None,
                     choices=["none", "simple", "crossencoder"])
-    ap.add_argument("--rerank_top_n", type=int, default=50)
-    ap.add_argument("--embedding_dim", type=int, default=2048)
-    ap.add_argument("--checkpoint", default=None,
-                    help="trained encoder checkpoint dir (e.g. "
-                         "checkpoints/medrag-kw); default: lexical-hash")
-    ap.add_argument("--batch_size", type=int, default=32,
+    ap.add_argument("--rerank_top_n", type=int, default=None)
+    ap.add_argument("--embedding_dim", type=int, default=None)
+    ap.add_argument("--encoder_checkpoint", "--checkpoint", dest="encoder_checkpoint",
+                    default=None,
+                    help="trained encoder checkpoint dir; 'none' forces the "
+                         "lexical-hash embedder")
+    ap.add_argument("--batch_size", type=int, default=None,
                     help="0 = per-query latency mode")
-    ap.add_argument("--group_by_doc", action="store_true",
-                    help="top_k counts distinct documents (best chunk per "
-                         "doc), matching the doc-level control's contract")
+    ap.add_argument("--group_by_doc", action=BOOL, default=None)
+    ap.add_argument("--mine_terms", action=BOOL, default=None)
     ap.add_argument("--force", action="store_true",
                     help="recompute even if result files exist")
     args = ap.parse_args()
+
+    base = (RetrievalConfig.reference_parity() if args.reference_parity
+            else RetrievalConfig.tuned())
+    cfg = base.apply_overrides(args)
+    if cfg.encoder_checkpoint == "none":
+        cfg.encoder_checkpoint = None
 
     results_dir = Path(args.results_dir)
     results_dir.mkdir(parents=True, exist_ok=True)
     all_results = {}
     for name in args.datasets:
-        cfg = DATASETS[name]
-        queries_spec = cfg["queries"]
+        ds = DATASETS[name]
+        queries_spec = ds["queries"]
         if queries_spec == "generate":
-            import json as _json
-
             from domain_rag_system_tpu.etl.kaggle import build_test_queries
 
-            corpus_path = cfg["corpus_kwargs"]["kaggle_path"]
-            records = _json.load(open(corpus_path))
+            records = json.load(open(ds["corpus_kwargs"]["kaggle_path"]))
             generated = build_test_queries(records)
             gen_path = results_dir / f"{name}_generated_queries.json"
-            _json.dump(generated, open(gen_path, "w"), indent=1)
-            cfg = {**cfg, "queries": str(gen_path)}
+            json.dump(generated, open(gen_path, "w"), indent=1)
+            ds = {**ds, "queries": str(gen_path)}
         out_path = results_dir / f"{name}_retrieval_results.json"
         if out_path.exists() and not args.force:
             print(f"[{name}] reusing existing {out_path}")
             all_results[name] = json.load(open(out_path))
             continue
-        pipeline = build_pipeline_for(cfg["corpus_kwargs"], args)
-        queries = load_queries(cfg["queries"])
+        pipeline, _ = build_pipeline(cfg, corpus_kwargs=ds["corpus_kwargs"])
+        queries = load_queries(ds["queries"])
+        kwargs = cfg.query_kwargs()
+        kwargs["top_k"] = ds["top_k"]
         results = run_retrieval_evaluation(
-            pipeline, queries,
-            top_k=cfg["top_k"],
-            fusion_method=args.fusion_method,
-            vector_weight=args.vector_weight,
-            bm25_weight=args.bm25_weight,
-            rerank_top_n=args.rerank_top_n,
-            batch_size=args.batch_size,
-            group_by_doc=args.group_by_doc,
-            dataset=name,
+            pipeline, queries, batch_size=cfg.batch_size,
+            dataset=name, **kwargs,
         )
+        results["config"] = {**cfg.to_dict(), "top_k": ds["top_k"]}
         save_results(results, out_path)
         all_results[name] = results
 
     report = generate_report(
         all_results, results_dir,
         environment={"devices": describe_devices(),
-                     "embedding_dim": args.embedding_dim,
-                     "reranker": args.reranker},
+                     "config": cfg.to_dict()},
     )
     for name, section in report.items():
         if isinstance(section, dict) and "overall" in section:

@@ -8,16 +8,19 @@ chunks, then measures end-to-end batched retrieval over the 200-query eval.
 Quality metrics remain meaningful (ground truth lives in the real part;
 distractors only make ranking harder).
 
+Configuration: ``RetrievalConfig.tuned()`` + CLI overrides — shared with
+bench.py and scripts/evaluate.py.
+
 Usage:
-    python scripts/scale_bench.py [--n_chunks 91853] [--batch_size 50]
+    python scripts/scale_bench.py [--n_chunks 91853] [--dense_dtype int8]
+        [--encoder_checkpoint checkpoints/medrag-sem]
+        [--output results/scale_bench_sem_f32.json]
 """
 
 import argparse
-import itertools
 import json
 import random
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -29,18 +32,17 @@ from domain_rag_system_tpu.utils.jaxtools import (  # noqa: E402
 
 enable_compilation_cache()
 
+from domain_rag_system_tpu.config import RetrievalConfig  # noqa: E402
 from domain_rag_system_tpu.evaluation.runners import (  # noqa: E402
     load_queries,
     run_retrieval_evaluation,
 )
-from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex  # noqa: E402
-from domain_rag_system_tpu.models import MedicalEmbedder  # noqa: E402
-from domain_rag_system_tpu.pipeline import RetrievalPipeline  # noqa: E402
 from domain_rag_system_tpu.preprocessing import (  # noqa: E402
     Chunk,
     DataLoader,
     DocumentChunker,
 )
+from domain_rag_system_tpu.serving import build_pipeline  # noqa: E402
 
 _TOPICS = [
     "cardiac", "renal", "hepatic", "neural", "vascular", "immune",
@@ -78,48 +80,67 @@ def synthetic_chunks(n: int, seed: int = 7):
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--n_chunks", type=int, default=91853)
-    ap.add_argument("--batch_size", type=int, default=50)
-    ap.add_argument("--embedding_dim", type=int, default=2048)
-    ap.add_argument("--dtype", default="float32",
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--embedding_dim", type=int, default=None)
+    ap.add_argument("--dense_dtype", "--dtype", dest="dense_dtype", default=None,
                     choices=["float32", "bfloat16", "int8"])
+    ap.add_argument("--encoder_checkpoint", "--checkpoint",
+                    dest="encoder_checkpoint", default=None,
+                    help="trained encoder checkpoint dir; 'none' forces the "
+                         "lexical-hash embedder")
+    ap.add_argument("--vector_weight", type=float, default=None)
+    ap.add_argument("--bm25_weight", type=float, default=None)
+    ap.add_argument("--prf_terms", type=int, default=None)
+    ap.add_argument("--output", default=None,
+                    help="also write the JSON line to this file")
     args = ap.parse_args()
+
+    cfg = RetrievalConfig.tuned().apply_overrides(args)
+    if cfg.encoder_checkpoint == "none":
+        cfg.encoder_checkpoint = None
+    # term mining over 91k synthetic chunks adds build time without
+    # affecting the padded-distractor measurement — mine the real part only
+    # (build_pipeline already restricts mining to real chunks).
 
     root = Path(__file__).resolve().parent.parent
     docs = DataLoader(
         pubmed_path=str(root / "data/recovered/BioASQ/corpus_subset.json")
     ).load_pubmed()
     chunks = DocumentChunker().chunk_documents(docs)
-    n_real = len(chunks)
-    chunks += synthetic_chunks(max(args.n_chunks - n_real, 0))
+    extra = synthetic_chunks(max(args.n_chunks - len(chunks), 0))
     queries = load_queries(root / "data/recovered/BioASQ/bioasq_queries.json")
 
-    embedder = MedicalEmbedder(dim=args.embedding_dim)
-    hybrid = HybridIndex(dense_index=DenseIndex(embedder, dtype=args.dtype),
-                         bm25_index=BM25Index())
-    t0 = time.perf_counter()
-    hybrid.index_chunks(chunks)
-    build_s = time.perf_counter() - t0
+    pipeline, info = build_pipeline(cfg, chunks=chunks, extra_chunks=extra)
+    # drug mapping needs the docs (chunks were prebuilt)
+    if cfg.mine_terms:
+        pipeline.preprocessor.normalizer.build_drug_mapping_from_data(docs)
 
-    pipeline = RetrievalPipeline(hybrid, reranker=None)
-    cfg = dict(fusion_method="weighted", vector_weight=0.1, bm25_weight=0.9)
     results = run_retrieval_evaluation(
-        pipeline, queries, top_k=10, batch_size=args.batch_size,
-        dataset=f"bioasq@{len(chunks)}", **cfg)
+        pipeline, queries, batch_size=cfg.batch_size,
+        dataset=f"bioasq@{info['n_chunks']}", **cfg.query_kwargs())
     o = results["overall"]
-    print(json.dumps({
+    line = {
         "metric": "bioasq200_qps_at_scale",
-        "n_chunks": len(chunks),
-        "n_real_chunks": n_real,
+        "n_chunks": info["n_chunks"],
+        "n_real_chunks": info["n_real_chunks"],
         "value": round(o["queries_per_second"], 2),
         "unit": "queries/sec",
         "recall@5": round(o["recall@5"], 4),
         "ndcg@10": round(o["ndcg@10"], 4),
+        "recall": round(o["recall"], 4),
         "mrr": round(o["mrr"], 4),
-        "index_build_s": round(build_s, 2),
+        "index_build_s": info["index_build_s"],
         "avg_query_latency_ms": round(o["avg_query_time"] * 1000, 3),
-        "dense_dtype": args.dtype,
+        "dense_dtype": cfg.dense_dtype,
+        "encoder": info["encoder"],
+        "config": cfg.to_dict(),
         "devices": describe_devices(),
-    }))
+    }
+    print(json.dumps(line))
+    if args.output:
+        out = Path(args.output)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(line, indent=1))
 
 
 if __name__ == "__main__":
