@@ -181,6 +181,73 @@ def build_etl_chunks(records: List[Dict]) -> List[Dict]:
     return chunks
 
 
+_DISTRACTOR_CONDITIONS = [
+    "Migraine", "Asthma", "Insomnia", "Allergic Rhinitis", "Arthritis",
+    "Gout", "Anxiety", "Eczema", "Bronchitis", "Osteoporosis",
+]
+_DISTRACTOR_CLASSES = [
+    "Beta blockers", "Proton pump inhibitors", "Antihistamines",
+    "Corticosteroids", "Benzodiazepines", "Statins", "Diuretics",
+    "Macrolides", "Triptans", "Bisphosphonates",
+]
+_NAME_SYLLABLES = ["zor", "vex", "lam", "dri", "fen", "tac", "mir", "pol",
+                   "qua", "ben", "sul", "tri", "nex", "cor", "val", "dex"]
+
+
+def make_distractor_records(records: List[Dict], n: int = 60,
+                            seed: int = 13) -> List[Dict]:
+    """Deterministic decoy drug records for honest retrieval evaluation.
+
+    Round-1's regenerated Kaggle eval scored 1.0 across the board because
+    the corpus contained ONLY the records the ground-truth rules select
+    from (VERDICT.md item 4). Distractors share the real records' format
+    and side-effect vocabulary — so they compete lexically — but carry
+    invented drug names and DISJOINT conditions/classes, so they are never
+    legitimate answers and the rule-based ground truth stays complete.
+    """
+    import random
+
+    rng = random.Random(seed)
+    side_pool = []
+    for r in records:
+        se = r.get("side_effects_structured") or {}
+        side_pool += se.get("serious", []) + se.get("common", [])
+    side_pool = sorted(set(side_pool)) or ["nausea", "headache", "dizziness"]
+
+    out = []
+    for i in range(n):
+        name = "".join(rng.sample(_NAME_SYLLABLES, 3)).capitalize()
+        cond = rng.choice(_DISTRACTOR_CONDITIONS)
+        se_serious = rng.sample(side_pool, min(2, len(side_pool)))
+        se_common = rng.sample(side_pool, min(3, len(side_pool)))
+        out.append({
+            "doc_id": _md5(f"distractor|{name}|{cond}|{i}"),
+            "drug_name": name,
+            "generic_name": name.lower(),
+            "medical_condition": cond,
+            "drug_classes": [rng.choice(_DISTRACTOR_CLASSES)],
+            "brand_names": [name],
+            "rx_otc": rng.choice(["Rx", "OTC", "Rx/OTC"]),
+            "pregnancy_category": rng.choice(
+                list(_PREGNANCY_CATEGORIES.values())),
+            "pregnancy_category_raw": "",
+            "csa": "N",
+            "alcohol": "",
+            "rating": round(rng.uniform(1.0, 9.9), 1),
+            "activity": f"{rng.randint(5, 95)}%",
+            "no_of_reviews": rng.randint(1, 500),
+            "side_effects_structured": {"serious": se_serious,
+                                        "common": se_common},
+            "side_effects_raw": "; ".join(se_serious + se_common),
+            "condition_summary": f"{cond} is a chronic condition managed "
+                                 f"with {name.lower()} and lifestyle changes.",
+            "related_drugs": [],
+            "links": {},
+            "distractor": True,
+        })
+    return out
+
+
 #: The 8 fixed query templates (reference test_queries.py:84-99).
 QUERY_TEMPLATES: List[Tuple[str, str]] = [
     ("drug_side_effects", "What are the side effects of {drug}?"),

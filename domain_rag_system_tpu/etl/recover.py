@@ -168,11 +168,17 @@ def recover_openfda_corpus(
 
     Every retrieved doc in the FAISS/RAG result files carries ``doc_id``,
     ``brand_name``, ``generic_name``, a 300-char ``text_preview`` and label
-    metadata. Only docs the baselines actually surfaced are recoverable
-    (~10-100 of the original 2,976) — enough for a smoke evaluation, not a
-    faithful one.
+    metadata. The same doc often appears under several queries and in both
+    result files with DIFFERENT preview fragments (the RAG previews are
+    chunk-level); maximal recovery merges every distinct fragment per doc
+    and prefixes a drug-name header synthesized from the metadata (the
+    format the original extractor used, ``data_extractor.py:88-174``).
+    Only docs the baselines actually surfaced are recoverable (80 of the
+    original 2,976) — coverage stats are reported alongside every eval on
+    this corpus (see ``openfda_coverage``).
     """
-    docs: Dict[str, Dict] = {}
+    frags: Dict[str, List[str]] = {}
+    info: Dict[str, Dict] = {}
     for fname in ("openfda_faiss_test_results.json", "openfda_rag_test_results.json"):
         path = reference_root / "results" / fname
         if not path.exists():
@@ -185,24 +191,76 @@ def recover_openfda_corpus(
                 if not did:
                     continue
                 text = (doc.get("text_preview") or "").rstrip(".").rstrip()
-                prev = docs.get(did)
-                if prev is None or len(text) > len(prev["text"]):
-                    docs[did] = {
-                        "id": did,
-                        "set_id": doc.get("set_id", ""),
-                        "brand_name": doc.get("brand_name", ""),
-                        "generic_name": doc.get("generic_name", ""),
-                        "text": text,
-                        "metadata": doc.get("metadata", {}),
-                    }
-    corpus = sorted(docs.values(), key=lambda d: d["id"])
-    log.info("recovered OpenFDA mini-corpus: %d docs", len(corpus))
+                bucket = frags.setdefault(did, [])
+                if text and text not in bucket:
+                    bucket.append(text)
+                meta = info.setdefault(did, {
+                    "set_id": "", "brand_name": "", "generic_name": "",
+                    "metadata": {}})
+                for key in ("set_id", "brand_name", "generic_name"):
+                    if doc.get(key) and not meta[key]:
+                        meta[key] = doc[key]
+                if doc.get("metadata") and not meta["metadata"]:
+                    meta["metadata"] = doc["metadata"]
+
+    corpus = []
+    for did in sorted(frags):
+        meta = info[did]
+        header = ""
+        if meta["brand_name"] or meta["generic_name"]:
+            header = (f"Drug names: {meta['brand_name']} "
+                      f"({meta['generic_name']})").replace("()", "").strip()
+        parts = ([header] if header else []) + frags[did]
+        corpus.append({
+            "id": did,
+            "set_id": meta["set_id"],
+            "brand_name": meta["brand_name"],
+            "generic_name": meta["generic_name"],
+            "text": "\n".join(parts),
+            "metadata": meta["metadata"],
+        })
+    log.info("recovered OpenFDA mini-corpus: %d docs, %d fragments",
+             len(corpus), sum(len(v) for v in frags.values()))
     if output_path:
         output_path.parent.mkdir(parents=True, exist_ok=True)
         with open(output_path, "w", encoding="utf-8") as f:
             json.dump(corpus, f, ensure_ascii=False)
         log.info("wrote %s", output_path)
     return corpus
+
+
+def corpus_coverage(corpus_ids, queries, original_size: int = 0) -> Dict:
+    """Ground-truth coverage of a recovered corpus + achievable ceilings.
+
+    Evals on snippet-recovered corpora MUST carry these numbers: a gt doc
+    with no recovered text is unreachable for every system, so raw recall /
+    hit@k read unfairly low next to full-corpus reference numbers
+    (VERDICT.md round-1 item 4).
+    """
+    corpus_ids = set(corpus_ids)
+    per_query = []
+    for q in queries:
+        gts = [str(g) for g in q.get("documents", [])]
+        cov = [g for g in gts if g in corpus_ids]
+        per_query.append({
+            "id": q.get("id", ""),
+            "gt_docs": len(gts),
+            "recoverable": len(cov),
+        })
+    n = max(len(per_query), 1)
+    recalls = [p["recoverable"] / p["gt_docs"]
+               for p in per_query if p["gt_docs"]]
+    return {
+        "corpus_docs": len(corpus_ids),
+        "original_corpus_docs": original_size,
+        "queries": len(per_query),
+        "gt_total": sum(p["gt_docs"] for p in per_query),
+        "gt_recoverable": sum(p["recoverable"] for p in per_query),
+        "recall_ceiling": round(sum(recalls) / max(len(recalls), 1), 4),
+        "hit_rate_ceiling": round(
+            sum(1 for p in per_query if p["recoverable"]) / n, 4),
+        "per_query": per_query,
+    }
 
 
 def recover_openfda_queries(
