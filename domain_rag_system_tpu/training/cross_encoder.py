@@ -163,14 +163,26 @@ def make_relevance_batches(
     negatives_per_positive: int = 1,
     epochs: int = 1,
     seed: int = 0,
+    hard_negatives: "Optional[List[List[str]]]" = None,
+    hard_fraction: float = 0.5,
 ) -> Iterable[Dict[str, np.ndarray]]:
     """(query, passage) pairs → (pair-encoded ids, binary labels) batches.
 
-    Each positive pair contributes ``negatives_per_positive`` negatives
-    built by pairing the query with another pair's passage.
+    Each positive pair contributes ``negatives_per_positive`` negatives.
+    Without mined pools, negatives are random cross-pair passages — too
+    easy for a reranker that must separate near-duplicates. With
+    ``hard_negatives[i]`` (e.g. BM25 top hits that are not the positive),
+    ``hard_fraction`` of each pair's negatives come from its pool.
     """
     rng = np.random.default_rng(seed)
     n_pos = max(batch_size // (1 + negatives_per_positive), 1)
+
+    def random_negative(i: int) -> str:
+        j = int(rng.integers(0, len(pairs)))
+        while j == i:
+            j = int(rng.integers(0, len(pairs)))
+        return pairs[j][1]
+
     for _ in range(epochs):
         order = rng.permutation(len(pairs))
         for start in range(0, len(pairs) - n_pos + 1, n_pos):
@@ -180,12 +192,15 @@ def make_relevance_batches(
                 queries.append(pairs[i][0])
                 passages.append(pairs[i][1])
                 labels.append(1.0)
-                for _ in range(negatives_per_positive):
-                    j = int(rng.integers(0, len(pairs)))
-                    while j == i:
-                        j = int(rng.integers(0, len(pairs)))
+                pool = hard_negatives[i] if hard_negatives else []
+                pool = [p for p in pool if p != pairs[i][1]]
+                for n_idx in range(negatives_per_positive):
+                    if pool and rng.random() < hard_fraction:
+                        neg = pool[int(rng.integers(len(pool)))]
+                    else:
+                        neg = random_negative(i)
                     queries.append(pairs[i][0])
-                    passages.append(pairs[j][1])
+                    passages.append(neg)
                     labels.append(0.0)
             # pad with whole duplicate GROUPS so grouped-softmax layouts
             # stay aligned (duplicated groups just repeat a valid example)

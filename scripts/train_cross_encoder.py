@@ -33,7 +33,7 @@ from domain_rag_system_tpu.training.cross_encoder import (  # noqa: E402
 
 import jax  # noqa: E402
 
-from train_encoder import build_pairs  # noqa: E402
+from train_encoder import build_pairs, mine_hard_negatives  # noqa: E402
 
 
 def main() -> None:
@@ -48,6 +48,12 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--negatives", type=int, default=3)
+    ap.add_argument("--pair_style", default="title",
+                    choices=["title", "keyword", "question", "semantic"])
+    ap.add_argument("--hard_negatives", action="store_true",
+                    help="mine BM25 hard negatives (half of each pair's "
+                         "negatives come from its pool)")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--init_from", default=None,
                     help="bi-encoder checkpoint dir to initialize the BERT "
@@ -57,8 +63,28 @@ def main() -> None:
     args = ap.parse_args()
 
     corpus = json.load(open(args.corpus))
-    pairs = build_pairs(corpus)
+    augmenter = None
+    if args.pair_style == "semantic":
+        from domain_rag_system_tpu.preprocessing.normalizer import _load_tables
+        from domain_rag_system_tpu.preprocessing.term_mining import (
+            SynonymAugmenter, mine_term_table)
+
+        texts = [f"{d.get('title', '')} "
+                 f"{d.get('abstract', d.get('text', ''))}" for d in corpus]
+        mined = mine_term_table(texts)
+        curated = _load_tables()
+        augmenter = SynonymAugmenter([
+            mined.get("abbreviations", {}), mined.get("aliases", {}),
+            curated.get("abbreviations", {}),
+            curated.get("condition_synonyms", {}),
+        ])
+    pairs = build_pairs(corpus, style=args.pair_style, augmenter=augmenter,
+                        aug_seed=args.seed)
     print(f"{len(pairs)} relevance pairs")
+    hard_pool = None
+    if args.hard_negatives:
+        hard_pool = mine_hard_negatives(pairs, k=8)
+        print(f"mined hard negatives for {len(hard_pool)} pairs")
 
     init_trunk = None
     if args.init_from:
@@ -92,7 +118,8 @@ def main() -> None:
         trainer.state.params = params
     batches = make_relevance_batches(
         tokenizer, pairs, args.batch_size, seq_len=args.seq_len,
-        negatives_per_positive=args.negatives, epochs=1000)
+        negatives_per_positive=args.negatives, epochs=1000,
+        seed=args.seed, hard_negatives=hard_pool)
     history = trainer.train(itertools.islice(batches, args.steps))
     print(f"final: loss={history[-1]['loss']:.4f} acc={history[-1]['accuracy']:.3f}")
     save_encoder_checkpoint(args.out, config, trainer.state.params, tokenizer)
