@@ -35,6 +35,7 @@ class RetrievalConfig:
     group_by_doc: bool = False            # top_k counts distinct documents
     reranker: str = "none"                # "none" | "simple" | "crossencoder"
     rerank_top_n: int = 50
+    cross_checkpoint: Optional[str] = None  # trained CE for "crossencoder"
     batch_size: int = 50                  # serving batch
 
     # index-time

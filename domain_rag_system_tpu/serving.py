@@ -77,7 +77,8 @@ def build_pipeline(
     preprocessor = QueryPreprocessor(medical_normalizer=normalizer)
 
     reranker = build_reranker(cfg.reranker, top_n=cfg.rerank_top_n,
-                              embedder=embedder)
+                              embedder=embedder,
+                              cross_checkpoint=cfg.cross_checkpoint)
     pipeline = RetrievalPipeline(hybrid, query_preprocessor=preprocessor,
                                  reranker=reranker)
     info = {

@@ -24,9 +24,67 @@ from domain_rag_system_tpu.generation import AnswerGenerator, TemplateGenerator 
 from query import add_query_flags, build_pipeline  # noqa: E402
 
 
+def make_generator(args):
+    if args.use_llm:
+        return AnswerGenerator(
+            model_type=args.model_type,
+            model_name=args.model_name,
+            api_key=args.api_key,
+            temperature=args.temperature,
+            max_tokens=args.max_tokens,
+            **args.generator_kwargs,
+        )
+    return TemplateGenerator()
+
+
+def run_answer_evaluation(args) -> None:
+    """retrieve → generate → answer-aware metrics over a query set
+    (reference flow: ``evaluation/evaluator.py:24-144``), written as one
+    committed artifact."""
+    from domain_rag_system_tpu.config import RetrievalConfig
+    from domain_rag_system_tpu.evaluation.evaluator import evaluate_answers
+    from domain_rag_system_tpu.evaluation.runners import load_queries
+    from domain_rag_system_tpu.serving import build_pipeline as build_serving
+
+    cfg = RetrievalConfig.tuned()
+    pipeline, info = build_serving(
+        cfg, corpus_kwargs={"pubmed_path": args.eval_corpus})
+    queries = load_queries(args.evaluate)
+    generator = make_generator(args)
+
+    answers, retrieved_texts = {}, {}
+    kwargs = cfg.query_kwargs()
+    t0 = time.time()
+    for start in range(0, len(queries), cfg.batch_size):
+        batch = queries[start:start + cfg.batch_size]
+        outs = pipeline.query_batch([q["body"] for q in batch], **kwargs)
+        for q, out in zip(batch, outs):
+            gen = generator.generate(q["body"], out["results"])
+            answers[q["id"]] = gen["answer"]
+            retrieved_texts[q["id"]] = [r["text"] for r in out["results"]]
+    elapsed = time.time() - t0
+
+    summary = evaluate_answers(queries, answers, retrieved_texts)
+    summary["generator"] = type(generator).__name__
+    summary["retrieval_config"] = info["config"]
+    summary["n_queries"] = len(queries)
+    summary["wall_time_s"] = round(elapsed, 2)
+    out = Path(args.eval_output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w", encoding="utf-8") as f:
+        json.dump(summary, f, indent=1, ensure_ascii=False)
+    print(f"answer evaluation -> {out}")
+    for t, m in summary["by_type"].items():
+        line = " ".join(f"{k}={v:.3f}" for k, v in sorted(m.items())
+                        if isinstance(v, float))
+        print(f"  {t}: {line}")
+    if "support_coverage" in summary:
+        print(f"  support_coverage={summary['support_coverage']:.3f}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query", default=None)
     ap.add_argument("--output", default=None)
     add_query_flags(ap)
     ap.add_argument("--use_llm", action="store_true")
@@ -38,7 +96,19 @@ def main() -> None:
     ap.add_argument("--max_tokens", type=int, default=500)
     ap.add_argument("--generator_kwargs", type=json.loads, default={})
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--evaluate", default=None, metavar="QUERIES_JSON",
+                    help="run retrieve->generate->answer-metrics over a "
+                         "query set instead of a single --query")
+    ap.add_argument("--eval_corpus",
+                    default="data/recovered/BioASQ/corpus_subset.json")
+    ap.add_argument("--eval_output", default="results/answer_eval.json")
     args = ap.parse_args()
+
+    if args.evaluate:
+        run_answer_evaluation(args)
+        return
+    if not args.query:
+        ap.error("--query or --evaluate is required")
 
     pipeline = build_pipeline(args)
     t0 = time.time()
@@ -52,18 +122,7 @@ def main() -> None:
         rerank_top_n=args.rerank_top_n,
     )
 
-    if args.use_llm:
-        generator = AnswerGenerator(
-            model_type=args.model_type,
-            model_name=args.model_name,
-            api_key=args.api_key,
-            temperature=args.temperature,
-            max_tokens=args.max_tokens,
-            **args.generator_kwargs,
-        )
-    else:
-        generator = TemplateGenerator()
-
+    generator = make_generator(args)
     answer = generator.generate(args.query, retrieval["results"])
     elapsed = time.time() - t0
 
