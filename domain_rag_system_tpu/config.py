@@ -36,6 +36,8 @@ class RetrievalConfig:
     reranker: str = "none"                # "none" | "simple" | "crossencoder"
     rerank_top_n: int = 50
     cross_checkpoint: Optional[str] = None  # trained CE for "crossencoder"
+    rerank_blend: float = 0.0             # 0 = pure rerank scores; >0 mixes
+                                          # the fusion ranking back in
     batch_size: int = 50                  # serving batch
 
     # index-time

@@ -100,6 +100,72 @@ def pallas_masked_scores(
     )(queries, embeddings, mask.astype(jnp.int32).reshape(1, -1))
 
 
+def _score_blocktopk_kernel(q_ref, e_ref, m_ref, os_ref, oi_ref, *, kb: int):
+    """One corpus tile: scores = q @ tileᵀ (masked), then the tile's local
+    top-kb (scores, in-tile indices) — the [B, N] score matrix never
+    reaches HBM; only [B, kb] per tile does."""
+    scores = jax.lax.dot_general(
+        q_ref[:], e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(m_ref[:] > 0, scores, -1e30)
+    top_s, top_i = jax.lax.top_k(scores, kb)
+    os_ref[:] = top_s[:, None, :]
+    oi_ref[:] = top_i.astype(jnp.int32)[:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n"))
+def pallas_fused_topk(
+    queries: jax.Array,      # [B, d] f32/bf16
+    embeddings: jax.Array,   # [N, d] same dtype; N % block_n == 0
+    mask: jax.Array,         # [N] nonzero = keep
+    k: int,
+    block_n: int = 2048,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused score→top-k: per-tile local top-k in VMEM, then one global
+    top-k over the [B, nb·kb] candidates.
+
+    HBM traffic for the score tensor drops from [B, N] to [B, nb·kb]
+    (~block_n/kb × less). Correctness requires kb ≥ k per tile (a tile can
+    contribute at most kb survivors; k ≤ kb guarantees no loss).
+    """
+    n, b = embeddings.shape[0], queries.shape[0]
+    nb = n // block_n
+    kb = min(max(k, 1), block_n)
+    grid = (nb,)
+    interpret = jax.default_backend() != "tpu"
+    top_s, top_i = pl.pallas_call(
+        functools.partial(_score_blocktopk_kernel, kb=kb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, queries.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, embeddings.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, 1, kb), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, kb), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nb, kb), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, kb), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries, embeddings, mask.astype(jnp.int32).reshape(1, -1))
+    # global indices = tile offset + in-tile index
+    offsets = (jnp.arange(nb, dtype=jnp.int32) * block_n)[None, :, None]
+    cand_idx = (top_i + offsets).reshape(b, nb * kb)
+    cand_s = top_s.reshape(b, nb * kb)
+    sel_s, sel_pos = lax_topk(cand_s, k)
+    return sel_s, jnp.take_along_axis(cand_idx, sel_pos, axis=1)
+
+
 # ----------------------------------------------------------------------- topk
 
 @functools.partial(jax.jit, static_argnames=("k", "use_pallas"))

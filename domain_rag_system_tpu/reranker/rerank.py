@@ -28,11 +28,19 @@ log = get_logger(__name__)
 
 
 class BaseReranker:
-    """Pool-rerank interface (reference ``BaseReranker``, rerank.py:19-43)."""
+    """Pool-rerank interface (reference ``BaseReranker``, rerank.py:19-43).
 
-    def __init__(self, top_n: int = 50, name: str = "base"):
+    ``blend`` interpolates the reranker's scores with the incoming fusion
+    ranking: ``final = (1-blend)·norm(rerank) + blend·norm(fusion)``. With
+    blend=0 (reference behavior) a weak reranker can destroy a strong
+    fusion ordering; blend>0 makes reranking strictly additive signal.
+    """
+
+    def __init__(self, top_n: int = 50, name: str = "base",
+                 blend: float = 0.0):
         self.top_n = top_n
         self.name = name
+        self.blend = blend
 
     def score_pairs(self, pairs: Iterable[Tuple[str, str]]) -> List[float]:
         raise NotImplementedError
@@ -58,17 +66,32 @@ class BaseReranker:
         flat = [(q, r.get("text", "") or "")
                 for q, pool in zip(queries, pools) for r in pool]
         scores = self.score_pairs(flat) if flat else []
+
+        def norm(vals: List[float]) -> List[float]:
+            lo, hi = min(vals), max(vals)
+            span = hi - lo
+            return [(v - lo) / span if span > 0 else 0.5 for v in vals]
+
         out: List[List[Dict]] = []
         i = 0
         for pool in pools:
+            pool_scores = [float(scores[i + j]) for j in range(len(pool))]
+            i += len(pool)
+            if self.blend > 0 and pool:
+                rr_n = norm(pool_scores)
+                fu_n = norm([float(r.get("score", 0.0)) for r in pool])
+                final = [(1.0 - self.blend) * a + self.blend * b
+                         for a, b in zip(rr_n, fu_n)]
+            else:
+                final = pool_scores
             rescored = []
-            for r in pool:
+            for r, raw, f in zip(pool, pool_scores, final):
                 new_r = r.copy()
-                new_r["rerank_score"] = float(scores[i])
+                new_r["rerank_score"] = f
+                new_r["rerank_raw"] = raw
                 new_r["fusion_method"] = (
                     (new_r.get("fusion_method") or "pre") + "+rerank")
                 rescored.append(new_r)
-                i += 1
             rescored.sort(key=lambda x: x["rerank_score"], reverse=True)
             out.append(rescored[:top_k])
         return out
@@ -131,20 +154,24 @@ def build_reranker(
     cross_model: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
     embedder=None,
     cross_checkpoint: Optional[str] = None,
+    blend: float = 0.0,
 ) -> Optional[BaseReranker]:
     """Reranker factory with reference fallback semantics."""
     if kind == "none":
         return None
     if kind == "crossencoder":
         try:
-            return CrossEncoderReranker(
+            rr = CrossEncoderReranker(
                 model_name=cross_model, top_n=top_n,
                 checkpoint_path=cross_checkpoint,
             )
+            rr.blend = blend
+            return rr
         except Exception as exc:
             log.warning(
                 "cross-encoder %r unavailable (%s) — falling back to "
                 "simple similarity reranker", cross_model, exc,
             )
-            return SimpleSimilarityReranker(embedder=embedder, top_n=top_n)
-    return SimpleSimilarityReranker(embedder=embedder, top_n=top_n)
+    rr = SimpleSimilarityReranker(embedder=embedder, top_n=top_n)
+    rr.blend = blend
+    return rr

@@ -78,7 +78,8 @@ def build_pipeline(
 
     reranker = build_reranker(cfg.reranker, top_n=cfg.rerank_top_n,
                               embedder=embedder,
-                              cross_checkpoint=cfg.cross_checkpoint)
+                              cross_checkpoint=cfg.cross_checkpoint,
+                              blend=cfg.rerank_blend)
     pipeline = RetrievalPipeline(hybrid, query_preprocessor=preprocessor,
                                  reranker=reranker)
     info = {
