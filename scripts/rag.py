@@ -25,6 +25,10 @@ from query import add_query_flags, build_pipeline  # noqa: E402
 
 
 def make_generator(args):
+    if getattr(args, "generator", None) == "extractive":
+        from domain_rag_system_tpu.generation import ExtractiveGenerator
+
+        return ExtractiveGenerator()
     if args.use_llm:
         return AnswerGenerator(
             model_type=args.model_type,
@@ -59,7 +63,8 @@ def run_answer_evaluation(args) -> None:
         batch = queries[start:start + cfg.batch_size]
         outs = pipeline.query_batch([q["body"] for q in batch], **kwargs)
         for q, out in zip(batch, outs):
-            gen = generator.generate(q["body"], out["results"])
+            gen = generator.generate(q["body"], out["results"],
+                                     question_type=q.get("type", "summary"))
             answers[q["id"]] = gen["answer"]
             retrieved_texts[q["id"]] = [r["text"] for r in out["results"]]
     elapsed = time.time() - t0
@@ -96,6 +101,9 @@ def main() -> None:
     ap.add_argument("--max_tokens", type=int, default=500)
     ap.add_argument("--generator_kwargs", type=json.loads, default={})
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--generator", default=None,
+                    choices=["template", "extractive"],
+                    help="LLM-free generator kind (default: template)")
     ap.add_argument("--evaluate", default=None, metavar="QUERIES_JSON",
                     help="run retrieve->generate->answer-metrics over a "
                          "query set instead of a single --query")
