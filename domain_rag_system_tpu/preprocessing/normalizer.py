@@ -89,9 +89,13 @@ class MedicalTermNormalizer:
     # ------------------------------------------------------------ compile
 
     def _compile(self) -> None:
+        # version counter lets consumers (QueryPreprocessor) cache their own
+        # derived patterns and invalidate when the tables change
+        self.version = getattr(self, "version", 0) + 1
         # Abbreviation pattern + lowercase lookup for replacements.
         self._abbr_pattern = _alternation(self.abbreviations)
         self._abbr_lookup = {k.lower(): v for k, v in self.abbreviations.items()}
+        self._abbr_canon = {k.lower(): k for k in self.abbreviations}
 
         # Condition synonym → standard name. The standard names map to
         # themselves: with longest-first matching this shields synonyms that
@@ -109,6 +113,7 @@ class MedicalTermNormalizer:
         self._compile_drugs()
 
     def _compile_drugs(self) -> None:
+        self.version = getattr(self, "version", 0) + 1
         # Brand (lowercased) → generic.
         self._brand_lookup: Dict[str, str] = {}
         for generic, brands in self._drug_mapping.items():
@@ -165,9 +170,14 @@ class MedicalTermNormalizer:
                 if brand.lower() in text_lower:
                     result["drugs"].append(f"{brand} ({generic})")
 
-        for abbr in self.abbreviations:
-            if re.search(r"\b" + re.escape(abbr) + r"\b", text, re.IGNORECASE):
-                result["abbreviations"].append(abbr)
+        if self._abbr_pattern is not None:
+            seen = set()
+            for m in self._abbr_pattern.finditer(text):
+                key = m.group(0).lower()
+                if key not in seen:
+                    seen.add(key)
+                    # report the table's canonical casing (reference schema)
+                    result["abbreviations"].append(self._abbr_canon[key])
 
         return result
 

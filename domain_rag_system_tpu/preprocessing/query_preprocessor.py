@@ -118,39 +118,61 @@ class QueryPreprocessor:
         entities: List[Dict] = []
         seen_spans = set()
 
-        def scan(terms: Dict[str, str]) -> None:
-            pattern_terms = sorted(terms, key=len, reverse=True)
-            for term in pattern_terms:
-                for m in re.finditer(r"\b" + re.escape(term) + r"\b", text, re.IGNORECASE):
-                    span = (m.start(), m.end())
-                    if any(s <= span[0] < e or s < span[1] <= e for s, e in seen_spans):
-                        continue
-                    seen_spans.add(span)
-                    entities.append({
-                        "text": m.group(0),
-                        "label": terms[term],
-                        "start": m.start(),
-                        "end": m.end(),
-                    })
+        def scan(pattern: "re.Pattern | None", lookup: Dict[str, str]) -> None:
+            if pattern is None:
+                return
+            for m in pattern.finditer(text):
+                span = (m.start(), m.end())
+                if any(s <= span[0] < e or s < span[1] <= e for s, e in seen_spans):
+                    continue
+                seen_spans.add(span)
+                entities.append({
+                    "text": m.group(0),
+                    "label": lookup[m.group(0).lower()],
+                    "start": m.start(),
+                    "end": m.end(),
+                })
 
-        norm = self.normalizer
-        drug_terms: Dict[str, str] = {}
-        for generic, brands in norm.drug_mapping.items():
-            drug_terms[generic] = "DRUG"
-            for b in brands:
-                drug_terms[b] = "DRUG"
-        cond_terms: Dict[str, str] = {}
-        for standard, syns in norm.condition_synonyms.items():
-            cond_terms[standard] = "CONDITION"
-            for s in syns:
-                cond_terms[s] = "CONDITION"
-        abbr_terms = {a: "ABBREVIATION" for a in norm.abbreviations}
-
-        scan(drug_terms)
-        scan(cond_terms)
-        scan(abbr_terms)
+        for pattern, lookup in self._gazetteer_patterns():
+            scan(pattern, lookup)
         entities.sort(key=lambda e: e["start"])
         return entities
+
+    def _gazetteer_patterns(self):
+        """Compiled single-alternation gazetteer patterns, cached against the
+        normalizer's table version (one regex pass per table instead of one
+        scan per term — at 400+ mined abbreviations the per-term loop
+        dominated query preprocessing)."""
+        norm = self.normalizer
+        version = getattr(norm, "version", 0)
+        cached = getattr(self, "_gazetteer_cache", None)
+        if cached is not None and cached[0] == version:
+            return cached[1]
+
+        def alternation(lookup: Dict[str, str]):
+            terms = sorted(lookup, key=len, reverse=True)
+            if not terms:
+                return None
+            return re.compile(
+                r"\b(?:" + "|".join(re.escape(t) for t in terms) + r")\b",
+                re.IGNORECASE)
+
+        drug_terms: Dict[str, str] = {}
+        for generic, brands in norm.drug_mapping.items():
+            drug_terms[generic.lower()] = "DRUG"
+            for b in brands:
+                drug_terms[b.lower()] = "DRUG"
+        cond_terms: Dict[str, str] = {}
+        for standard, syns in norm.condition_synonyms.items():
+            cond_terms[standard.lower()] = "CONDITION"
+            for s in syns:
+                cond_terms[s.lower()] = "CONDITION"
+        abbr_terms = {a.lower(): "ABBREVIATION" for a in norm.abbreviations}
+
+        patterns = [(alternation(t), t)
+                    for t in (drug_terms, cond_terms, abbr_terms)]
+        self._gazetteer_cache = (version, patterns)
+        return patterns
 
     def get_query_keywords(self, query: str) -> List[str]:
         """Important keywords: stopwords removed, medical terms protected
