@@ -59,7 +59,10 @@ class RetrievalConfig:
         """The committed operating point (BioASQ-200, one v5e chip):
         BM25 k1=0.9/b=0.5 (512-char chunks saturate tf quickly and need
         less length normalization), RM3 PRF with 15 terms, doc-level MaxP
-        grouping, and the semantically-trained dense arm at weight 0.1."""
+        grouping, the semantically-trained dense arm at weight 0.1, and a
+        bf16 dense index (at 91k chunks the fused program runs 3.3× faster
+        with bf16/int8 corpus rows than f32 — identical ranking quality;
+        PERFORMANCE.md)."""
         ckpt = Path(__file__).resolve().parent.parent / "checkpoints" / "medrag-sem"
         return cls(
             fusion_method="weighted",
@@ -70,6 +73,7 @@ class RetrievalConfig:
             bm25_k1=0.9,
             bm25_b=0.5,
             encoder_checkpoint=str(ckpt) if ckpt.exists() else None,
+            dense_dtype="auto",   # f32 under ~16k rows, bf16 at scale
             mine_terms=True,
         )
 

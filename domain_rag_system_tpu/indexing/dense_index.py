@@ -41,7 +41,7 @@ class DenseIndex:
         collection_name: str = "medical_rag",
         distance: str = "cosine",
         row_block: int = 1024,
-        dtype: str = "float32",     # "float32" | "bfloat16" | "int8"
+        dtype: str = "float32",     # "float32" | "bfloat16" | "int8" | "auto"
         mesh=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``"shard"`` axis —
@@ -51,12 +51,14 @@ class DenseIndex:
         explicit-collective variant)."""
         if distance not in ("cosine", "dot", "euclid"):
             raise ValueError(f"unsupported distance {distance!r}")
+        if dtype not in ("float32", "bfloat16", "int8", "auto"):
+            raise ValueError(f"unsupported dtype {dtype!r}")
         self.embedder = embedder
         self.collection_name = collection_name
         self.distance = distance
         self.row_block = row_block
-        self.quantize = dtype == "int8"
-        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self._dtype_spec = dtype
+        self._resolve_dtype("float32" if dtype == "auto" else dtype)
         self.mesh = mesh
         self.row_scale = None  # [N_pad] f32 dequant scales (int8 mode)
 
@@ -66,6 +68,10 @@ class DenseIndex:
         self._valid: Optional[np.ndarray] = None       # [N_pad] uint8
         self._filters: Optional[FilterSet] = None
         self.n_chunks = 0
+
+    def _resolve_dtype(self, spec: str) -> None:
+        self.quantize = spec == "int8"
+        self.dtype = jnp.bfloat16 if spec == "bfloat16" else jnp.float32
 
     # ------------------------------------------------------------------ build
 
@@ -78,6 +84,12 @@ class DenseIndex:
         """Embed and store all chunk texts (or adopt precomputed embeddings)."""
         self.chunks = list(chunks)
         self.n_chunks = len(self.chunks)
+        if self._dtype_spec == "auto":
+            # measured on v5e: at ≥~16k rows the fused query program runs
+            # ~3× faster with bf16 corpus rows than f32 (identical ranking);
+            # below that f32 wins slightly (PERFORMANCE.md)
+            self._resolve_dtype("float32" if self.n_chunks < 16384
+                                else "bfloat16")
 
         if precomputed is not None:
             emb = np.asarray(precomputed, dtype=np.float32)

@@ -111,8 +111,8 @@ def _score_blocktopk_kernel(q_ref, e_ref, m_ref, os_ref, oi_ref, *, kb: int):
     )
     scores = jnp.where(m_ref[:] > 0, scores, -1e30)
     top_s, top_i = jax.lax.top_k(scores, kb)
-    os_ref[:] = top_s[:, None, :]
-    oi_ref[:] = top_i.astype(jnp.int32)[:, None, :]
+    os_ref[:] = top_s[None]
+    oi_ref[:] = top_i.astype(jnp.int32)[None]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_n"))
@@ -129,10 +129,20 @@ def pallas_fused_topk(
     HBM traffic for the score tensor drops from [B, N] to [B, nb·kb]
     (~block_n/kb × less). Correctness requires kb ≥ k per tile (a tile can
     contribute at most kb survivors; k ≤ kb guarantees no loss).
+
+    STATUS (measured, results/kernel_bench.json): ``lax.top_k`` has no
+    Pallas-TPU lowering as of this JAX build, so on real chips this kernel
+    cannot compile; it runs in interpret mode on CPU (tests) and stands by
+    for the lowering to land. The measurement matters anyway: XLA's stock
+    matmul+top_k does [B=50, N=92k, d=256] in 2.6 ms — the dense arm is
+    <2% of a query batch — so the fusion has no headroom to buy at current
+    corpus scales. Keep the XLA path (the measured winner).
     """
     n, b = embeddings.shape[0], queries.shape[0]
     nb = n // block_n
-    kb = min(max(k, 1), block_n)
+    # kb padded to the 128-lane tile (TPU block shapes need the minor dim
+    # divisible by 128 or equal to the full dimension)
+    kb = min(-(-max(k, 1) // 128) * 128, block_n)
     grid = (nb,)
     interpret = jax.default_backend() != "tpu"
     top_s, top_i = pl.pallas_call(
@@ -147,21 +157,21 @@ def pallas_fused_topk(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((b, 1, kb), lambda i: (0, i, 0),
+            pl.BlockSpec((1, b, kb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, kb), lambda i: (0, i, 0),
+            pl.BlockSpec((1, b, kb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, nb, kb), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, kb), jnp.int32),
+            jax.ShapeDtypeStruct((nb, b, kb), jnp.float32),
+            jax.ShapeDtypeStruct((nb, b, kb), jnp.int32),
         ],
         interpret=interpret,
     )(queries, embeddings, mask.astype(jnp.int32).reshape(1, -1))
     # global indices = tile offset + in-tile index
-    offsets = (jnp.arange(nb, dtype=jnp.int32) * block_n)[None, :, None]
-    cand_idx = (top_i + offsets).reshape(b, nb * kb)
-    cand_s = top_s.reshape(b, nb * kb)
+    offsets = (jnp.arange(nb, dtype=jnp.int32) * block_n)[:, None, None]
+    cand_idx = jnp.transpose(top_i + offsets, (1, 0, 2)).reshape(b, nb * kb)
+    cand_s = jnp.transpose(top_s, (1, 0, 2)).reshape(b, nb * kb)
     sel_s, sel_pos = lax_topk(cand_s, k)
     return sel_s, jnp.take_along_axis(cand_idx, sel_pos, axis=1)
 
