@@ -33,6 +33,8 @@ class RetrievalConfig:
     prf_docs: int = 10
     prf_alpha: float = 0.6
     group_by_doc: bool = False            # top_k counts distinct documents
+    evidence_alpha: float = 0.0           # doc evidence aggregation: doc score
+                                          # = best chunk + alpha*sum(next 2)
     reranker: str = "none"                # "none" | "simple" | "crossencoder"
     rerank_top_n: int = 50
     cross_checkpoint: Optional[str] = None  # trained CE for "crossencoder"
@@ -70,6 +72,8 @@ class RetrievalConfig:
             bm25_weight=0.9,
             prf_terms=15,
             group_by_doc=True,
+            evidence_alpha=0.8,   # doc = best chunk + 0.8*sum(next 2): multi-
+                                  # chunk evidence beats MaxP on r@5/nDCG/MRR
             bm25_k1=0.9,
             bm25_b=0.5,
             encoder_checkpoint=str(ckpt) if ckpt.exists() else None,
@@ -91,6 +95,7 @@ class RetrievalConfig:
             prf_docs=self.prf_docs,
             prf_alpha=self.prf_alpha,
             group_by_doc=self.group_by_doc,
+            evidence_alpha=self.evidence_alpha,
             rerank_top_n=self.rerank_top_n,
         )
 

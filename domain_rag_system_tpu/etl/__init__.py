@@ -5,6 +5,7 @@ from domain_rag_system_tpu.etl.recover import (
     recover_openfda_queries,
     synthesize_kaggle_corpus,
 )
+from domain_rag_system_tpu.etl.synthetic import synthetic_chunks
 
 __all__ = [
     "recover_bioasq_corpus",
@@ -12,4 +13,5 @@ __all__ = [
     "recover_openfda_corpus",
     "recover_openfda_queries",
     "synthesize_kaggle_corpus",
+    "synthetic_chunks",
 ]

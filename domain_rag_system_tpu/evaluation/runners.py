@@ -80,6 +80,7 @@ def run_retrieval_evaluation(
     dataset: str = "dataset",
     warmup: bool = True,
     group_by_doc: bool = False,
+    stream: bool = False,
     **pipeline_kwargs,
 ) -> Dict:
     """Evaluate retrieval over queries: [{id, body, type?, documents}].
@@ -91,6 +92,10 @@ def run_retrieval_evaluation(
     pollute the timing (results are identical either way).
     ``group_by_doc`` returns ``top_k`` distinct documents (best chunk per
     doc) — the same contract as the doc-level dense control.
+    ``stream`` (with ``batch_size > 0``) runs the software-pipelined
+    executor (``RetrievalPipeline.query_stream``): dispatch of batch i+1
+    overlaps finalization of batch i. Results are bit-identical; per-query
+    times are then wall-clock averages (batch boundaries overlap).
     """
     per_query: List[Dict] = []
     if warmup and queries:
@@ -126,7 +131,19 @@ def run_retrieval_evaluation(
             "metrics": metrics,
         }
 
-    if batch_size > 0:
+    if batch_size > 0 and stream:
+        t0 = time.perf_counter()
+        outs = pipeline.query_stream(
+            [q["body"] for q in queries], batch_size=batch_size,
+            top_k=top_k, fusion_method=fusion_method,
+            vector_weight=vector_weight, bm25_weight=bm25_weight,
+            rerank_top_n=rerank_top_n, group_by_doc=group_by_doc,
+            **pipeline_kwargs,
+        )
+        dt = (time.perf_counter() - t0) / max(len(queries), 1)
+        for q, out in zip(queries, outs):
+            per_query.append(evaluate_one(q, out["results"], dt))
+    elif batch_size > 0:
         for start in range(0, len(queries), batch_size):
             batch = list(queries[start:start + batch_size])
             t0 = time.perf_counter()
@@ -147,6 +164,7 @@ def run_retrieval_evaluation(
                 q["body"], top_k=top_k, fusion_method=fusion_method,
                 vector_weight=vector_weight, bm25_weight=bm25_weight,
                 rerank_top_n=rerank_top_n, group_by_doc=group_by_doc,
+                evidence_alpha=pipeline_kwargs.get("evidence_alpha", 0.0),
             )
             dt = time.perf_counter() - t0
             per_query.append(evaluate_one(q, out["results"], dt))
@@ -183,6 +201,7 @@ def run_retrieval_evaluation(
             "bm25_weight": bm25_weight,
             "rerank_top_n": rerank_top_n,
             "batch_size": batch_size,
+            "stream": stream,
             "group_by_doc": group_by_doc,
             "reranker": getattr(pipeline.reranker, "name", "none"),
         },

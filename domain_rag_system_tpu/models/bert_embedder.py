@@ -146,6 +146,46 @@ class BertEmbedder:
         # needed by callers, so `normalize=False` is accepted but moot.
         return out
 
+    @functools.cached_property
+    def _forward_packed(self):
+        """Forward taking ONLY token ids; attention mask and type ids are
+        derived on device (PAD id is 0; single-text inputs are type 0).
+        Through the remote-TPU tunnel every host→device array is a
+        round trip — one upload instead of three."""
+        @jax.jit
+        def forward(params, input_ids):
+            mask = (input_ids != 0).astype(jnp.int32)
+            # batch-padding rows are all-PAD: keep one attended slot so
+            # softmax rows stay finite (mirrors encode()'s mask[-pad:,0]=1)
+            mask = mask.at[:, 0].set(1)
+            types = jnp.zeros_like(input_ids)
+            return self.module.apply(params, input_ids, mask, types,
+                                     deterministic=True)
+        return forward
+
+    def encode_device(self, texts) -> jax.Array:
+        """Encode and LEAVE the embeddings on device (no host pull).
+
+        The serving path consumes query embeddings inside the fused device
+        program; ``encode()``'s device→host pull plus the caller's re-upload
+        are two wasted tunnel round trips. Exact same embeddings as
+        ``encode`` (same tokenizer, same forward).
+        """
+        if isinstance(texts, str):
+            texts = [texts]
+        encoder = self._native_wp or self.tokenizer
+        chunks = []
+        for start in range(0, len(texts), self.batch_size):
+            batch = list(texts[start:start + self.batch_size])
+            ids, _, _ = encoder.encode_batch(
+                batch, max_length=self._bucket_for(batch))
+            pad = self.batch_size - ids.shape[0]
+            if pad:
+                ids = np.pad(ids, ((0, pad), (0, 0)))
+            chunks.append(self._forward_packed(self.params, jnp.asarray(ids))
+                          [: len(batch)])
+        return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+
     def _bucket_for(self, batch: Sequence[str]) -> int:
         longest = max((len(t) // 3 for t in batch), default=1)  # ≈ chars→tokens
         return pick_bucket(max(longest, 1), self.max_length)

@@ -95,6 +95,15 @@ class MedicalEmbedder:
     def encode(self, texts, normalize: bool = True) -> np.ndarray:
         return self._impl.encode(texts, normalize=normalize)
 
+    def encode_device(self, texts):
+        """Device-resident encode (no host pull) when the backend supports
+        it; falls back to a host encode + one upload."""
+        if hasattr(self._impl, "encode_device"):
+            return self._impl.encode_device(texts)
+        import jax.numpy as jnp
+
+        return jnp.asarray(self._impl.encode(texts, normalize=True))
+
     def encode_chunks(self, chunks, normalize: bool = True) -> np.ndarray:
         return self._impl.encode([c.text for c in chunks], normalize=normalize)
 

@@ -68,3 +68,32 @@ def load_encoder_checkpoint(ckpt_dir) -> Tuple[BertConfig, Dict, WordPieceTokeni
     tokenizer = WordPieceTokenizer.from_vocab_file(str(ckpt / "vocab.txt"))
     log.info("loaded encoder checkpoint from %s", ckpt)
     return config, params, tokenizer
+
+
+def extend_position_embeddings(
+    trunk_params: Dict, config: BertConfig, new_len: int
+) -> Tuple[Dict, BertConfig]:
+    """Extend a trunk's learned absolute-position table to ``new_len`` by
+    tiling (positions beyond the trained range repeat the learned table).
+
+    Every transformer layer transfers unchanged, so a short-context trunk
+    (e.g. the 64-position bi-encoder) can initialize a longer-context
+    cross-encoder — the round-2 CE's quality ceiling was exactly this
+    truncation (a 64-position CE reads only ~40 passage tokens of a
+    512-char chunk). Tiled positions fine-tune quickly.
+
+    ``trunk_params`` is the BERT subtree (containing ``embeddings``);
+    returns (updated copy, updated config).
+    """
+    if new_len <= config.max_position_embeddings:
+        return trunk_params, config
+    out = dict(trunk_params)
+    emb = dict(out["embeddings"])
+    table = np.asarray(emb["position_embeddings"]["embedding"])
+    reps = -(-new_len // table.shape[0])
+    emb["position_embeddings"] = {
+        "embedding": np.tile(table, (reps, 1))[:new_len]}
+    out["embeddings"] = emb
+    log.info("extended position table %d -> %d",
+             table.shape[0], new_len)
+    return out, dataclasses.replace(config, max_position_embeddings=new_len)

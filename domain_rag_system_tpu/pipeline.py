@@ -160,26 +160,68 @@ def _fused_batch_retrieval(
     return fused_ids, fused_scores, rerank_scores
 
 
-def _group_first_per_doc(results: List[Dict], top_k: int) -> List[Dict]:
-    """MaxP-style doc grouping: keep each document's highest-ranked chunk,
-    in rank order, until ``top_k`` distinct documents are collected.
+def _result_score(r: Dict) -> float:
+    """Post-rerank ordering score when present, else the fusion score."""
+    return float(r.get("rerank_score", r.get("score", 0.0)))
 
-    Chunked corpora hand doc-level retrieval a structural handicap — several
-    chunks of one document crowd out other documents (measured: only ~8.5
-    unique docs in a top-10 chunk list on BioASQ). Grouping makes the system
-    return ``top_k`` distinct documents, the same contract as a doc-level
-    flat index (cf. ``baselines/jax_flat_baseline.py``).
+
+def _group_first_per_doc(
+    results: List[Dict], top_k: int, evidence_alpha: float = 0.0,
+    evidence_chunks: int = 2,
+) -> List[Dict]:
+    """Doc grouping over the fused chunk ranking.
+
+    ``evidence_alpha == 0`` (default) is MaxP: keep each document's
+    highest-ranked chunk, in rank order, until ``top_k`` distinct documents
+    are collected. Chunked corpora hand doc-level retrieval a structural
+    handicap — several chunks of one document crowd out other documents
+    (measured: only ~8.5 unique docs in a top-10 chunk list on BioASQ);
+    grouping makes the system return ``top_k`` distinct documents, the same
+    contract as a doc-level flat index (cf. ``baselines/jax_flat_baseline.py``).
+
+    ``evidence_alpha > 0`` aggregates multi-chunk evidence: a document's
+    score becomes ``best_chunk + alpha * sum(next `evidence_chunks` chunk
+    scores)``, so a document with several strongly-matching chunks outranks
+    one lucky chunk. Pure rank-order MaxP cannot express this (two chunks
+    of the same doc carry MORE information than one, not less).
     """
-    out: List[Dict] = []
-    seen = set()
+    if evidence_alpha <= 0.0:
+        out: List[Dict] = []
+        seen = set()
+        for r in results:
+            doc_id = r["doc_id"]
+            if doc_id in seen:
+                continue
+            seen.add(doc_id)
+            out.append(r)
+            if len(out) >= top_k:
+                break
+        return out
+
+    best: Dict[str, Dict] = {}
+    extra: Dict[str, List[float]] = {}
+    order: List[str] = []
     for r in results:
         doc_id = r["doc_id"]
-        if doc_id in seen:
-            continue
-        seen.add(doc_id)
-        out.append(r)
-        if len(out) >= top_k:
-            break
+        if doc_id not in best:
+            best[doc_id] = r
+            extra[doc_id] = []
+            order.append(doc_id)
+        elif len(extra[doc_id]) < evidence_chunks:
+            extra[doc_id].append(_result_score(r))
+    scored = []
+    for pos, doc_id in enumerate(order):
+        r = best[doc_id]
+        doc_score = (_result_score(r)
+                     + evidence_alpha * sum(extra[doc_id]))
+        # pos breaks ties deterministically in original fused order
+        scored.append((-doc_score, pos, r))
+    scored.sort()
+    out = []
+    for neg_score, _, r in scored[:top_k]:
+        rr = r.copy()
+        rr["doc_score"] = -neg_score
+        out.append(rr)
     return out
 
 
@@ -210,6 +252,7 @@ class RetrievalPipeline:
         rerank_top_n: int = 50,
         preprocess: bool = True,
         group_by_doc: bool = False,
+        evidence_alpha: float = 0.0,
         use_batch_path: bool = True,
     ) -> Dict:
         # All queries — filtered or not — ride the fused batch program with
@@ -223,7 +266,8 @@ class RetrievalPipeline:
                 [query], top_k=top_k, fusion_method=fusion_method,
                 vector_weight=vector_weight, bm25_weight=bm25_weight,
                 rerank_top_n=rerank_top_n, preprocess=preprocess,
-                group_by_doc=group_by_doc, filters=filters,
+                group_by_doc=group_by_doc, evidence_alpha=evidence_alpha,
+                filters=filters,
             )[0]
 
         with self.timer.stage("preprocess"):
@@ -256,7 +300,8 @@ class RetrievalPipeline:
         else:
             results = results[:keep]
         if group_by_doc:
-            results = _group_first_per_doc(results, top_k)
+            results = _group_first_per_doc(results, top_k,
+                                           evidence_alpha=evidence_alpha)
 
         return {
             "query": query,
@@ -281,6 +326,7 @@ class RetrievalPipeline:
         prf_docs: int = 10,
         prf_alpha: float = 0.6,
         group_by_doc: bool = False,
+        evidence_alpha: float = 0.0,
         filters=None,
     ) -> List[Dict]:
         """Batched retrieval: heavy stages run once over the whole batch.
@@ -295,10 +341,79 @@ class RetrievalPipeline:
         fused into the device program (exact filtered top-k at unfiltered
         latency; cf. the reference's post-hoc truncation,
         ``bm25_indexer.py:140-147``).
+
+        Implemented as :meth:`dispatch_batch` (host featurize + async device
+        dispatch) followed by :meth:`finalize_batch` (device pull + result
+        materialization) so :meth:`query_stream` can software-pipeline the
+        two halves across consecutive batches.
+        """
+        handle = self.dispatch_batch(
+            queries, top_k=top_k, fusion_method=fusion_method,
+            vector_weight=vector_weight, bm25_weight=bm25_weight,
+            rerank_top_n=rerank_top_n, preprocess=preprocess,
+            prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
+            group_by_doc=group_by_doc, evidence_alpha=evidence_alpha,
+            filters=filters)
+        return self.finalize_batch(handle) if handle is not None else []
+
+    def query_stream(
+        self,
+        queries: Sequence[str],
+        batch_size: int = 50,
+        **kwargs,
+    ) -> List[Dict]:
+        """Software-pipelined batched retrieval over a long query list.
+
+        JAX dispatch is asynchronous: :meth:`dispatch_batch` returns as soon
+        as the fused program is enqueued. Streaming dispatches batch ``i+1``
+        (host featurization: normalizer scans, BM25/WordPiece query
+        encoding) while the device still executes batch ``i``, then
+        finalizes batch ``i`` — whose results are ready or nearly ready.
+        Host and device work overlap instead of alternating; at production
+        index sizes (where the device program is a comparable share of
+        batch time) this is a straight throughput win with bit-identical
+        results.
         """
         queries = list(queries)
         if not queries:
             return []
+        outputs: List[Dict] = []
+        pending = None
+        for start in range(0, len(queries), batch_size):
+            handle = self.dispatch_batch(
+                queries[start:start + batch_size], **kwargs)
+            if pending is not None:
+                outputs.extend(self.finalize_batch(pending))
+            pending = handle
+        if pending is not None:
+            outputs.extend(self.finalize_batch(pending))
+        return outputs
+
+    def dispatch_batch(
+        self,
+        queries: Sequence[str],
+        top_k: int = 5,
+        fusion_method: str = "rrf",
+        vector_weight: float = 0.5,
+        bm25_weight: float = 0.5,
+        rerank_top_n: int = 50,
+        preprocess: bool = True,
+        prf_terms: int = 0,
+        prf_docs: int = 10,
+        prf_alpha: float = 0.6,
+        group_by_doc: bool = False,
+        evidence_alpha: float = 0.0,
+        filters=None,
+    ) -> Optional[Dict]:
+        """Host featurization + asynchronous device dispatch for one batch.
+
+        Returns an opaque handle for :meth:`finalize_batch` (None for an
+        empty batch). The fused device program is enqueued but NOT waited
+        on — device arrays in the handle are futures.
+        """
+        queries = list(queries)
+        if not queries:
+            return None
         if isinstance(filters, dict) or filters is None:
             per_query_filters = [filters] * len(queries)
         else:
@@ -341,14 +456,20 @@ class RetrievalPipeline:
             if has_dense:
                 q_dtype = (jnp.float32 if dense.embeddings.dtype == jnp.int8
                            else dense.embeddings.dtype)
-                q_emb = jnp.asarray(
-                    dense.embedder.encode(search_queries, normalize=True),
-                    q_dtype)
-                q_orig_emb = (
-                    q_emb if not use_device_rerank
-                    else jnp.asarray(dense.embedder.encode(list(queries),
-                                                           normalize=True),
-                                     q_dtype))
+
+                def enc(texts):
+                    # device-resident encode when the backend supports it:
+                    # skips the device→host pull AND the re-upload (two
+                    # tunnel round trips per batch)
+                    f = getattr(dense.embedder, "encode_device", None)
+                    if f is not None:
+                        return f(texts).astype(q_dtype)
+                    return jnp.asarray(
+                        dense.embedder.encode(texts, normalize=True), q_dtype)
+
+                q_emb = enc(search_queries)
+                q_orig_emb = (q_emb if not use_device_rerank
+                              else enc(list(queries)))
             else:
                 q_emb = q_orig_emb = jnp.zeros((b, 1), jnp.float32)
             if has_sparse:
@@ -380,7 +501,7 @@ class RetrievalPipeline:
                                        int(sparse.doc_terms.shape[0]),
                                        len(sparse.chunks))
 
-        with self.timer.stage("retrieve"):
+        with self.timer.stage("dispatch"):
             fused_ids_dev, fused_scores_dev, rerank_dev = _fused_batch_retrieval(
                 dense.embeddings if has_dense else jnp.zeros((1, 1), jnp.float32),
                 jnp.asarray(dense._valid) if has_dense else jnp.ones(1, jnp.uint8),
@@ -400,10 +521,41 @@ class RetrievalPipeline:
                 prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
                 has_qfilter=has_qfilter,
             )
+        return {
+            "queries": queries,
+            "pres": pres,
+            "search_queries": search_queries,
+            "b": b,
+            "fused_ids_dev": fused_ids_dev,
+            "fused_scores_dev": fused_scores_dev,
+            "rerank_dev": rerank_dev,
+            "use_device_rerank": use_device_rerank,
+            "fusion_method": fusion_method,
+            "keep": keep,
+            "top_k": top_k,
+            "group_by_doc": group_by_doc,
+            "evidence_alpha": evidence_alpha,
+        }
+
+    def finalize_batch(self, handle: Dict) -> List[Dict]:
+        """Block on the dispatched device program and materialize results."""
+        queries = handle["queries"]
+        pres = handle["pres"]
+        search_queries = handle["search_queries"]
+        b = handle["b"]
+        use_device_rerank = handle["use_device_rerank"]
+        fusion_method = handle["fusion_method"]
+        keep = handle["keep"]
+        top_k = handle["top_k"]
+        group_by_doc = handle["group_by_doc"]
+        evidence_alpha = handle["evidence_alpha"]
+
+        with self.timer.stage("retrieve"):
             # one consolidated device→host pull (each separate np.asarray
             # costs a tunnel round trip — measurable at B=1)
             fused_ids_np, fused_scores_np, rerank_np = jax.device_get(
-                (fused_ids_dev, fused_scores_dev, rerank_dev))
+                (handle["fused_ids_dev"], handle["fused_scores_dev"],
+                 handle["rerank_dev"]))
             fused = [(fused_ids_np[i], fused_scores_np[i]) for i in range(b)]
             device_rerank_scores = rerank_np if use_device_rerank else None
 
@@ -465,7 +617,8 @@ class RetrievalPipeline:
         for qi, query in enumerate(queries):
             results = all_results[qi]
             if group_by_doc:
-                results = _group_first_per_doc(results, top_k)
+                results = _group_first_per_doc(results, top_k,
+                                               evidence_alpha=evidence_alpha)
             outputs.append({
                 "query": query,
                 "preprocessed": pres[qi],

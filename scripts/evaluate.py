@@ -82,6 +82,9 @@ def main() -> None:
     ap.add_argument("--bm25_k1", type=float, default=None)
     ap.add_argument("--bm25_b", type=float, default=None)
     ap.add_argument("--prf_terms", type=int, default=None)
+    ap.add_argument("--evidence_alpha", type=float, default=None)
+    ap.add_argument("--rerank_blend", type=float, default=None)
+    ap.add_argument("--cross_checkpoint", default=None)
     ap.add_argument("--reranker", default=None,
                     choices=["none", "simple", "crossencoder"])
     ap.add_argument("--rerank_top_n", type=int, default=None)

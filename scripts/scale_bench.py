@@ -19,7 +19,6 @@ Usage:
 
 import argparse
 import json
-import random
 import sys
 from pathlib import Path
 
@@ -38,44 +37,11 @@ from domain_rag_system_tpu.evaluation.runners import (  # noqa: E402
     run_retrieval_evaluation,
 )
 from domain_rag_system_tpu.preprocessing import (  # noqa: E402
-    Chunk,
     DataLoader,
     DocumentChunker,
 )
+from domain_rag_system_tpu.etl.synthetic import synthetic_chunks  # noqa: E402
 from domain_rag_system_tpu.serving import build_pipeline  # noqa: E402
-
-_TOPICS = [
-    "cardiac", "renal", "hepatic", "neural", "vascular", "immune",
-    "metabolic", "skeletal", "pulmonary", "dermal", "ocular", "endocrine",
-]
-_VERBS = ["modulates", "inhibits", "induces", "suppresses", "regulates",
-          "activates", "attenuates", "mediates"]
-_NOUNS = ["apoptosis", "angiogenesis", "inflammation", "fibrosis",
-          "proliferation", "oxidative stress", "signal transduction",
-          "gene expression", "protein folding", "ion transport"]
-
-
-def synthetic_chunks(n: int, seed: int = 7):
-    """Deterministic biomedical-sounding distractor chunks."""
-    rng = random.Random(seed)
-    out = []
-    for i in range(n):
-        words = [
-            f"{rng.choice(_TOPICS)} {rng.choice(_NOUNS)} {rng.choice(_VERBS)}"
-            for _ in range(rng.randint(4, 10))
-        ]
-        text = (f"Study {i}: " + "; ".join(words) +
-                f"; compound D{i % 9973} shows {rng.choice(_NOUNS)} effects.")
-        out.append(Chunk(
-            chunk_id=f"syn_{i}_abstract",
-            doc_id=f"syn_{i}",
-            source="pubmed",
-            chunk_type="abstract",
-            text=text,
-            metadata={"pubmed_id": f"syn{i}"},
-        ))
-    return out
-
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
@@ -93,6 +59,9 @@ def main() -> None:
     ap.add_argument("--prf_terms", type=int, default=None)
     ap.add_argument("--output", default=None,
                     help="also write the JSON line to this file")
+    ap.add_argument("--stream", action="store_true",
+                    help="software-pipelined executor: dispatch of batch "
+                         "i+1 overlaps finalization of batch i")
     args = ap.parse_args()
 
     cfg = RetrievalConfig.tuned().apply_overrides(args)
@@ -116,7 +85,7 @@ def main() -> None:
         pipeline.preprocessor.normalizer.build_drug_mapping_from_data(docs)
 
     results = run_retrieval_evaluation(
-        pipeline, queries, batch_size=cfg.batch_size,
+        pipeline, queries, batch_size=cfg.batch_size, stream=args.stream,
         dataset=f"bioasq@{info['n_chunks']}", **cfg.query_kwargs())
     o = results["overall"]
     line = {
@@ -132,6 +101,7 @@ def main() -> None:
         "index_build_s": info["index_build_s"],
         "avg_query_latency_ms": round(o["avg_query_time"] * 1000, 3),
         "dense_dtype": cfg.dense_dtype,
+        "stream": args.stream,
         "encoder": info["encoder"],
         "config": cfg.to_dict(),
         "devices": describe_devices(),

@@ -89,13 +89,15 @@ def main() -> None:
     init_trunk = None
     if args.init_from:
         from domain_rag_system_tpu.persistence.checkpoints import (
-            load_encoder_checkpoint)
+            extend_position_embeddings, load_encoder_checkpoint)
 
         config, trunk_params, tokenizer = load_encoder_checkpoint(args.init_from)
-        init_trunk = trunk_params["bert"]
+        init_trunk, config = extend_position_embeddings(
+            trunk_params["bert"], config, args.seq_len)
         args.seq_len = min(args.seq_len, config.max_position_embeddings)
         print(f"initializing trunk from {args.init_from} "
-              f"({config.num_layers}L/{config.hidden_size}H)")
+              f"({config.num_layers}L/{config.hidden_size}H, "
+              f"{config.max_position_embeddings} positions)")
     else:
         tokenizer = train_wordpiece([t for pair in pairs for t in pair],
                                     vocab_size=args.vocab_size)

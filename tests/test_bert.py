@@ -186,3 +186,28 @@ def test_bert_embedder_clamps_to_position_table():
     vecs = emb.encode(texts)
     assert np.isfinite(vecs).all()
     np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-4)
+
+
+def test_encode_device_matches_encode():
+    """Single-upload device-resident encode (mask/types derived on device)
+    equals the host encode path, including across internal batch splits."""
+    from domain_rag_system_tpu.models.bert_embedder import BertEmbedder
+
+    texts = ["aspirin treats pain", "insulin controls diabetes",
+             "beta blockers lower blood pressure", "statins reduce ldl",
+             "short", "a much longer text about metformin and glucose"]
+    tokenizer = train_wordpiece(texts * 3, vocab_size=200)
+    config = BertConfig.tiny(vocab_size=len(tokenizer), dropout_rate=0.0)
+    module = SentenceEncoder(config)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    params = module.init(jax.random.PRNGKey(0), ids, jnp.ones((1, 8), jnp.int32))
+
+    emb = BertEmbedder(config=config, params=params["params"],
+                       tokenizer=tokenizer, max_length=64, batch_size=4)
+    host = emb.encode(texts)                      # 2 internal batches
+    dev = np.asarray(emb.encode_device(texts))
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+    one = np.asarray(emb.encode_device("aspirin treats pain"))
+    np.testing.assert_allclose(one[0], host[0], rtol=1e-5, atol=1e-5)

@@ -128,3 +128,16 @@ def test_bm25_negative_idf_flooring():
     got = idx.scores("common")
     np.testing.assert_allclose(got, expected, rtol=1e-5)
     assert (got[:9] > 0).all()  # floored positive, not negative
+
+
+def test_doc_term_width_autosizes(bm25):
+    """The doc-term matrix width fits the corpus (max unique terms rounded
+    up to a multiple of 8) instead of the fixed 128 cap — BM25 gather cost
+    is proportional to the width."""
+    import numpy as np
+
+    d = bm25.doc_terms.shape[1]
+    assert d % 8 == 0 and d <= 128
+    widest = int(max((np.asarray(row) >= 0).sum() for row in np.asarray(bm25.doc_terms)))
+    assert d >= widest
+    assert d - widest < 8 + 1  # tight fit

@@ -215,3 +215,55 @@ def test_pipeline_prf_expansion_runs(pipeline):
     assert out["num_results"] >= 1
     ids = [r["chunk_id"] for r in out["results"]]
     assert "doc2_body" in ids or "doc3_body" in ids
+
+
+def test_query_stream_matches_query_batch(pipeline, toy_chunks):
+    """Software-pipelined streaming (dispatch i+1 overlaps finalize i) is
+    bit-identical to plain batching, across batch boundaries and with the
+    device reranker engaged."""
+    queries = [f"aspirin heart {i}" for i in range(3)] + \
+              [f"diabetes insulin {i}" for i in range(4)]
+    kwargs = dict(top_k=3, fusion_method="weighted", vector_weight=0.3,
+                  bm25_weight=0.7, prf_terms=5, group_by_doc=True)
+    batched = pipeline.query_batch(queries, **kwargs)
+    streamed = pipeline.query_stream(queries, batch_size=3, **kwargs)
+    assert len(streamed) == len(batched) == len(queries)
+    for sb, st in zip(batched, streamed):
+        assert [r["chunk_id"] for r in sb["results"]] == \
+               [r["chunk_id"] for r in st["results"]]
+        assert np.allclose([r["score"] for r in sb["results"]],
+                           [r["score"] for r in st["results"]])
+
+
+def test_query_stream_empty_and_single(pipeline):
+    assert pipeline.query_stream([], batch_size=4) == []
+    out = pipeline.query_stream(["aspirin"], batch_size=4, top_k=2)
+    assert len(out) == 1 and out[0]["num_results"] > 0
+
+
+def test_evidence_aggregation_grouping():
+    """evidence_alpha > 0: a doc with two strong chunks outranks a doc whose
+    single chunk scores marginally higher; alpha=0 keeps MaxP order."""
+    from domain_rag_system_tpu.pipeline import _group_first_per_doc
+
+    results = [
+        {"doc_id": "lucky", "chunk_id": "l0", "score": 1.00},
+        {"doc_id": "solid", "chunk_id": "s0", "score": 0.95},
+        {"doc_id": "solid", "chunk_id": "s1", "score": 0.90},
+        {"doc_id": "solid", "chunk_id": "s2", "score": 0.85},
+        {"doc_id": "weak", "chunk_id": "w0", "score": 0.10},
+    ]
+    maxp = _group_first_per_doc(results, top_k=3)
+    assert [r["doc_id"] for r in maxp] == ["lucky", "solid", "weak"]
+
+    agg = _group_first_per_doc(results, top_k=3, evidence_alpha=0.5)
+    assert [r["doc_id"] for r in agg] == ["solid", "lucky", "weak"]
+    # doc score = best + alpha * sum(next evidence_chunks=2)
+    assert agg[0]["doc_score"] == pytest.approx(0.95 + 0.5 * (0.90 + 0.85))
+    assert agg[0]["chunk_id"] == "s0"  # best chunk represents the doc
+
+    # rerank_score takes precedence over fusion score when present
+    rr = [{"doc_id": "a", "chunk_id": "a0", "score": 0.1, "rerank_score": 2.0},
+          {"doc_id": "b", "chunk_id": "b0", "score": 0.9, "rerank_score": 1.0}]
+    out = _group_first_per_doc(rr, top_k=2, evidence_alpha=0.3)
+    assert [r["doc_id"] for r in out] == ["a", "b"]

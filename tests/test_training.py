@@ -202,3 +202,46 @@ def test_training_with_hard_negatives():
     hard = jnp.eye(8, 32, k=10)
     loss, m = infonce_loss_with_hards(emb, emb, hard)
     assert m["accuracy"] == 1.0
+
+
+def test_extend_position_embeddings_tiles_table():
+    """A short-position trunk initializes a longer-context cross-encoder:
+    the tiled table repeats the learned positions and the forward pass
+    accepts sequences at the new length."""
+    from domain_rag_system_tpu.models.bert_embedder import CrossEncoderModel
+    from domain_rag_system_tpu.persistence.checkpoints import (
+        extend_position_embeddings)
+    from domain_rag_system_tpu.training.cross_encoder import CrossEncoderTrainer
+
+    tok = train_wordpiece([q + " " + p for q, p in PAIRS], vocab_size=128)
+    config = BertConfig.tiny(vocab_size=len(tok), dropout_rate=0.0,
+                             max_position_embeddings=16)
+    trainer = CrossEncoderTrainer(config)
+    trainer.init_state(seq_len=16)
+    trunk = trainer.state.params["bert"]
+
+    extended, new_config = extend_position_embeddings(trunk, config, 40)
+    table_old = np.asarray(
+        trunk["embeddings"]["position_embeddings"]["embedding"])
+    table_new = np.asarray(
+        extended["embeddings"]["position_embeddings"]["embedding"])
+    assert new_config.max_position_embeddings == 40
+    assert table_new.shape == (40, table_old.shape[1])
+    np.testing.assert_array_equal(table_new[:16], table_old)
+    np.testing.assert_array_equal(table_new[16:32], table_old)
+    np.testing.assert_array_equal(table_new[32:], table_old[:8])
+    # original trunk untouched
+    assert np.asarray(
+        trunk["embeddings"]["position_embeddings"]["embedding"]).shape[0] == 16
+
+    # the extended trunk drives a forward at the new length
+    params = dict(trainer.state.params)
+    params["bert"] = extended
+    model = CrossEncoderModel(config=new_config, params=params,
+                              tokenizer=tok, max_length=40, batch_size=2)
+    scores = model.predict([("a b c " * 10, "d e f " * 10)])
+    assert np.isfinite(scores).all()
+
+    # no-op when the trunk already covers the target length
+    same, same_config = extend_position_embeddings(trunk, config, 16)
+    assert same is trunk and same_config is config
