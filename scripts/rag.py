@@ -21,7 +21,7 @@ enable_compilation_cache()
 
 from domain_rag_system_tpu.generation import AnswerGenerator, TemplateGenerator  # noqa: E402
 
-from query import add_query_flags, build_pipeline  # noqa: E402
+from query import add_query_flags, build_pipeline, query_kwargs_from_args  # noqa: E402
 
 
 def make_generator(args):
@@ -121,14 +121,7 @@ def main() -> None:
     pipeline = build_pipeline(args)
     t0 = time.time()
     retrieval = pipeline.query(
-        args.query,
-        top_k=args.top_k,
-        fusion_method=args.fusion_method,
-        vector_weight=args.vector_weight,
-        bm25_weight=args.bm25_weight,
-        filters=args.filters,
-        rerank_top_n=args.rerank_top_n,
-    )
+        args.query, filters=args.filters, **query_kwargs_from_args(args, ap))
 
     generator = make_generator(args)
     answer = generator.generate(args.query, retrieval["results"])

