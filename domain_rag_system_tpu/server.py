@@ -1,0 +1,267 @@
+"""Production HTTP serving with dynamic micro-batching.
+
+The reference has no serving daemon — its `scripts/query.py` rebuilds the
+whole stack per invocation (`scripts/query.py:31-89`). This module keeps the
+pipeline warm and multiplexes concurrent HTTP clients onto the fused batch
+device program: requests queue on the host, a collector thread drains up to
+``batch_size`` queries (waiting at most ``max_wait_ms`` for stragglers),
+runs ONE `pipeline.query_batch` dispatch, and fans results back out. A lone
+client pays ~the single-query latency; concurrent clients ride the same
+device program and get batched throughput (the TPU-native answer to "serve
+many users" — batch onto the MXU, don't fork processes).
+
+Endpoints (JSON in/out):
+    GET  /healthz      → index + server stats (also the readiness probe)
+    POST /query        → {"query": str, ...retrieval overrides} → results
+    POST /query_batch  → {"queries": [str, ...]} → list of results
+    POST /rag          → /query + LLM-free answer generation
+
+Run: ``python scripts/serve.py [--port 8080] [--tuned]``.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Sequence
+
+from domain_rag_system_tpu.config import RetrievalConfig
+from domain_rag_system_tpu.pipeline import RetrievalPipeline
+from domain_rag_system_tpu.utils import get_logger
+
+log = get_logger(__name__)
+
+#: retrieval knobs a request may override (subset of RetrievalConfig's
+#: query-time surface; anything else in the request body is rejected so
+#: typos fail loudly instead of silently falling back to defaults)
+_QUERY_KNOBS = frozenset((
+    "top_k", "fusion_method", "vector_weight", "bm25_weight", "prf_terms",
+    "prf_docs", "prf_alpha", "group_by_doc", "evidence_alpha",
+    "rerank_top_n", "filters",
+))
+
+
+class _Request:
+    """One in-flight query: the collector fulfils ``event`` when done."""
+
+    __slots__ = ("query", "filters", "result", "error", "event", "enqueued")
+
+    def __init__(self, query: str, filters: Optional[Dict]):
+        self.query = query
+        self.filters = filters
+        self.result: Optional[Dict] = None
+        self.error: Optional[str] = None
+        self.event = threading.Event()
+        self.enqueued = time.monotonic()
+
+
+class BatchingFrontend:
+    """Collects concurrent single-query requests into device-sized batches.
+
+    Requests with identical retrieval kwargs are batched together; a
+    request with different knobs forms its own batch (knobs are static
+    arguments of the fused program — mixing them in one dispatch is
+    impossible by construction).
+    """
+
+    def __init__(self, pipeline: RetrievalPipeline, cfg: RetrievalConfig,
+                 max_wait_ms: float = 10.0):
+        self.pipeline = pipeline
+        self.cfg = cfg
+        self.max_wait_ms = max_wait_ms
+        self._queue: "queue.Queue[tuple[_Request, tuple]]" = queue.Queue()
+        self._stats = {"requests": 0, "batches": 0, "errors": 0,
+                       "max_batch": 0}
+        self._stats_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._collector_loop,
+                                        name="drs-batcher", daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------ client API
+
+    def submit(self, query: str, overrides: Dict, timeout_s: float = 60.0
+               ) -> Dict:
+        """Block until the query is served; raises on pipeline errors."""
+        unknown = set(overrides) - _QUERY_KNOBS
+        if unknown:
+            raise ValueError(f"unknown retrieval knobs: {sorted(unknown)}")
+        kwargs = self.cfg.query_kwargs()
+        filters = overrides.pop("filters", None)
+        kwargs.update(overrides)
+        req = _Request(query, filters)
+        self._queue.put((req, tuple(sorted(kwargs.items()))))
+        if not req.event.wait(timeout_s):
+            raise TimeoutError(f"query not served within {timeout_s}s")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        assert req.result is not None
+        return req.result
+
+    def stats(self) -> Dict:
+        with self._stats_lock:
+            return dict(self._stats)
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------- collector side
+
+    def _collector_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first_req, first_key = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first_req]
+            deadline = time.monotonic() + self.max_wait_ms / 1000.0
+            spill: List[tuple] = []
+            # Drain same-knob requests until the batch fills or the
+            # straggler window closes; different-knob requests are pushed
+            # back for the next cycle.
+            while len(batch) < self.cfg.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    req, key = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if key == first_key:
+                    batch.append(req)
+                else:
+                    spill.append((req, key))
+            for item in spill:
+                self._queue.put(item)
+            self._serve_batch(batch, dict(first_key))
+
+    def _serve_batch(self, batch: List[_Request], kwargs: Dict) -> None:
+        filters: Optional[Sequence] = None
+        if any(r.filters for r in batch):
+            filters = [r.filters for r in batch]
+        try:
+            outs = self.pipeline.query_batch(
+                [r.query for r in batch], filters=filters, **kwargs)
+            for req, out in zip(batch, outs):
+                req.result = out
+        except Exception as exc:  # pragma: no cover - defensive
+            log.exception("batch of %d failed", len(batch))
+            for req in batch:
+                req.error = f"{type(exc).__name__}: {exc}"
+            with self._stats_lock:
+                self._stats["errors"] += len(batch)
+        finally:
+            with self._stats_lock:
+                self._stats["requests"] += len(batch)
+                self._stats["batches"] += 1
+                self._stats["max_batch"] = max(self._stats["max_batch"],
+                                               len(batch))
+            for req in batch:
+                req.event.set()
+
+
+def make_handler(frontend: BatchingFrontend, generator=None,
+                 index_info: Optional[Dict] = None):
+    """Build the request-handler class bound to one frontend."""
+
+    class Handler(BaseHTTPRequestHandler):
+        # serve access logs through our logger, not stderr
+        def log_message(self, fmt, *args):  # noqa: N802
+            log.debug("%s %s", self.address_string(), fmt % args)
+
+        def _send(self, code: int, payload: Dict) -> None:
+            body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_json(self) -> Dict:
+            length = int(self.headers.get("Content-Length", 0))
+            if length == 0:
+                return {}
+            return json.loads(self.rfile.read(length))
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok",
+                                 "server": frontend.stats(),
+                                 "index": index_info or {}})
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            try:
+                body = self._read_json()
+                if self.path == "/query":
+                    q = body.pop("query")
+                    self._send(200, frontend.submit(q, body))
+                elif self.path == "/query_batch":
+                    queries = body.pop("queries")
+                    kwargs = frontend.cfg.query_kwargs()
+                    kwargs.update({k: v for k, v in body.items()
+                                   if k in _QUERY_KNOBS and k != "filters"})
+                    outs = frontend.pipeline.query_batch(
+                        list(queries), filters=body.get("filters"), **kwargs)
+                    self._send(200, {"results": outs})
+                elif self.path == "/rag":
+                    if generator is None:
+                        self._send(503, {"error": "no generator configured"})
+                        return
+                    q = body.pop("query")
+                    qtype = body.pop("question_type", "summary")
+                    out = frontend.submit(q, body)
+                    gen = generator.generate(q, out["results"],
+                                             question_type=qtype)
+                    out["answer"] = gen["answer"]
+                    out["generation"] = gen.get("metadata", {})
+                    self._send(200, out)
+                else:
+                    self._send(404, {"error": f"no route {self.path}"})
+            except (KeyError, ValueError, TypeError) as exc:
+                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+            except TimeoutError as exc:
+                self._send(504, {"error": str(exc)})
+            except Exception as exc:  # pragma: no cover - defensive
+                log.exception("request failed")
+                self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return Handler
+
+
+class RagServer:
+    """Warm pipeline + batching frontend + threaded HTTP server."""
+
+    def __init__(self, pipeline: RetrievalPipeline, cfg: RetrievalConfig,
+                 generator=None, host: str = "127.0.0.1", port: int = 8080,
+                 max_wait_ms: float = 10.0, index_info: Optional[Dict] = None):
+        self.frontend = BatchingFrontend(pipeline, cfg,
+                                         max_wait_ms=max_wait_ms)
+        handler = make_handler(self.frontend, generator=generator,
+                               index_info=index_info)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+
+    def serve_forever(self) -> None:
+        log.info("serving on :%d (batch_size=%d, max_wait=%.0fms)",
+                 self.port, self.frontend.cfg.batch_size,
+                 self.frontend.max_wait_ms)
+        try:
+            self.httpd.serve_forever()
+        finally:
+            self.shutdown()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.httpd.serve_forever,
+                             name="drs-http", daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.frontend.shutdown()

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Serve the retrieval/RAG stack over HTTP with dynamic micro-batching.
+
+Keeps one warm pipeline per process and batches concurrent clients onto the
+fused device program (domain_rag_system_tpu/server.py). The reference has no
+serving story — its CLIs rebuild the index connection per invocation.
+
+Usage:
+    python scripts/serve.py --corpus data/recovered/BioASQ/corpus_subset.json \
+        [--port 8080] [--max_wait_ms 10] [--generator extractive]
+
+    curl -s localhost:8080/healthz
+    curl -s -X POST localhost:8080/query \
+        -d '{"query": "What treats myocardial infarction?", "top_k": 5}'
+    curl -s -X POST localhost:8080/rag \
+        -d '{"query": "What treats MI?", "question_type": "factoid"}'
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from domain_rag_system_tpu.utils.jaxtools import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", default="data/recovered/BioASQ/corpus_subset.json",
+                    help="PubMed-schema corpus JSON to index at startup")
+    ap.add_argument("--openfda_path", default=None)
+    ap.add_argument("--kaggle_path", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--max_wait_ms", type=float, default=10.0,
+                    help="straggler window before a partial batch dispatches")
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--encoder_checkpoint", "--checkpoint",
+                    dest="encoder_checkpoint", default=None,
+                    help="trained encoder checkpoint dir; 'none' forces the "
+                         "hash embedder (fast startup)")
+    ap.add_argument("--generator", default="extractive",
+                    choices=["template", "extractive", "none"])
+    args = ap.parse_args()
+
+    from domain_rag_system_tpu.config import RetrievalConfig
+    from domain_rag_system_tpu.generation import (
+        ExtractiveGenerator,
+        TemplateGenerator,
+    )
+    from domain_rag_system_tpu.server import RagServer
+    from domain_rag_system_tpu.serving import build_pipeline
+
+    cfg = RetrievalConfig.tuned()
+    if args.batch_size:
+        cfg.batch_size = args.batch_size
+    if args.encoder_checkpoint:
+        cfg.encoder_checkpoint = (None if args.encoder_checkpoint == "none"
+                                  else args.encoder_checkpoint)
+    pipeline, info = build_pipeline(cfg, corpus_kwargs={
+        "pubmed_path": args.corpus,
+        "openfda_path": args.openfda_path,
+        "kaggle_path": args.kaggle_path,
+    })
+    generator = {"template": TemplateGenerator(),
+                 "extractive": ExtractiveGenerator(),
+                 "none": None}[args.generator]
+
+    # Warm the fused program so the first client doesn't pay the compile.
+    pipeline.query_batch(["warmup query"] * cfg.batch_size,
+                         **cfg.query_kwargs())
+
+    server = RagServer(pipeline, cfg, generator=generator, host=args.host,
+                       port=args.port, max_wait_ms=args.max_wait_ms,
+                       index_info=info.get("config"))
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

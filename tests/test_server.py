@@ -1,0 +1,143 @@
+"""HTTP serving daemon: routing, dynamic micro-batching, error paths."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from domain_rag_system_tpu.config import RetrievalConfig
+from domain_rag_system_tpu.generation import ExtractiveGenerator
+from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+from domain_rag_system_tpu.models import MedicalEmbedder
+from domain_rag_system_tpu.pipeline import RetrievalPipeline
+from domain_rag_system_tpu.server import RagServer
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+@pytest.fixture(scope="module")
+def server(toy_chunks_module):
+    embedder = MedicalEmbedder(dim=256)
+    hybrid = HybridIndex(dense_index=DenseIndex(embedder, row_block=8),
+                         bm25_index=BM25Index())
+    hybrid.index_chunks(toy_chunks_module)
+    pipeline = RetrievalPipeline(hybrid)
+    cfg = RetrievalConfig(top_k=3, fusion_method="weighted",
+                          vector_weight=0.3, bm25_weight=0.7, batch_size=8)
+    srv = RagServer(pipeline, cfg, generator=ExtractiveGenerator(),
+                    port=0, max_wait_ms=25.0)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def toy_chunks_module():
+    from domain_rag_system_tpu.preprocessing import Chunk
+
+    texts = [
+        "aspirin reduces mortality after acute myocardial infarction",
+        "metformin is first-line therapy for type 2 diabetes mellitus",
+        "insulin therapy controls blood glucose in diabetes",
+        "statins lower cholesterol and cardiovascular risk",
+        "beta blockers reduce heart rate after infarction",
+        "antibiotics treat bacterial pneumonia infections",
+    ]
+    return [Chunk(chunk_id=f"c{i}", doc_id=f"d{i}", source="pubmed",
+                  chunk_type="abstract", text=t, metadata={})
+            for i, t in enumerate(texts)]
+
+
+def test_healthz(server):
+    out = _get(server.port, "/healthz")
+    assert out["status"] == "ok"
+    assert "requests" in out["server"]
+
+
+def test_query_roundtrip(server):
+    out = _post(server.port, "/query",
+                {"query": "myocardial infarction treatment"})
+    assert out["num_results"] == 3
+    assert out["results"][0]["chunk_id"] in ("c0", "c4")
+
+
+def test_query_with_overrides_and_filters(server):
+    out = _post(server.port, "/query",
+                {"query": "diabetes therapy", "top_k": 2,
+                 "filters": {"source": "pubmed"}})
+    assert len(out["results"]) == 2
+
+
+def test_unknown_knob_is_rejected(server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(server.port, "/query", {"query": "x", "topk": 5})
+    assert exc_info.value.code == 400
+
+
+def test_missing_route(server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(server.port, "/nope", {})
+    assert exc_info.value.code == 404
+
+
+def test_rag_endpoint_generates_answer(server):
+    out = _post(server.port, "/rag",
+                {"query": "What treats type 2 diabetes?",
+                 "question_type": "factoid"})
+    assert out["answer"]
+    assert out["results"]
+
+
+def test_query_batch_endpoint(server):
+    out = _post(server.port, "/query_batch",
+                {"queries": ["diabetes drug", "heart attack drug"],
+                 "top_k": 2})
+    assert len(out["results"]) == 2
+    assert all(len(r["results"]) == 2 for r in out["results"])
+
+
+def test_concurrent_clients_are_microbatched(server):
+    """N concurrent same-knob requests must consolidate into fewer device
+    dispatches than requests (the whole point of the batching frontend) —
+    and every client still gets its own correct answer."""
+    before = server.frontend.stats()
+    queries = ["myocardial infarction", "diabetes mellitus treatment",
+               "cholesterol lowering drug", "bacterial pneumonia antibiotic",
+               "blood glucose insulin", "beta blocker heart rate"] * 2
+    results = [None] * len(queries)
+
+    def hit(i):
+        results[i] = _post(server.port, "/query", {"query": queries[i]})
+
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(len(queries))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert all(r is not None and r["num_results"] == 3 for r in results)
+    # per-query correctness survives batching
+    idx = queries.index("bacterial pneumonia antibiotic")
+    assert results[idx]["results"][0]["chunk_id"] == "c5"
+    after = server.frontend.stats()
+    new_requests = after["requests"] - before["requests"]
+    new_batches = after["batches"] - before["batches"]
+    assert new_requests == len(queries)
+    assert new_batches < new_requests  # batching actually happened
+    assert after["max_batch"] >= 2
