@@ -53,6 +53,7 @@ class MedicalEmbedder:
         self.model_name = model_name
         self.batch_size = batch_size
         self.max_length = max_length
+        self.checkpoint_path = checkpoint_path  # recorded in index bundles
 
         if backend is None:
             backend = "bert" if (checkpoint_path or model_name in KNOWN_BERT_MODELS) else "hash"

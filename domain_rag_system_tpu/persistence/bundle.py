@@ -92,6 +92,14 @@ def save_index(hybrid: HybridIndex, out_dir, extra_manifest: Optional[Dict] = No
             "quantized": dense.quantize,
             "embedder": dense.embedder.get_model_info(),
         }
+        # Learned encoders can't be serialized into the bundle the way the
+        # hash embedder's state arrays can — record the checkpoint path so
+        # load_index restores the SAME query-time encoder (queries embedded
+        # by a different encoder would be scored against incompatible
+        # corpus vectors).
+        ckpt = getattr(dense.embedder, "checkpoint_path", None)
+        if ckpt and not embedder_state:
+            manifest["dense"]["encoder_checkpoint"] = str(ckpt)
 
     bm25 = hybrid.bm25_index
     if bm25 is not None and bm25.doc_terms is not None:
@@ -133,9 +141,21 @@ def load_index(bundle_dir) -> HybridIndex:
         data = np.load(root / "dense.npz", allow_pickle=False)
         emb_state = {k.removeprefix("embedder_"): data[k]
                      for k in data.files if k.startswith("embedder_")}
+        ckpt = manifest["dense"].get("encoder_checkpoint")
         if emb_state:
             embedder = MedicalEmbedder(dim=int(emb_state["meta"][0]))
             embedder._impl = LexicalHashEmbedder.from_state_arrays(emb_state)
+        elif ckpt:
+            # Bundle was built with a learned encoder: queries MUST be
+            # embedded by the same checkpoint or dense scores are garbage.
+            # Fail loudly rather than degrade to a mismatched embedder.
+            if not Path(ckpt).exists():
+                raise FileNotFoundError(
+                    f"index bundle was built with encoder checkpoint "
+                    f"{ckpt!r}, which no longer exists — restore it or "
+                    f"rebuild the index")
+            embedder = MedicalEmbedder(backend="bert", checkpoint_path=ckpt,
+                                       batch_size=128)
         else:
             embedder = MedicalEmbedder()
         dcfg = manifest["dense"]

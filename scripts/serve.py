@@ -31,6 +31,9 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--corpus", default="data/recovered/BioASQ/corpus_subset.json",
                     help="PubMed-schema corpus JSON to index at startup")
+    ap.add_argument("--bundle", default=None,
+                    help="prebuilt index bundle dir (scripts/build_index.py) "
+                         "— skips corpus re-embedding at startup")
     ap.add_argument("--openfda_path", default=None)
     ap.add_argument("--kaggle_path", default=None)
     ap.add_argument("--host", default="127.0.0.1")
@@ -60,11 +63,22 @@ def main() -> None:
     if args.encoder_checkpoint:
         cfg.encoder_checkpoint = (None if args.encoder_checkpoint == "none"
                                   else args.encoder_checkpoint)
-    pipeline, info = build_pipeline(cfg, corpus_kwargs={
-        "pubmed_path": args.corpus,
-        "openfda_path": args.openfda_path,
-        "kaggle_path": args.kaggle_path,
-    })
+    if args.bundle:
+        from domain_rag_system_tpu.persistence import load_index
+        from domain_rag_system_tpu.pipeline import RetrievalPipeline
+        from domain_rag_system_tpu.preprocessing import QueryPreprocessor
+
+        hybrid = load_index(args.bundle)
+        pipeline = RetrievalPipeline(hybrid,
+                                     query_preprocessor=QueryPreprocessor())
+        info = {"config": cfg.to_dict(), "bundle": args.bundle,
+                "n_chunks": len(hybrid.chunks)}
+    else:
+        pipeline, info = build_pipeline(cfg, corpus_kwargs={
+            "pubmed_path": args.corpus,
+            "openfda_path": args.openfda_path,
+            "kaggle_path": args.kaggle_path,
+        })
     generator = {"template": TemplateGenerator(),
                  "extractive": ExtractiveGenerator(),
                  "none": None}[args.generator]
@@ -75,7 +89,7 @@ def main() -> None:
 
     server = RagServer(pipeline, cfg, generator=generator, host=args.host,
                        port=args.port, max_wait_ms=args.max_wait_ms,
-                       index_info=info.get("config"))
+                       index_info=info)
     server.serve_forever()
 
 

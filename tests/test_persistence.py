@@ -88,3 +88,52 @@ def test_loaded_bundle_supports_incremental_updates(tmp_path, toy_chunks):
     r = loaded.bm25_index.search("zanamivir", top_k=2)
     assert r and r[0]["chunk_id"] == "new0"
     assert loaded.bm25_index.delete_chunks(["new0"]) == 1
+
+
+def test_bundle_records_and_restores_learned_encoder(tmp_path, toy_chunks):
+    """A bundle built with a learned (checkpoint) encoder must restore the
+    SAME query-time encoder: before this was recorded, load_index silently
+    fell back to the hash embedder and dense query scores were computed
+    against incompatible corpus vectors."""
+    import numpy as np
+    import pytest
+
+    from domain_rag_system_tpu.indexing import DenseIndex, HybridIndex
+    from domain_rag_system_tpu.models import MedicalEmbedder
+    from domain_rag_system_tpu.models.bert import BertConfig, SentenceEncoder
+    from domain_rag_system_tpu.persistence.checkpoints import (
+        save_encoder_checkpoint,
+    )
+    from domain_rag_system_tpu.tokenization import train_wordpiece
+    import jax
+    import jax.numpy as jnp
+
+    # train a tiny encoder checkpoint on the toy corpus
+    texts = [c.text for c in toy_chunks]
+    tokenizer = train_wordpiece(texts * 2, vocab_size=200)
+    config = BertConfig.tiny(vocab_size=len(tokenizer), dropout_rate=0.0)
+    module = SentenceEncoder(config)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                         jnp.ones((1, 8), jnp.int32))
+    ckpt_dir = tmp_path / "enc"
+    save_encoder_checkpoint(str(ckpt_dir), config, params["params"], tokenizer)
+
+    embedder = MedicalEmbedder(backend="bert", checkpoint_path=str(ckpt_dir))
+    assert embedder.backend_name == "BertEmbedder"
+    hybrid = HybridIndex(dense_index=DenseIndex(embedder, row_block=8))
+    hybrid.index_chunks(toy_chunks)
+    save_index(hybrid, tmp_path / "idx")
+
+    loaded = load_index(tmp_path / "idx")
+    assert loaded.dense_index.embedder.backend_name == "BertEmbedder"
+    # identical query embeddings -> identical dense rankings
+    q = "aspirin for pain"
+    np.testing.assert_allclose(
+        np.asarray(embedder.encode([q])), np.asarray(
+            loaded.dense_index.embedder.encode([q])), atol=1e-6)
+
+    # a missing checkpoint must fail loudly, not degrade silently
+    import shutil
+    shutil.rmtree(ckpt_dir)
+    with pytest.raises(FileNotFoundError, match="encoder checkpoint"):
+        load_index(tmp_path / "idx")
