@@ -105,6 +105,10 @@ def main() -> None:
         "encoder": info["encoder"],
         "config": cfg.to_dict(),
         "devices": describe_devices(),
+        # where the time goes: host featurization vs device dispatch vs
+        # result materialization, per pipeline stage
+        "stage_timing": {k: round(v["mean_s"] * 1000, 3)
+                         for k, v in pipeline.timer.summary().items()},
     }
     print(json.dumps(line))
     if args.output:
