@@ -191,6 +191,11 @@ def make_handler(frontend: BatchingFrontend, generator=None,
             if self.path == "/healthz":
                 self._send(200, {"status": "ok",
                                  "server": frontend.stats(),
+                                 "stage_timing": {
+                                     k: round(v["mean_s"] * 1000, 3)
+                                     for k, v in
+                                     frontend.pipeline.timer.summary().items()
+                                 },
                                  "index": index_info or {}})
             else:
                 self._send(404, {"error": f"no route {self.path}"})

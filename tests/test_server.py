@@ -67,6 +67,7 @@ def test_healthz(server):
     out = _get(server.port, "/healthz")
     assert out["status"] == "ok"
     assert "requests" in out["server"]
+    assert "stage_timing" in out  # per-stage mean ms once queries flowed
 
 
 def test_query_roundtrip(server):
