@@ -72,6 +72,10 @@ class BatchingFrontend:
         self.pipeline = pipeline
         self.cfg = cfg
         self.max_wait_ms = max_wait_ms
+        # serializes device dispatches against live index mutations
+        # (/index/add, /index/delete): a mutation mid-batch would swap the
+        # index arrays out from under an in-flight fused program's inputs
+        self.index_lock = threading.Lock()
         self._queue: "queue.Queue[tuple[_Request, tuple]]" = queue.Queue()
         self._stats = {"requests": 0, "batches": 0, "errors": 0,
                        "max_batch": 0}
@@ -144,8 +148,9 @@ class BatchingFrontend:
         if any(r.filters for r in batch):
             filters = [r.filters for r in batch]
         try:
-            outs = self.pipeline.query_batch(
-                [r.query for r in batch], filters=filters, **kwargs)
+            with self.index_lock:
+                outs = self.pipeline.query_batch(
+                    [r.query for r in batch], filters=filters, **kwargs)
             for req, out in zip(batch, outs):
                 req.result = out
         except Exception as exc:  # pragma: no cover - defensive
@@ -214,6 +219,20 @@ def make_handler(frontend: BatchingFrontend, generator=None,
                     outs = frontend.pipeline.query_batch(
                         list(queries), filters=body.get("filters"), **kwargs)
                     self._send(200, {"results": outs})
+                elif self.path == "/index/add":
+                    from domain_rag_system_tpu.preprocessing import Chunk
+
+                    chunks = [Chunk.from_dict(c) for c in body["chunks"]]
+                    with frontend.index_lock:
+                        frontend.pipeline.index.add_chunks_incremental(chunks)
+                    self._send(200, {
+                        "added": len(chunks),
+                        "n_chunks": len(frontend.pipeline.index.chunks)})
+                elif self.path == "/index/delete":
+                    ids = list(body["chunk_ids"])
+                    with frontend.index_lock:
+                        deleted = frontend.pipeline.index.delete_chunks(ids)
+                    self._send(200, {"deleted": deleted})
                 elif self.path == "/rag":
                     if generator is None:
                         self._send(503, {"error": "no generator configured"})

@@ -142,3 +142,25 @@ def test_concurrent_clients_are_microbatched(server):
     assert new_requests == len(queries)
     assert new_batches < new_requests  # batching actually happened
     assert after["max_batch"] >= 2
+
+
+def test_live_index_add_and_delete(server):
+    """/index/add and /index/delete mutate the live index under the same
+    lock as query dispatches: a newly added chunk is immediately
+    retrievable, a deleted one immediately disappears."""
+    new_chunk = {"chunk_id": "c_new", "doc_id": "d_new", "source": "pubmed",
+                 "chunk_type": "abstract",
+                 "text": "levothyroxine replaces thyroid hormone in "
+                         "hypothyroidism",
+                 "metadata": {}}
+    out = _post(server.port, "/index/add", {"chunks": [new_chunk]})
+    assert out["added"] == 1
+    got = _post(server.port, "/query",
+                {"query": "thyroid hormone replacement hypothyroidism"})
+    assert got["results"][0]["chunk_id"] == "c_new"
+
+    out = _post(server.port, "/index/delete", {"chunk_ids": ["c_new"]})
+    assert out["deleted"] == 1
+    got = _post(server.port, "/query",
+                {"query": "thyroid hormone replacement hypothyroidism"})
+    assert all(r["chunk_id"] != "c_new" for r in got["results"])
