@@ -141,3 +141,66 @@ def test_doc_term_width_autosizes(bm25):
     widest = int(max((np.asarray(row) >= 0).sum() for row in np.asarray(bm25.doc_terms)))
     assert d >= widest
     assert d - widest < 8 + 1  # tight fit
+
+
+def test_split_overflow_scores_equal_unsplit():
+    """bm25_scores_split == bm25_scores on skew-width corpora (the split is
+    a pure column partition; overflow rows scatter-add their tails)."""
+    import numpy as np
+
+    from domain_rag_system_tpu.ops.sparse_bm25 import (
+        bm25_scores,
+        bm25_scores_split,
+        build_okapi_arrays,
+        split_overflow,
+    )
+
+    rng = np.random.RandomState(7)
+    vocab = 500
+    corpus = []
+    for i in range(300):
+        # heavy skew: most docs ~8 unique terms, a few ~60
+        width = 60 if i % 97 == 0 else rng.randint(3, 12)
+        corpus.append(list(rng.randint(0, vocab, size=width)))
+    doc_terms, doc_contrib, idf, stats = build_okapi_arrays(corpus, vocab)
+
+    split = split_overflow(doc_terms, doc_contrib)
+    base_terms = split[0]
+    assert base_terms.shape[1] < doc_terms.shape[1]  # actually narrower
+    assert len(split[2]) > 0                          # some overflow rows
+
+    q_ids = np.array([[1, 5, 9, -1], [2, 2, 7, 3]], np.int32)
+    q_w = np.abs(rng.randn(2, 4)).astype(np.float32)
+    full = np.asarray(bm25_scores(doc_terms, doc_contrib, q_ids, q_w,
+                                  vocab_size=vocab))
+    sp = np.asarray(bm25_scores_split(*split, q_ids, q_w, vocab_size=vocab))
+    np.testing.assert_allclose(sp, full, atol=1e-5)
+
+    # single-query path
+    full1 = np.asarray(bm25_scores(doc_terms, doc_contrib, q_ids[0], q_w[0],
+                                   vocab_size=vocab))
+    sp1 = np.asarray(bm25_scores_split(*split, q_ids[0], q_w[0],
+                                       vocab_size=vocab))
+    np.testing.assert_allclose(sp1, full1, atol=1e-5)
+
+
+def test_split_overflow_no_overflow_corpus():
+    import numpy as np
+
+    from domain_rag_system_tpu.ops.sparse_bm25 import (
+        bm25_scores,
+        bm25_scores_split,
+        build_okapi_arrays,
+        split_overflow,
+    )
+
+    corpus = [[1, 2, 3], [2, 3, 4], [5]] * 5
+    doc_terms, doc_contrib, idf, stats = build_okapi_arrays(corpus, 10)
+    split = split_overflow(doc_terms, doc_contrib)
+    assert len(split[2]) == 0
+    q = np.array([2, 3, -1], np.int32)
+    w = np.ones(3, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(bm25_scores_split(*split, q, w, vocab_size=10)),
+        np.asarray(bm25_scores(doc_terms, doc_contrib, q, w, vocab_size=10)),
+        atol=1e-6)
