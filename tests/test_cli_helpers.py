@@ -1,0 +1,46 @@
+"""CLI helper logic (scripts/query.py) — flag/tuned-config resolution."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+
+def _parse(argv):
+    import argparse
+
+    from query import add_query_flags, query_kwargs_from_args
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--query")
+    add_query_flags(ap)
+    args = ap.parse_args(argv)
+    return query_kwargs_from_args(args, ap)
+
+
+def test_defaults_are_reference_shaped():
+    kw = _parse(["--query", "x"])
+    assert kw["fusion_method"] == "rrf"
+    assert kw["prf_terms"] == 0          # PRF off by default (parity)
+    assert kw["group_by_doc"] is False
+
+
+def test_tuned_flag_applies_committed_operating_point():
+    from domain_rag_system_tpu.config import RetrievalConfig
+
+    tuned = RetrievalConfig.tuned().query_kwargs()
+    kw = _parse(["--query", "x", "--tuned"])
+    for name in ("fusion_method", "vector_weight", "bm25_weight",
+                 "prf_terms", "prf_docs", "group_by_doc", "evidence_alpha"):
+        assert kw[name] == tuned[name], name
+
+
+def test_explicit_flags_beat_tuned():
+    kw = _parse(["--query", "x", "--tuned", "--prf_terms", "3",
+                 "--fusion_method", "weighted", "--vector_weight", "0.4"])
+    assert kw["prf_terms"] == 3
+    assert kw["vector_weight"] == 0.4
+    # untouched knobs still take tuned values
+    from domain_rag_system_tpu.config import RetrievalConfig
+
+    assert kw["prf_docs"] == RetrievalConfig.tuned().prf_docs
