@@ -123,6 +123,9 @@ def main() -> None:
             "dense_dtype": (
                 "int8" if pipeline_big.index.dense_index.quantize
                 else str(pipeline_big.index.dense_index.dtype.__name__)),
+            "stage_timing_ms": {
+                k: round(v["mean_s"] * 1000, 3)
+                for k, v in pipeline_big.timer.summary().items()},
         },
         "encoder": info["encoder"],
         "config": {k: v for k, v in cfg.to_dict().items()

@@ -60,6 +60,7 @@ class BM25Index:
         self.stats: Dict[str, float] = {}
         self._filters: Optional[FilterSet] = None
         self._valid_rows_dev: Optional[jnp.ndarray] = None  # [N_rows] uint8 cache
+        self._split_cache = None  # split-overflow arrays (see split_arrays)
 
     # ------------------------------------------------------------------ build
 
@@ -154,6 +155,7 @@ class BM25Index:
         self.stats = stats
         self._filters = FilterSet(self.chunks)
         self._valid_rows_dev = None  # recomputed lazily (alive set changed)
+        self._split_cache = None     # recomputed lazily (arrays changed)
         log.info(
             "BM25 index: %d chunks, %d terms, avgdl=%.1f",
             len(self.chunks), len(self.vocab), stats["avgdl"],
@@ -182,6 +184,26 @@ class BM25Index:
                 mask[:n] = 1
             self._valid_rows_dev = jnp.asarray(mask)
         return self._valid_rows_dev
+
+    def split_arrays(self):
+        """Split-overflow scoring arrays (``ops.sparse_bm25.split_overflow``)
+        — narrow base + sparse wide-row tails; the fused batch program
+        scores with these (gather work ∝ width, and the width distribution
+        is heavily skewed). Computed lazily from whatever ``doc_terms``
+        holds, so build, bundle-load and incremental-update paths all get
+        them. None under an explicit mesh (the transparent sharded path
+        keeps the plain row-sharded arrays; a scatter-add across shards
+        would add a collective)."""
+        if self.mesh is not None or self.doc_terms is None:
+            return None
+        if self._split_cache is None:
+            from domain_rag_system_tpu.ops.sparse_bm25 import split_overflow
+
+            base_t, base_c, ovf_r, ovf_t, ovf_c = split_overflow(
+                np.asarray(self.doc_terms), np.asarray(self.doc_contrib))
+            self._split_cache = tuple(
+                jnp.asarray(a) for a in (base_t, base_c, ovf_r, ovf_t, ovf_c))
+        return self._split_cache
 
     def encode_query(self, query: str) -> Tuple[np.ndarray, np.ndarray]:
         """Query text → fixed-width (term ids, multiplicity weights)."""

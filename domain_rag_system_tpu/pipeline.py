@@ -26,7 +26,7 @@ from domain_rag_system_tpu.indexing import HybridIndex
 from domain_rag_system_tpu.ops.dense_topk import cosine_topk, lax_topk
 from domain_rag_system_tpu.ops.fusion import rrf_fuse_device, weighted_fuse_device
 from domain_rag_system_tpu.ops.prf import bm25_prf_expand
-from domain_rag_system_tpu.ops.sparse_bm25 import bm25_scores
+from domain_rag_system_tpu.ops.sparse_bm25 import bm25_scores, bm25_scores_split
 from domain_rag_system_tpu.preprocessing import QueryPreprocessor
 from domain_rag_system_tpu.reranker import BaseReranker, SimpleSimilarityReranker
 from domain_rag_system_tpu.utils import StageTimer, get_logger
@@ -63,12 +63,17 @@ def _device_cosine_rerank(
 @functools.partial(jax.jit, static_argnames=(
     "over_k", "fetch_k", "fusion_method",
     "rerank_top_n", "vocab_size", "has_dense", "has_sparse", "use_rerank",
-    "prf_terms", "prf_docs", "has_qfilter"))
+    "use_split", "prf_terms", "prf_docs", "has_qfilter"))
 def _fused_batch_retrieval(
     embeddings,    # [N_pad, d] or [1, 1] placeholder
     valid_mask,    # [N_pad] or [1]
     doc_terms,     # [N, D] or [1, 1]
     doc_contrib,   # [N, D] or [1, 1]
+    sb_terms,      # split-overflow scoring arrays (sparse_bm25.split_overflow)
+    sb_contrib,    #   base [N, Db] + overflow tails — exact, ~2x less gather
+    sb_ovf_rows,   #   work than the full-width arrays; doc_terms/doc_contrib
+    sb_ovf_terms,  #   stay for PRF term mining (tiny gathers) and the
+    sb_ovf_contrib,  # non-split fallback ([1,1]/[0] placeholders)
     sparse_valid,  # [N] uint8 — alive (non-tombstoned, non-padding) BM25 rows
     q_emb,         # [B, d] search-query embeddings (or [B, 1])
     q_ids,         # [B, L] BM25 term ids (or [B, 1])
@@ -88,6 +93,7 @@ def _fused_batch_retrieval(
     has_dense: bool,
     has_sparse: bool,
     use_rerank: bool,
+    use_split: bool = False,
     prf_terms: int = 0,
     prf_docs: int = 10,
     prf_alpha: float = 0.6,
@@ -117,8 +123,15 @@ def _fused_batch_retrieval(
         sc_d = jnp.zeros((b, 1), jnp.float32)
 
     if has_sparse:
-        s = bm25_scores(doc_terms, doc_contrib, q_ids, q_w,
-                        vocab_size=vocab_size)
+        def sparse_score(ids, w):
+            if use_split:
+                return bm25_scores_split(
+                    sb_terms, sb_contrib, sb_ovf_rows, sb_ovf_terms,
+                    sb_ovf_contrib, ids, w, vocab_size=vocab_size)
+            return bm25_scores(doc_terms, doc_contrib, ids, w,
+                               vocab_size=vocab_size)
+
+        s = sparse_score(q_ids, q_w)
         # Tombstoned chunks and mesh-padding rows score exactly 0 and would
         # otherwise stay ranked (zero-score ALIVE docs do stay, reference
         # argsort parity) — invalidate them before top-k so they can never
@@ -131,8 +144,7 @@ def _fused_batch_retrieval(
                 doc_terms, doc_contrib, s, q_ids, q_w,
                 fb_docs=prf_docs, fb_terms=prf_terms, alpha=prf_alpha,
                 vocab_size=vocab_size)
-            s = bm25_scores(doc_terms, doc_contrib, q_ids2, q_w2,
-                            vocab_size=vocab_size)
+            s = sparse_score(q_ids2, q_w2)
             s = jnp.where(sparse_valid.reshape(1, -1) > 0, s, -1e30)
             if has_qfilter:
                 s = jnp.where(q_filter_s > 0, s, -1e30)
@@ -521,12 +533,19 @@ class RetrievalPipeline:
                                        int(sparse.doc_terms.shape[0]),
                                        len(sparse.chunks))
 
+        split = sparse.split_arrays() if has_sparse else None
+        sb_placeholder = (jnp.full((1, 1), -1, jnp.int32),
+                          jnp.zeros((1, 1), jnp.float32),
+                          jnp.zeros(0, jnp.int32),
+                          jnp.full((0, 8), -1, jnp.int32),
+                          jnp.zeros((0, 8), jnp.float32))
         with self.timer.stage("dispatch"):
             fused_ids_dev, fused_scores_dev, rerank_dev = _fused_batch_retrieval(
                 dense.embeddings if has_dense else jnp.zeros((1, 1), jnp.float32),
                 jnp.asarray(dense._valid) if has_dense else jnp.ones(1, jnp.uint8),
                 sparse.doc_terms if has_sparse else jnp.full((1, 1), -1, jnp.int32),
                 sparse.doc_contrib if has_sparse else jnp.zeros((1, 1), jnp.float32),
+                *(split if split is not None else sb_placeholder),
                 sparse.valid_rows() if has_sparse else jnp.ones(1, jnp.uint8),
                 q_emb, q_ids, q_w, q_orig_emb,
                 (dense.row_scale if has_dense and dense.row_scale is not None
@@ -538,6 +557,7 @@ class RetrievalPipeline:
                 vocab_size=len(sparse.vocab) if has_sparse else 0,
                 has_dense=has_dense, has_sparse=has_sparse,
                 use_rerank=use_device_rerank,
+                use_split=split is not None,
                 prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
                 has_qfilter=has_qfilter,
             )
