@@ -110,6 +110,10 @@ def run_retrieval_evaluation(
             pipeline.query(first[0], top_k=top_k, fusion_method=fusion_method,
                            vector_weight=vector_weight, bm25_weight=bm25_weight,
                            rerank_top_n=rerank_top_n, group_by_doc=group_by_doc)
+        # drop warmup (compile-inflated) samples so StageTimer means
+        # reported by bench/scale_bench/healthz reflect steady state
+        pipeline.timer.totals.clear()
+        pipeline.timer.counts.clear()
     t_start = time.perf_counter()
 
     def evaluate_one(q: Dict, results: List[Dict], elapsed: float) -> Dict:
