@@ -70,6 +70,27 @@ WORKER = textwrap.dedent("""
     assert emb.shape == (total, d)
 
     scores, idx = sharded_cosine_topk(q, emb, mask, k, mesh)
+
+    # sparse arm: same slab machinery over the BM25 doc-major arrays
+    from domain_rag_system_tpu.ops.sparse_bm25 import build_okapi_arrays
+    from domain_rag_system_tpu.parallel import sharded_bm25_topk
+    vocab = 50
+    tok_corpus = [list(rng2) for rng2 in
+                  np.random.RandomState(1).randint(0, vocab, size=(n, 7))]
+    doc_terms, doc_contrib, idf, stats = build_okapi_arrays(tok_corpus, vocab)
+    dslab = np.full((stop - start, doc_terms.shape[1]), -1, np.int32)
+    cslab = np.zeros((stop - start, doc_terms.shape[1]), np.float32)
+    dslab[: len(real)] = doc_terms[start:min(stop, n)]
+    cslab[: len(real)] = doc_contrib[start:min(stop, n)]
+    g_terms = global_sharded_rows(dslab, mesh)
+    g_contrib = global_sharded_rows(cslab, mesh)
+    q_ids = np.array([[1, 4, 9, -1]] * b, np.int32)
+    q_w = np.ones((b, 4), np.float32)
+    s_scores, s_idx = sharded_bm25_topk(
+        g_terms, g_contrib,
+        global_replicated(q_ids, mesh), global_replicated(q_w, mesh),
+        k, mesh, vocab_size=vocab)
+
     # fully-addressable result? top-k output is replicated — each process
     # reads its addressable copy
     out = {{
@@ -77,6 +98,10 @@ WORKER = textwrap.dedent("""
             idx.addressable_data(0))).tolist(),
         "scores": np.asarray(jax.device_get(
             scores.addressable_data(0))).astype(float).tolist(),
+        "bm25_idx": np.asarray(jax.device_get(
+            s_idx.addressable_data(0))).tolist(),
+        "bm25_scores": np.asarray(jax.device_get(
+            s_scores.addressable_data(0))).astype(float).tolist(),
     }}
     if pid == 0:
         print("RESULT " + json.dumps(out), flush=True)
@@ -129,6 +154,25 @@ def test_two_process_distributed_topk_matches_oracle(tmp_path):
     # indices may permute among score ties; compare score-sorted sets
     for row_got, row_exp in zip(got_idx, expect_idx):
         assert set(row_got) == set(row_exp)
+
+    # BM25 arm: distributed scores must equal the single-process oracle
+    from domain_rag_system_tpu.ops.sparse_bm25 import (
+        bm25_scores,
+        build_okapi_arrays,
+    )
+
+    vocab = 50
+    tok_corpus = [list(r) for r in
+                  np.random.RandomState(1).randint(0, vocab, size=(n, 7))]
+    doc_terms, doc_contrib, _, _ = build_okapi_arrays(tok_corpus, vocab)
+    q_ids = np.array([[1, 4, 9, -1]] * b, np.int32)
+    q_w = np.ones((b, 4), np.float32)
+    full = np.asarray(bm25_scores(doc_terms, doc_contrib, q_ids, q_w,
+                                  vocab_size=vocab))
+    expect_bm = -np.sort(-full, axis=1)[:, :k]
+    got_bm = np.asarray(result["bm25_scores"])
+    assert (expect_bm[:, 0] > 0).all()  # top hits are real, not padding
+    np.testing.assert_allclose(got_bm, expect_bm, atol=1e-5)
 
 
 def test_process_slice_partitioning():
