@@ -561,6 +561,15 @@ class RetrievalPipeline:
                 prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
                 has_qfilter=has_qfilter,
             )
+        # Start the device→host transfer as soon as the program finishes
+        # (instead of when finalize_batch blocks): through the remote
+        # tunnel the transfer itself is a visible share of batch time, and
+        # this overlaps it with the NEXT batch's featurization/dispatch.
+        for arr in (fused_ids_dev, fused_scores_dev, rerank_dev):
+            try:
+                arr.copy_to_host_async()
+            except (AttributeError, RuntimeError):  # backend-dependent
+                break
         return {
             "queries": queries,
             "pres": pres,
