@@ -175,8 +175,11 @@ class DenseIndex:
             grown = np.zeros((n_pad, emb_host.shape[1]), np.float32)
             grown[:old_n] = emb_host[:old_n]
             emb_host = grown
+            # carry tombstones across the growth — a blanket [:old_n]=1
+            # here silently resurrected deleted chunks on the dense arm
+            old_valid = self._valid
             self._valid = np.zeros(n_pad, dtype=np.uint8)
-            self._valid[:old_n] = 1
+            self._valid[:old_n] = old_valid[:old_n]
         emb_host[old_n:needed] = new_emb
         if self.quantize:
             from domain_rag_system_tpu.ops.dense_topk import quantize_rows_int8

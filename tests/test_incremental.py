@@ -98,3 +98,37 @@ def test_tombstones_never_resurface_small_corpus():
     out = p.query_batch(["aspirin for fever"], top_k=5,
                         fusion_method="weighted")[0]
     assert all(r["chunk_id"] != "new0" for r in out["results"])
+
+
+def test_tombstones_survive_capacity_growth():
+    """Deleting a chunk then adding enough chunks to grow the dense matrix
+    must NOT resurrect the deleted chunk (the growth path used to reset
+    the whole validity mask to 1)."""
+    import numpy as np
+
+    from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+    from domain_rag_system_tpu.models import MedicalEmbedder
+    from domain_rag_system_tpu.preprocessing import Chunk
+
+    def C(cid, text):
+        return Chunk(chunk_id=cid, doc_id="d" + cid, source="pubmed",
+                     chunk_type="abstract", text=text, metadata={})
+
+    hy = HybridIndex(dense_index=DenseIndex(MedicalEmbedder(dim=128),
+                                            row_block=8),
+                     bm25_index=BM25Index())
+    hy.index_chunks([C("a", "aspirin pain"), C("b", "metformin diabetes"),
+                     C("dead", "unique zoledronate osteoporosis")])
+    assert hy.delete_chunks(["dead"]) == 1
+
+    # force at least one capacity growth (row_block=8, 3 existing)
+    hy.add_chunks_incremental([C(f"n{i}", f"filler document {i}")
+                               for i in range(10)])
+    assert np.asarray(hy.dense_index._valid)[2] == 0  # still tombstoned
+    # the deleted chunk must not be retrievable by its own exact terms
+    res = hy.search("zoledronate osteoporosis", top_k=5,
+                    fusion_method="weighted", vector_weight=0.5,
+                    bm25_weight=0.5)
+    assert all(r["chunk_id"] != "dead" for r in res)
+    # deleting again is a no-op (it stayed dead)
+    assert hy.delete_chunks(["dead"]) == 0

@@ -164,3 +164,40 @@ def test_live_index_add_and_delete(server):
     got = _post(server.port, "/query",
                 {"query": "thyroid hormone replacement hypothyroidism"})
     assert all(r["chunk_id"] != "c_new" for r in got["results"])
+
+
+def test_concurrent_queries_during_index_mutation(server):
+    """Queries racing live index mutations must stay crash-free and
+    coherent (the index lock serializes mutations against dispatches)."""
+    errors = []
+
+    def query_loop():
+        for _ in range(6):
+            try:
+                out = _post(server.port, "/query", {"query": "diabetes"})
+                assert out["num_results"] >= 1
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+    def mutate_loop():
+        for i in range(3):
+            try:
+                _post(server.port, "/index/add", {"chunks": [{
+                    "chunk_id": f"mut{i}", "doc_id": f"mutd{i}",
+                    "source": "pubmed", "chunk_type": "abstract",
+                    "text": f"experimental compound {i} trial", "metadata": {}}]})
+                _post(server.port, "/index/delete", {"chunk_ids": [f"mut{i}"]})
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+    threads = [threading.Thread(target=query_loop) for _ in range(3)]
+    threads.append(threading.Thread(target=mutate_loop))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # index returned to its original size
+    out = _post(server.port, "/index/delete",
+                {"chunk_ids": [f"mut{i}" for i in range(3)]})
+    assert out["deleted"] == 0
