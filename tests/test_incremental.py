@@ -132,3 +132,28 @@ def test_tombstones_survive_capacity_growth():
     assert all(r["chunk_id"] != "dead" for r in res)
     # deleting again is a no-op (it stayed dead)
     assert hy.delete_chunks(["dead"]) == 0
+
+
+def test_int8_add_preserves_existing_rows_exactly():
+    """Incremental add on a quantized index dequantizes + re-quantizes the
+    existing rows; per-row scales must make that round trip lossless (old
+    rows' stored int8 values unchanged)."""
+    import numpy as np
+
+    from domain_rag_system_tpu.indexing import DenseIndex
+    from domain_rag_system_tpu.models import MedicalEmbedder
+    from domain_rag_system_tpu.preprocessing import Chunk
+
+    def C(cid, text):
+        return Chunk(chunk_id=cid, doc_id="d" + cid, source="pubmed",
+                     chunk_type="abstract", text=text, metadata={})
+
+    idx = DenseIndex(MedicalEmbedder(dim=128), row_block=8, dtype="int8")
+    idx.index_chunks([C("a", "aspirin pain"), C("b", "metformin diabetes")])
+    before = np.asarray(idx.embeddings)[:2].copy()
+    scale_before = np.asarray(idx.row_scale)[:2].copy()
+
+    idx.add_chunks([C("c", "insulin therapy glucose")])
+    np.testing.assert_array_equal(np.asarray(idx.embeddings)[:2], before)
+    np.testing.assert_allclose(np.asarray(idx.row_scale)[:2], scale_before,
+                               rtol=1e-6)
