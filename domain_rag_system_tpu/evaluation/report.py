@@ -75,6 +75,35 @@ def compare_with_baseline(ours: Dict, baseline: Optional[Dict]) -> Dict:
     return {"available": True, "metrics": deltas}
 
 
+#: Same-corpus, same-hardware dense-only control artifacts per dataset
+#: (produced by ``baselines/jax_flat_baseline.py`` on the recovered
+#: corpora). Unlike the reference baselines (different corpus snapshots,
+#: different hardware), these rows are directly comparable.
+CONTROL_CSVS = {
+    "bioasq": "jax_flat_baseline_summary.csv",
+    "openfda": "openfda_control_summary.csv",
+    "kaggle": "kaggle_control_summary.csv",
+}
+
+
+def control_overall(dataset: str, results_dir) -> Optional[Dict]:
+    """The "overall" row of the dataset's same-corpus control CSV."""
+    name = CONTROL_CSVS.get(dataset)
+    if not name:
+        return None
+    path = Path(results_dir) / name
+    if not path.exists():
+        return None
+    import csv
+
+    with open(path, newline="", encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            if row.get("group") == "overall":
+                return {k: float(v) for k, v in row.items()
+                        if k not in ("group",) and v not in ("", None)}
+    return None
+
+
 def generate_report(
     dataset_results: Dict[str, Dict],
     output_dir,
@@ -103,6 +132,9 @@ def generate_report(
         report["baseline_comparison"][name] = compare_with_baseline(
             results["overall"], baseline_overall(name, reference_results)
         )
+        control = control_overall(name, out)
+        if control:
+            report[name]["same_corpus_control"] = control
 
     json_path = out / "comprehensive_evaluation.json"
     with open(json_path, "w", encoding="utf-8") as f:
@@ -155,6 +187,20 @@ def render_markdown(report: Dict) -> str:
                 row = [qtype, str(agg.get("total_queries", ""))]
                 row += [_fmt(agg.get(m, "")) for m in metric_keys]
                 lines.append("| " + " | ".join(row) + " |")
+            lines.append("")
+
+        control = report[name].get("same_corpus_control")
+        if control:
+            lines += ["### vs same-corpus dense control "
+                      "(`baselines/jax_flat_baseline.py`, same hardware)", "",
+                      "| metric | ours | control | delta |", "|---|---|---|---|"]
+            ours = report[name]["overall"]
+            for key in ("precision", "recall", "f1", "mrr", "hit@1",
+                        "recall@5", "ndcg@10"):
+                if key in ours and key in control:
+                    lines.append(
+                        f"| {key} | {_fmt(ours[key])} | {_fmt(control[key])} "
+                        f"| {ours[key] - control[key]:+.4f} |")
             lines.append("")
 
         cmp_section = report["baseline_comparison"].get(name, {})

@@ -107,3 +107,25 @@ def test_baseline_overall_bioasq():
         {"precision": 0.6, "avg_query_time": 0.005}, overall)
     assert cmp_out["available"]
     assert cmp_out["metrics"]["speedup"] > 5
+
+
+def test_report_includes_same_corpus_control_row(tmp_path, pipeline):
+    """When a dataset's control CSV is present in the output dir, the
+    report embeds the control's overall row and renders a comparison
+    table (VERDICT round-1 item 4's done-criterion)."""
+    from domain_rag_system_tpu.evaluation.report import render_markdown
+    from domain_rag_system_tpu.evaluation.runners import (
+        run_retrieval_evaluation,
+    )
+
+    queries = [{"id": "q1", "body": "aspirin pain",
+                "documents": ["http://x/pubmed/d0"], "type": "factoid"}]
+    results = run_retrieval_evaluation(pipeline, queries, dataset="bioasq")
+    (tmp_path / "jax_flat_baseline_summary.csv").write_text(
+        "group,n,precision,recall,f1,mrr,hit@1,recall@5,ndcg@10\n"
+        "overall,1,0.5,0.6,0.55,0.7,0.6,0.5,0.72\n")
+    report = generate_report({"bioasq": results}, tmp_path,
+                             reference_results=tmp_path)
+    assert report["bioasq"]["same_corpus_control"]["ndcg@10"] == 0.72
+    md = render_markdown(report)
+    assert "same-corpus dense control" in md
