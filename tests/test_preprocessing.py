@@ -289,3 +289,26 @@ def test_query_keywords_protect_medical_stopwords():
     assert "treatment" in kw  # medical stopword protected
     assert "what" not in kw
     assert "flu" in kw
+
+
+def test_guarded_pattern_prefilter_never_false_negative():
+    """GuardedPattern's first-word set check must skip only true no-hit
+    texts: multi-word phrases, hyphenated terms and case variants all
+    still match exactly as the raw alternation would."""
+    from domain_rag_system_tpu.preprocessing.normalizer import _alternation
+
+    terms = ["heart attack", "T2DM", "x-ray", "type 2 diabetes mellitus"]
+    g = _alternation(terms)
+    cases = [
+        ("the patient had a Heart Attack yesterday", ["Heart Attack"]),
+        ("history of t2dm and hypertension", ["t2dm"]),
+        ("chest x-ray was clear", ["x-ray"]),
+        ("Type 2 Diabetes Mellitus management", ["Type 2 Diabetes Mellitus"]),
+        ("completely unrelated astronomy text", []),
+        ("the word heartless does not match", []),  # \b guard holds
+    ]
+    for text, expected in cases:
+        assert [m.group(0) for m in g.finditer(text)] == expected, text
+    # sub on a no-hit text returns it unchanged without scanning
+    assert g.sub(lambda m: "X", "nothing to see here") == "nothing to see here"
+    assert g.sub(lambda m: "X", "an x-ray image") == "an X image"
