@@ -53,31 +53,61 @@ class IndexBundle:
             return cls(root=root, manifest=json.load(f))
 
 
+def _alive_mask(hybrid: HybridIndex) -> Optional[np.ndarray]:
+    """[n_chunks] bool — False for tombstoned chunks; None if all alive."""
+    n = len(hybrid.chunks)
+    alive = np.ones(n, dtype=bool)
+    dense = hybrid.dense_index
+    if dense is not None and getattr(dense, "_valid", None) is not None \
+            and dense._valid.size >= n:
+        alive &= dense._valid[:n].astype(bool)
+    bm25 = hybrid.bm25_index
+    if bm25 is not None:
+        bm = bm25.alive_mask()
+        if bm is not None and bm.size >= n:
+            alive &= bm[:n]
+    return None if bool(alive.all()) else alive
+
+
 def save_index(hybrid: HybridIndex, out_dir, extra_manifest: Optional[Dict] = None) -> Path:
+    """Write a compacted snapshot: tombstoned chunks are DROPPED (their
+    rows removed from the dense and BM25 arrays), so a loaded bundle can
+    never resurrect deleted chunks. Round-1 saved raw rows and lost the
+    validity masks on load."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
+    alive = _alive_mask(hybrid)
+    chunks = (hybrid.chunks if alive is None
+              else [c for i, c in enumerate(hybrid.chunks) if alive[i]])
+
     with open(out / "chunks.jsonl", "w", encoding="utf-8") as f:
-        for chunk in hybrid.chunks:
+        for chunk in chunks:
             f.write(json.dumps(chunk.to_dict(), ensure_ascii=False) + "\n")
 
     manifest: Dict = {
         "framework_version": __version__,
-        "num_chunks": len(hybrid.chunks),
+        "num_chunks": len(chunks),
         "has_dense": hybrid.dense_index is not None,
         "has_bm25": hybrid.bm25_index is not None,
     }
+
+    def compact(rows: np.ndarray) -> np.ndarray:
+        return rows if alive is None else rows[alive[: len(rows)]]
 
     dense = hybrid.dense_index
     if dense is not None and dense.embeddings is not None:
         if dense.quantize:
             arrays = {
-                "embeddings_int8": np.asarray(dense.embeddings)[: dense.n_chunks],
-                "row_scale": np.asarray(dense.row_scale)[: dense.n_chunks],
+                "embeddings_int8": compact(
+                    np.asarray(dense.embeddings)[: dense.n_chunks]),
+                "row_scale": compact(
+                    np.asarray(dense.row_scale)[: dense.n_chunks]),
             }
         else:
             arrays = {
-                "embeddings": np.asarray(dense.embeddings, dtype=np.float32)[: dense.n_chunks],
+                "embeddings": compact(np.asarray(
+                    dense.embeddings, dtype=np.float32)[: dense.n_chunks]),
             }
         embedder_state = {}
         impl = getattr(dense.embedder, "_impl", dense.embedder)
@@ -103,10 +133,11 @@ def save_index(hybrid: HybridIndex, out_dir, extra_manifest: Optional[Dict] = No
 
     bm25 = hybrid.bm25_index
     if bm25 is not None and bm25.doc_terms is not None:
+        n = len(hybrid.chunks)
         np.savez_compressed(
             out / "bm25.npz",
-            doc_terms=np.asarray(bm25.doc_terms),
-            doc_contrib=np.asarray(bm25.doc_contrib),
+            doc_terms=compact(np.asarray(bm25.doc_terms)[:n]),
+            doc_contrib=compact(np.asarray(bm25.doc_contrib)[:n]),
             idf=bm25.idf,
         )
         with open(out / "vocab.json", "w", encoding="utf-8") as f:

@@ -137,3 +137,37 @@ def test_bundle_records_and_restores_learned_encoder(tmp_path, toy_chunks):
     shutil.rmtree(ckpt_dir)
     with pytest.raises(FileNotFoundError, match="encoder checkpoint"):
         load_index(tmp_path / "idx")
+
+
+def test_bundle_compacts_tombstoned_chunks(tmp_path, toy_chunks):
+    """Saving after delete_chunks writes a compacted snapshot: the deleted
+    chunk is gone from chunks.jsonl and both array files, so loading can
+    never resurrect it (round-1 bundles dropped the validity masks)."""
+    from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+    from domain_rag_system_tpu.models import MedicalEmbedder
+    from domain_rag_system_tpu.preprocessing import Chunk
+
+    def C(cid, text):
+        return Chunk(chunk_id=cid, doc_id="d" + cid, source="pubmed",
+                     chunk_type="abstract", text=text, metadata={})
+
+    hy = HybridIndex(dense_index=DenseIndex(MedicalEmbedder(dim=128),
+                                            row_block=8),
+                     bm25_index=BM25Index())
+    hy.index_chunks([C("a", "aspirin pain"),
+                     C("dead", "zoledronate osteoporosis unique"),
+                     C("c", "insulin glucose")])
+    assert hy.delete_chunks(["dead"]) == 1
+    save_index(hy, tmp_path / "idx")
+
+    loaded = load_index(tmp_path / "idx")
+    assert len(loaded.chunks) == 2
+    assert all(c.chunk_id != "dead" for c in loaded.chunks)
+    res = loaded.search("zoledronate osteoporosis", top_k=3,
+                        fusion_method="weighted", vector_weight=0.5,
+                        bm25_weight=0.5)
+    assert all(r["chunk_id"] != "dead" for r in res)
+    # surviving chunks still retrievable with aligned rows
+    res2 = loaded.search("aspirin pain", top_k=1, fusion_method="weighted",
+                         vector_weight=0.5, bm25_weight=0.5)
+    assert res2[0]["chunk_id"] == "a"
