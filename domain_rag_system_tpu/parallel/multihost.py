@@ -50,9 +50,16 @@ def init_multihost(
     environment (leave them None). A second call is a no-op (JAX keeps the
     existing runtime), so library code may call this unconditionally.
     """
+    # IMPORTANT: decide WITHOUT touching jax — any jax call (process_count,
+    # default_backend, devices) initializes the XLA backend, after which
+    # jax.distributed.initialize() can only fail. Pod detection therefore
+    # sniffs the environment variables the TPU runtime sets on multi-host
+    # slices.
+    import os
+
     explicit = coordinator_address is not None
-    on_tpu_pod = (not explicit and jax.process_count() == 1
-                  and jax.default_backend() == "tpu")
+    pod_env = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_tpu_pod = not explicit and len(pod_env.split(",")) > 1
     if explicit or on_tpu_pod:
         try:
             jax.distributed.initialize(
@@ -61,8 +68,7 @@ def init_multihost(
                 process_id=process_id,
             )
         except RuntimeError as exc:
-            # already initialized, or single-host TPU without pod env —
-            # both leave the current (valid) runtime in place
+            # already initialized (idempotent call) — leave the runtime
             log.info("jax.distributed.initialize skipped: %s", exc)
     pid, n = jax.process_index(), jax.process_count()
     log.info("multihost: process %d/%d, %d local / %d global devices",

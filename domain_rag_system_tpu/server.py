@@ -72,6 +72,9 @@ class BatchingFrontend:
         self.pipeline = pipeline
         self.cfg = cfg
         self.max_wait_ms = max_wait_ms
+        #: allowed dispatch batch shapes (ascending; last = cfg.batch_size)
+        self.batch_buckets = sorted({1, min(8, cfg.batch_size),
+                                     cfg.batch_size})
         # serializes device dispatches against live index mutations
         # (/index/add, /index/delete): a mutation mid-batch would swap the
         # index arrays out from under an in-flight fused program's inputs
@@ -147,10 +150,20 @@ class BatchingFrontend:
         filters: Optional[Sequence] = None
         if any(r.filters for r in batch):
             filters = [r.filters for r in batch]
+        # Pad to a fixed bucket size: the fused program recompiles per
+        # distinct batch dimension (remote compiles cost seconds), so the
+        # collector only ever dispatches |buckets| distinct shapes instead
+        # of one per observed batch size.
+        queries = [r.query for r in batch]
+        bucket = next(b for b in self.batch_buckets if b >= len(queries))
+        if len(queries) < bucket:
+            queries = queries + [queries[0]] * (bucket - len(queries))
+            if filters is not None:
+                filters = list(filters) + [None] * (bucket - len(filters))
         try:
             with self.index_lock:
                 outs = self.pipeline.query_batch(
-                    [r.query for r in batch], filters=filters, **kwargs)
+                    queries, filters=filters, **kwargs)
             for req, out in zip(batch, outs):
                 req.result = out
         except Exception as exc:  # pragma: no cover - defensive
@@ -193,17 +206,21 @@ def make_handler(frontend: BatchingFrontend, generator=None,
             return json.loads(self.rfile.read(length))
 
         def do_GET(self):  # noqa: N802
-            if self.path == "/healthz":
-                self._send(200, {"status": "ok",
-                                 "server": frontend.stats(),
-                                 "stage_timing": {
-                                     k: round(v["mean_s"] * 1000, 3)
-                                     for k, v in
-                                     frontend.pipeline.timer.summary().items()
-                                 },
-                                 "index": index_info or {}})
-            else:
-                self._send(404, {"error": f"no route {self.path}"})
+            try:
+                if self.path == "/healthz":
+                    self._send(200, {"status": "ok",
+                                     "server": frontend.stats(),
+                                     "stage_timing": {
+                                         k: round(v["mean_s"] * 1000, 3)
+                                         for k, v in
+                                         frontend.pipeline.timer.summary()
+                                         .items()},
+                                     "index": index_info or {}})
+                else:
+                    self._send(404, {"error": f"no route {self.path}"})
+            except Exception as exc:  # pragma: no cover - defensive
+                log.exception("GET %s failed", self.path)
+                self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 
         def do_POST(self):  # noqa: N802
             try:
@@ -213,11 +230,18 @@ def make_handler(frontend: BatchingFrontend, generator=None,
                     self._send(200, frontend.submit(q, body))
                 elif self.path == "/query_batch":
                     queries = body.pop("queries")
+                    unknown = set(body) - _QUERY_KNOBS
+                    if unknown:
+                        raise ValueError(
+                            f"unknown retrieval knobs: {sorted(unknown)}")
                     kwargs = frontend.cfg.query_kwargs()
-                    kwargs.update({k: v for k, v in body.items()
-                                   if k in _QUERY_KNOBS and k != "filters"})
-                    outs = frontend.pipeline.query_batch(
-                        list(queries), filters=body.get("filters"), **kwargs)
+                    filters = body.pop("filters", None)
+                    kwargs.update(body)
+                    # same index lock as the collector: a live mutation
+                    # mid-dispatch would swap arrays under the program
+                    with frontend.index_lock:
+                        outs = frontend.pipeline.query_batch(
+                            list(queries), filters=filters, **kwargs)
                     self._send(200, {"results": outs})
                 elif self.path == "/index/add":
                     from domain_rag_system_tpu.preprocessing import Chunk

@@ -53,11 +53,15 @@ class StageTimer:
         return self.totals[name] / n if n else 0.0
 
     def summary(self) -> Dict[str, Dict[str, float]]:
+        # snapshot first: summary() may be read from another thread (the
+        # server's /healthz) while a stage inserts a new key
+        totals = dict(self.totals)
+        counts = dict(self.counts)
         return {
             name: {
-                "total_s": self.totals[name],
-                "count": self.counts[name],
-                "mean_s": self.mean(name),
+                "total_s": total,
+                "count": counts.get(name, 0),
+                "mean_s": total / counts[name] if counts.get(name) else 0.0,
             }
-            for name in sorted(self.totals)
+            for name, total in sorted(totals.items())
         }

@@ -38,7 +38,8 @@ def build_pipeline(args) -> RetrievalPipeline:
 
     reranker = build_reranker(
         kind=args.reranker_kind,
-        top_n=args.rerank_top_n,
+        top_n=(args.rerank_top_n if args.rerank_top_n is not None
+               else _REFERENCE_DEFAULTS["rerank_top_n"]),
         cross_model=args.cross_model,
         embedder=hybrid.dense_index.embedder if hybrid.dense_index else None,
     )
@@ -49,48 +50,61 @@ def build_pipeline(args) -> RetrievalPipeline:
 def add_query_flags(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--indices_dir", default="data/indices")
     ap.add_argument("--drug_mapping_path", default="data/processed/drug_mapping.json")
-    ap.add_argument("--top_k", type=int, default=5)
-    ap.add_argument("--fusion_method", default="rrf", choices=["rrf", "weighted"])
-    ap.add_argument("--vector_weight", type=float, default=0.5)
-    ap.add_argument("--bm25_weight", type=float, default=0.5)
+    # Retrieval knobs parse with a None sentinel so an explicitly typed
+    # value — even one equal to the default — is distinguishable from an
+    # untouched flag (--tuned must never override what the user typed).
+    ap.add_argument("--top_k", type=int, default=None)
+    ap.add_argument("--fusion_method", default=None, choices=["rrf", "weighted"])
+    ap.add_argument("--vector_weight", type=float, default=None)
+    ap.add_argument("--bm25_weight", type=float, default=None)
     ap.add_argument("--filters", type=json.loads, default=None,
                     help='JSON object, e.g. \'{"source": "pubmed"}\'')
     ap.add_argument("--reranker_kind", default="simple",
                     choices=["none", "simple", "crossencoder"])
-    ap.add_argument("--rerank_top_n", type=int, default=50)
+    ap.add_argument("--rerank_top_n", type=int, default=None)
     ap.add_argument("--cross_model", default="cross-encoder/ms-marco-MiniLM-L-6-v2")
     # Quality knobs beyond the reference's flag surface (defaults = off,
-    # preserving reference parity). --tuned flips them all to the committed
-    # operating point (RetrievalConfig.tuned()).
-    ap.add_argument("--prf_terms", type=int, default=0,
+    # preserving reference parity). --tuned flips every knob the user did
+    # not type to the committed operating point (RetrievalConfig.tuned()).
+    ap.add_argument("--prf_terms", type=int, default=None,
                     help="RM3 pseudo-relevance expansion terms (0 = off)")
-    ap.add_argument("--prf_docs", type=int, default=10)
-    ap.add_argument("--prf_alpha", type=float, default=0.6)
-    ap.add_argument("--group_by_doc", action="store_true",
+    ap.add_argument("--prf_docs", type=int, default=None)
+    ap.add_argument("--prf_alpha", type=float, default=None)
+    ap.add_argument("--group_by_doc", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="top_k counts distinct documents (best chunk each)")
-    ap.add_argument("--evidence_alpha", type=float, default=0.0)
+    ap.add_argument("--evidence_alpha", type=float, default=None)
     ap.add_argument("--tuned", action="store_true",
                     help="use RetrievalConfig.tuned() for every knob not "
                          "explicitly set on the command line")
 
 
-def query_kwargs_from_args(args, ap: argparse.ArgumentParser) -> dict:
-    """Retrieval kwargs for ``pipeline.query`` from CLI flags; with
-    ``--tuned``, flags left at their defaults take the tuned value."""
-    kw = dict(
-        top_k=args.top_k, fusion_method=args.fusion_method,
-        vector_weight=args.vector_weight, bm25_weight=args.bm25_weight,
-        rerank_top_n=args.rerank_top_n, prf_terms=args.prf_terms,
-        prf_docs=args.prf_docs, prf_alpha=args.prf_alpha,
-        group_by_doc=args.group_by_doc, evidence_alpha=args.evidence_alpha,
-    )
+#: Reference-parity fallbacks when neither the flag nor --tuned sets a knob
+#: (scripts/query.py:183-221 flag surface).
+_REFERENCE_DEFAULTS = dict(
+    top_k=5, fusion_method="rrf", vector_weight=0.5, bm25_weight=0.5,
+    rerank_top_n=50, prf_terms=0, prf_docs=10, prf_alpha=0.6,
+    group_by_doc=False, evidence_alpha=0.0,
+)
+
+
+def query_kwargs_from_args(args, ap: argparse.ArgumentParser = None) -> dict:
+    """Retrieval kwargs for ``pipeline.query`` from CLI flags.
+
+    Resolution order per knob: explicitly typed flag > --tuned value >
+    reference-parity default."""
+    tuned = {}
     if args.tuned:
         from domain_rag_system_tpu.config import RetrievalConfig
 
         tuned = RetrievalConfig.tuned().query_kwargs()
-        for name, val in kw.items():
-            if name in tuned and val == ap.get_default(name):
-                kw[name] = tuned[name]
+    kw = {}
+    for name, ref_default in _REFERENCE_DEFAULTS.items():
+        explicit = getattr(args, name)
+        if explicit is not None:
+            kw[name] = explicit
+        else:
+            kw[name] = tuned.get(name, ref_default) if args.tuned else ref_default
     return kw
 
 

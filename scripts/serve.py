@@ -83,13 +83,13 @@ def main() -> None:
                  "extractive": ExtractiveGenerator(),
                  "none": None}[args.generator]
 
-    # Warm the fused program so the first client doesn't pay the compile.
-    pipeline.query_batch(["warmup query"] * cfg.batch_size,
-                         **cfg.query_kwargs())
-
     server = RagServer(pipeline, cfg, generator=generator, host=args.host,
                        port=args.port, max_wait_ms=args.max_wait_ms,
                        index_info=info)
+    # Warm every dispatch bucket so no client ever pays a compile (the
+    # collector only emits these batch shapes).
+    for bucket in server.frontend.batch_buckets:
+        pipeline.query_batch(["warmup query"] * bucket, **cfg.query_kwargs())
     server.serve_forever()
 
 
