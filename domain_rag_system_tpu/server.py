@@ -15,8 +15,11 @@ Endpoints (JSON in/out):
     POST /query        → {"query": str, ...retrieval overrides} → results
     POST /query_batch  → {"queries": [str, ...]} → list of results
     POST /rag          → /query + LLM-free answer generation
+    POST /index/add    → {"chunks": [chunk dicts]} live upsert
+    POST /index/delete → {"chunk_ids": [...]} live tombstoning
+    POST /index/save   → {"dir": path} compacted bundle snapshot
 
-Run: ``python scripts/serve.py [--port 8080] [--tuned]``.
+Run: ``python scripts/serve.py [--port 8080]``.
 """
 
 from __future__ import annotations
@@ -257,6 +260,15 @@ def make_handler(frontend: BatchingFrontend, generator=None,
                     with frontend.index_lock:
                         deleted = frontend.pipeline.index.delete_chunks(ids)
                     self._send(200, {"deleted": deleted})
+                elif self.path == "/index/save":
+                    from domain_rag_system_tpu.persistence import save_index
+
+                    out_dir = body["dir"]
+                    with frontend.index_lock:
+                        path = save_index(frontend.pipeline.index, out_dir)
+                    self._send(200, {
+                        "saved": str(path),
+                        "n_chunks": len(frontend.pipeline.index.chunks)})
                 elif self.path == "/rag":
                     if generator is None:
                         self._send(503, {"error": "no generator configured"})

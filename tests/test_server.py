@@ -201,3 +201,32 @@ def test_concurrent_queries_during_index_mutation(server):
     out = _post(server.port, "/index/delete",
                 {"chunk_ids": [f"mut{i}" for i in range(3)]})
     assert out["deleted"] == 0
+
+
+def test_index_save_endpoint_snapshots_live_state(server, tmp_path_factory):
+    """/index/save writes a compacted bundle reflecting live mutations; a
+    fresh load serves the added chunk and not the deleted one."""
+    from domain_rag_system_tpu.persistence import load_index
+
+    _post(server.port, "/index/add", {"chunks": [
+        {"chunk_id": "c_saved", "doc_id": "d_saved", "source": "pubmed",
+         "chunk_type": "abstract",
+         "text": "warfarin anticoagulation monitoring", "metadata": {}},
+        {"chunk_id": "c_gone", "doc_id": "d_gone", "source": "pubmed",
+         "chunk_type": "abstract",
+         "text": "placeholder to delete", "metadata": {}}]})
+    _post(server.port, "/index/delete", {"chunk_ids": ["c_gone"]})
+
+    out_dir = tmp_path_factory.mktemp("snap")
+    out = _post(server.port, "/index/save", {"dir": str(out_dir)})
+    assert out["saved"]
+
+    loaded = load_index(out_dir)
+    ids = {c.chunk_id for c in loaded.chunks}
+    assert "c_saved" in ids and "c_gone" not in ids
+    res = loaded.search("warfarin anticoagulation", top_k=1,
+                        fusion_method="weighted", vector_weight=0.5,
+                        bm25_weight=0.5)
+    assert res[0]["chunk_id"] == "c_saved"
+    # clean up the live index for other tests
+    _post(server.port, "/index/delete", {"chunk_ids": ["c_saved"]})
