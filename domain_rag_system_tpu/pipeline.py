@@ -400,7 +400,7 @@ class RetrievalPipeline:
         pending = None
         for start in range(0, len(queries), batch_size):
             handle = self.dispatch_batch(
-                queries[start:start + batch_size], **kwargs)
+                queries[start:start + batch_size], async_copy=True, **kwargs)
             if pending is not None:
                 outputs.extend(self.finalize_batch(pending))
             pending = handle
@@ -423,12 +423,17 @@ class RetrievalPipeline:
         group_by_doc: bool = False,
         evidence_alpha: float = 0.0,
         filters=None,
+        async_copy: bool = False,
     ) -> Optional[Dict]:
         """Host featurization + asynchronous device dispatch for one batch.
 
         Returns an opaque handle for :meth:`finalize_batch` (None for an
         empty batch). The fused device program is enqueued but NOT waited
-        on — device arrays in the handle are futures.
+        on — device arrays in the handle are futures. ``async_copy``
+        pre-starts the device→host result transfer — a win ONLY when
+        another batch's work runs before finalize (the streaming executor);
+        for immediate-finalize callers it adds a round trip (measured
+        +~20 ms p50 at B=1 through the tunnel).
         """
         queries = list(queries)
         if not queries:
@@ -565,11 +570,12 @@ class RetrievalPipeline:
         # (instead of when finalize_batch blocks): through the remote
         # tunnel the transfer itself is a visible share of batch time, and
         # this overlaps it with the NEXT batch's featurization/dispatch.
-        for arr in (fused_ids_dev, fused_scores_dev, rerank_dev):
-            try:
-                arr.copy_to_host_async()
-            except (AttributeError, RuntimeError):  # backend-dependent
-                break
+        if async_copy:
+            for arr in (fused_ids_dev, fused_scores_dev, rerank_dev):
+                try:
+                    arr.copy_to_host_async()
+                except (AttributeError, RuntimeError):  # backend-dependent
+                    break
         return {
             "queries": queries,
             "pres": pres,
