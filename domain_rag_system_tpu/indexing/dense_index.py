@@ -66,8 +66,17 @@ class DenseIndex:
         self.embeddings: Optional[jnp.ndarray] = None  # [N_pad, d] device
         self._row_norms_sq: Optional[jnp.ndarray] = None  # for euclid
         self._valid: Optional[np.ndarray] = None       # [N_pad] uint8
+        self._valid_dev: Optional[jnp.ndarray] = None  # device cache of above
         self._filters: Optional[FilterSet] = None
         self.n_chunks = 0
+
+    def valid_rows(self) -> jnp.ndarray:
+        """[N_pad] uint8 validity mask ON DEVICE, cached — uploading the
+        host mask per dispatch cost one transfer (92 KB + a tunnel round
+        trip at 91k rows) on EVERY batch."""
+        if self._valid_dev is None:
+            self._valid_dev = jnp.asarray(self._valid)
+        return self._valid_dev
 
     def _resolve_dtype(self, spec: str) -> None:
         self.quantize = spec == "int8"
@@ -137,6 +146,7 @@ class DenseIndex:
 
         self._valid = np.zeros(n_pad, dtype=np.uint8)
         self._valid[: self.n_chunks] = 1
+        self._valid_dev = None
         self._filters = FilterSet(self.chunks)
         log.info("dense index: %d chunks (padded to %d), dim=%d, distance=%s",
                  self.n_chunks, n_pad, d, self.distance)
@@ -198,6 +208,7 @@ class DenseIndex:
         self.chunks.extend(chunks)
         self.n_chunks = needed
         self._valid[old_n:needed] = 1
+        self._valid_dev = None
         self._filters = FilterSet(self.chunks)
         log.info("dense index: +%d chunks → %d (capacity %d)",
                  len(chunks), self.n_chunks, self.embeddings.shape[0])
@@ -213,6 +224,7 @@ class DenseIndex:
                 valid[i] = 0
                 deleted += 1
         self._valid = valid
+        self._valid_dev = None
         log.info("dense index: tombstoned %d chunks", deleted)
         return deleted
 

@@ -122,6 +122,12 @@ def _fused_batch_retrieval(
         ids_d = jnp.full((b, 1), -1, jnp.int32)
         sc_d = jnp.zeros((b, 1), jnp.float32)
 
+    if has_sparse and q_ids.ndim == 3:
+        # packed upload: [B, 2, L] int32 — slot 0 term ids, slot 1 the
+        # f32 multiplicity weights bitcast host-side (one transfer)
+        q_w = jax.lax.bitcast_convert_type(q_ids[:, 1], jnp.float32)
+        q_ids = q_ids[:, 0]
+
     if has_sparse:
         def sparse_score(ids, w):
             if use_split:
@@ -511,8 +517,14 @@ class RetrievalPipeline:
                 q_emb = q_orig_emb = jnp.zeros((b, 1), jnp.float32)
             if has_sparse:
                 q_enc = [sparse.encode_query(q) for q in search_queries]
-                q_ids = jnp.asarray(np.stack([e[0] for e in q_enc]))
-                q_w = jnp.asarray(np.stack([e[1] for e in q_enc]))
+                # ONE packed upload for (ids, weights): each separate
+                # host→device array costs a tunnel round trip; weights are
+                # bitcast to int32 host-side and restored inside the jit.
+                packed = np.stack(
+                    [np.stack([e[0] for e in q_enc]),
+                     np.stack([e[1] for e in q_enc]).view(np.int32)], axis=1)
+                q_packed = jnp.asarray(packed)          # [B, 2, L] int32
+                q_ids, q_w = q_packed, None
             else:
                 q_ids = jnp.full((b, 1), -2, jnp.int32)
                 q_w = jnp.zeros((b, 1), jnp.float32)
@@ -547,7 +559,7 @@ class RetrievalPipeline:
         with self.timer.stage("dispatch"):
             fused_ids_dev, fused_scores_dev, rerank_dev = _fused_batch_retrieval(
                 dense.embeddings if has_dense else jnp.zeros((1, 1), jnp.float32),
-                jnp.asarray(dense._valid) if has_dense else jnp.ones(1, jnp.uint8),
+                dense.valid_rows() if has_dense else jnp.ones(1, jnp.uint8),
                 sparse.doc_terms if has_sparse else jnp.full((1, 1), -1, jnp.int32),
                 sparse.doc_contrib if has_sparse else jnp.zeros((1, 1), jnp.float32),
                 *(split if split is not None else sb_placeholder),
