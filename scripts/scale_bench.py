@@ -65,6 +65,9 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=3,
                     help="timed passes; the fastest is reported (tunnel "
                          "dispatch jitter)")
+    ap.add_argument("--all_corpora", action="store_true",
+                    help="index all three recovered corpora (reference's "
+                         "mixed production composition) before padding")
     args = ap.parse_args()
 
     cfg = RetrievalConfig.tuned().apply_overrides(args)
@@ -75,9 +78,21 @@ def main() -> None:
     # (build_pipeline already restricts mining to real chunks).
 
     root = Path(__file__).resolve().parent.parent
-    docs = DataLoader(
-        pubmed_path=str(root / "data/recovered/BioASQ/corpus_subset.json")
-    ).load_pubmed()
+    if args.all_corpora:
+        # the reference's production index mixes all three corpora
+        # (8,907 docs — preprocessing_stats.json); recovered OpenFDA and
+        # Kaggle docs become REAL cross-domain distractors for the BioASQ
+        # queries, a harder (more faithful) setting than synthetic rows
+        loader = DataLoader(
+            pubmed_path=str(root / "data/recovered/BioASQ/corpus_subset.json"),
+            openfda_path=str(root / "data/recovered/OpenFDA/openfda_corpus.json"),
+            kaggle_path=str(root / "data/recovered/kaggle/extracted_docs.json"),
+        )
+        docs = loader.load_all()
+    else:
+        docs = DataLoader(
+            pubmed_path=str(root / "data/recovered/BioASQ/corpus_subset.json")
+        ).load_pubmed()
     chunks = DocumentChunker().chunk_documents(docs)
     extra = synthetic_chunks(max(args.n_chunks - len(chunks), 0))
     queries = load_queries(root / "data/recovered/BioASQ/bioasq_queries.json")
