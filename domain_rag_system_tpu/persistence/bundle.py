@@ -229,3 +229,28 @@ def load_index(bundle_dir) -> HybridIndex:
     hybrid.chunks = chunks
     log.info("loaded index bundle from %s (%d chunks)", root, len(chunks))
     return hybrid
+
+
+def snapshot_index(hybrid: HybridIndex) -> HybridIndex:
+    """Cheap consistent snapshot for saving without blocking the serving
+    lock: index mutations REPLACE the device arrays (never modify them in
+    place), so shallow-copying the wrappers plus the mutable host masks
+    and chunk lists yields a stable view; ``save_index`` on the snapshot
+    can then run outside the lock while queries continue."""
+    import copy
+
+    snap = copy.copy(hybrid)
+    snap.chunks = list(hybrid.chunks)
+    if hybrid.dense_index is not None:
+        d = copy.copy(hybrid.dense_index)
+        d.chunks = list(d.chunks)
+        if getattr(d, "_valid", None) is not None:
+            d._valid = d._valid.copy()
+        snap.dense_index = d
+    if hybrid.bm25_index is not None:
+        b = copy.copy(hybrid.bm25_index)
+        b.chunks = list(b.chunks)
+        if b._alive.size:
+            b._alive = b._alive.copy()
+        snap.bm25_index = b
+    return snap

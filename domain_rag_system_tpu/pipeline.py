@@ -34,6 +34,17 @@ from domain_rag_system_tpu.utils import StageTimer, get_logger
 log = get_logger(__name__)
 
 
+@functools.lru_cache(maxsize=1)
+def _SB_PLACEHOLDER():
+    """Shared dummy split-BM25 arrays for the no-sparse dispatch path
+    (built once — five per-batch device-array creations otherwise)."""
+    return (jnp.full((1, 1), -1, jnp.int32),
+            jnp.zeros((1, 1), jnp.float32),
+            jnp.zeros(0, jnp.int32),
+            jnp.full((0, 8), -1, jnp.int32),
+            jnp.zeros((0, 8), jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("top_n",))
 def _device_cosine_rerank(
     embeddings: jax.Array,  # [N_pad, d] corpus matrix (f32/bf16 or int8)
@@ -551,18 +562,16 @@ class RetrievalPipeline:
                                        len(sparse.chunks))
 
         split = sparse.split_arrays() if has_sparse else None
-        sb_placeholder = (jnp.full((1, 1), -1, jnp.int32),
-                          jnp.zeros((1, 1), jnp.float32),
-                          jnp.zeros(0, jnp.int32),
-                          jnp.full((0, 8), -1, jnp.int32),
-                          jnp.zeros((0, 8), jnp.float32))
+        use_split = split is not None
+        if not use_split:
+            split = _SB_PLACEHOLDER()
         with self.timer.stage("dispatch"):
             fused_ids_dev, fused_scores_dev, rerank_dev = _fused_batch_retrieval(
                 dense.embeddings if has_dense else jnp.zeros((1, 1), jnp.float32),
                 dense.valid_rows() if has_dense else jnp.ones(1, jnp.uint8),
                 sparse.doc_terms if has_sparse else jnp.full((1, 1), -1, jnp.int32),
                 sparse.doc_contrib if has_sparse else jnp.zeros((1, 1), jnp.float32),
-                *(split if split is not None else sb_placeholder),
+                *split,
                 sparse.valid_rows() if has_sparse else jnp.ones(1, jnp.uint8),
                 q_emb, q_ids, q_w, q_orig_emb,
                 (dense.row_scale if has_dense and dense.row_scale is not None
@@ -574,7 +583,7 @@ class RetrievalPipeline:
                 vocab_size=len(sparse.vocab) if has_sparse else 0,
                 has_dense=has_dense, has_sparse=has_sparse,
                 use_rerank=use_device_rerank,
-                use_split=split is not None,
+                use_split=use_split,
                 prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
                 has_qfilter=has_qfilter,
             )

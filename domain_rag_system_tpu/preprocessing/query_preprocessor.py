@@ -149,12 +149,11 @@ class QueryPreprocessor:
         if cached is not None and cached[0] == version:
             return cached[1]
 
-        from domain_rag_system_tpu.preprocessing.normalizer import _alternation
-
-        def alternation(lookup: Dict[str, str]):
-            # prefiltered compiled alternation (normalizer.GuardedPattern):
-            # the no-hit case is an O(words) set check, not a regex scan
-            return _alternation(lookup)
+        # prefiltered compiled alternation (normalizer.GuardedPattern):
+        # the no-hit case is an O(words) set check, not a regex scan
+        from domain_rag_system_tpu.preprocessing.normalizer import (
+            _alternation as alternation,
+        )
 
         drug_terms: Dict[str, str] = {}
         for generic, brands in norm.drug_mapping.items():

@@ -47,6 +47,19 @@ _QUERY_KNOBS = frozenset((
 ))
 
 
+def dispatch_buckets(batch_size: int):
+    """Allowed dispatch batch shapes: 1 and powers of two up to
+    ``batch_size`` (ascending, last = batch_size). Each bucket is one XLA
+    compile; padding overhead is bounded at ~2× instead of the ~6× a
+    sparse {1, 8, batch_size} set allowed for mid-size batches."""
+    buckets = {1, batch_size}
+    b = 2
+    while b < batch_size:
+        buckets.add(b)
+        b *= 2
+    return sorted(buckets)
+
+
 class _Request:
     """One in-flight query: the collector fulfils ``event`` when done."""
 
@@ -75,9 +88,7 @@ class BatchingFrontend:
         self.pipeline = pipeline
         self.cfg = cfg
         self.max_wait_ms = max_wait_ms
-        #: allowed dispatch batch shapes (ascending; last = cfg.batch_size)
-        self.batch_buckets = sorted({1, min(8, cfg.batch_size),
-                                     cfg.batch_size})
+        self.batch_buckets = dispatch_buckets(cfg.batch_size)
         # serializes device dispatches against live index mutations
         # (/index/add, /index/delete): a mutation mid-batch would swap the
         # index arrays out from under an in-flight fused program's inputs
@@ -261,14 +272,21 @@ def make_handler(frontend: BatchingFrontend, generator=None,
                         deleted = frontend.pipeline.index.delete_chunks(ids)
                     self._send(200, {"deleted": deleted})
                 elif self.path == "/index/save":
-                    from domain_rag_system_tpu.persistence import save_index
+                    from domain_rag_system_tpu.persistence import (
+                        save_index,
+                        snapshot_index,
+                    )
 
                     out_dir = body["dir"]
+                    # lock only for the cheap consistent snapshot; the
+                    # compressed writes (seconds at production scale) run
+                    # outside it so queries keep flowing
                     with frontend.index_lock:
-                        path = save_index(frontend.pipeline.index, out_dir)
+                        snap = snapshot_index(frontend.pipeline.index)
+                    path = save_index(snap, out_dir)
                     self._send(200, {
                         "saved": str(path),
-                        "n_chunks": len(frontend.pipeline.index.chunks)})
+                        "n_chunks": len(snap.chunks)})
                 elif self.path == "/rag":
                     if generator is None:
                         self._send(503, {"error": "no generator configured"})

@@ -88,7 +88,7 @@ _REFERENCE_DEFAULTS = dict(
 )
 
 
-def query_kwargs_from_args(args, ap: argparse.ArgumentParser = None) -> dict:
+def query_kwargs_from_args(args) -> dict:
     """Retrieval kwargs for ``pipeline.query`` from CLI flags.
 
     Resolution order per knob: explicitly typed flag > --tuned value >
@@ -118,7 +118,7 @@ def main() -> None:
     pipeline = build_pipeline(args)
     t0 = time.time()
     out = pipeline.query(
-        args.query, filters=args.filters, **query_kwargs_from_args(args, ap))
+        args.query, filters=args.filters, **query_kwargs_from_args(args))
     elapsed = time.time() - t0
 
     print(f"\nQuery: {out['query']}")

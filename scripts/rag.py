@@ -121,7 +121,7 @@ def main() -> None:
     pipeline = build_pipeline(args)
     t0 = time.time()
     retrieval = pipeline.query(
-        args.query, filters=args.filters, **query_kwargs_from_args(args, ap))
+        args.query, filters=args.filters, **query_kwargs_from_args(args))
 
     generator = make_generator(args)
     answer = generator.generate(args.query, retrieval["results"])

@@ -69,6 +69,8 @@ def main() -> None:
                     help="index all three recovered corpora (reference's "
                          "mixed production composition) before padding")
     args = ap.parse_args()
+    if args.passes < 1:
+        ap.error("--passes must be >= 1")
 
     cfg = RetrievalConfig.tuned().apply_overrides(args)
     if cfg.encoder_checkpoint == "none":

@@ -83,13 +83,18 @@ def main() -> None:
                  "extractive": ExtractiveGenerator(),
                  "none": None}[args.generator]
 
+    # Warm every dispatch bucket BEFORE binding the port: the collector
+    # only emits these batch shapes, so no client ever pays a compile —
+    # and until the port opens, probes get a clean (retryable) refusal
+    # instead of hanging in an unserved listen backlog.
+    from domain_rag_system_tpu.server import dispatch_buckets
+
+    for bucket in dispatch_buckets(cfg.batch_size):
+        pipeline.query_batch(["warmup query"] * bucket, **cfg.query_kwargs())
+
     server = RagServer(pipeline, cfg, generator=generator, host=args.host,
                        port=args.port, max_wait_ms=args.max_wait_ms,
                        index_info=info)
-    # Warm every dispatch bucket so no client ever pays a compile (the
-    # collector only emits these batch shapes).
-    for bucket in server.frontend.batch_buckets:
-        pipeline.query_batch(["warmup query"] * bucket, **cfg.query_kwargs())
     server.serve_forever()
 
 

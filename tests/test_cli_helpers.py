@@ -15,7 +15,7 @@ def _parse(argv):
     ap.add_argument("--query")
     add_query_flags(ap)
     args = ap.parse_args(argv)
-    return query_kwargs_from_args(args, ap)
+    return query_kwargs_from_args(args)
 
 
 def test_defaults_are_reference_shaped():
