@@ -83,6 +83,22 @@ class RetrievalConfig:
             mine_terms=True,
         )
 
+    @classmethod
+    def head_precision(cls) -> "RetrievalConfig":
+        """The cross-encoder head-precision profile (PERFORMANCE.md
+        "Reranking findings"): trades throughput (~70 q/s) and a little
+        recall@5 for the best head — measured MRR 0.8946 / hit@1 0.86 on
+        BioASQ-200 vs the tuned config's 0.8838 / 0.85. For interfaces
+        where only the first answer matters."""
+        cfg = cls.tuned()
+        ce = Path(__file__).resolve().parent.parent / "checkpoints" / "medrag-cross4"
+        if ce.exists():
+            cfg.reranker = "crossencoder"
+            cfg.cross_checkpoint = str(ce)
+            cfg.rerank_top_n = 20
+            cfg.rerank_blend = 0.5
+        return cfg
+
     # ---------------------------------------------------------- conversions
 
     def query_kwargs(self) -> Dict:

@@ -47,6 +47,11 @@ def main() -> None:
                          "hash embedder (fast startup)")
     ap.add_argument("--generator", default="extractive",
                     choices=["template", "extractive", "none"])
+    ap.add_argument("--profile", default="tuned",
+                    choices=["tuned", "head_precision"],
+                    help="tuned = best recall/nDCG at ~1000 q/s; "
+                         "head_precision = cross-encoder rerank for the "
+                         "best MRR/hit@1 at ~70 q/s")
     args = ap.parse_args()
 
     from domain_rag_system_tpu.config import RetrievalConfig
@@ -57,7 +62,8 @@ def main() -> None:
     from domain_rag_system_tpu.server import RagServer
     from domain_rag_system_tpu.serving import build_pipeline
 
-    cfg = RetrievalConfig.tuned()
+    cfg = (RetrievalConfig.head_precision() if args.profile == "head_precision"
+           else RetrievalConfig.tuned())
     if args.batch_size:
         cfg.batch_size = args.batch_size
     if args.encoder_checkpoint:
@@ -67,10 +73,16 @@ def main() -> None:
         from domain_rag_system_tpu.persistence import load_index
         from domain_rag_system_tpu.pipeline import RetrievalPipeline
         from domain_rag_system_tpu.preprocessing import QueryPreprocessor
+        from domain_rag_system_tpu.reranker import build_reranker
 
         hybrid = load_index(args.bundle)
+        reranker = build_reranker(
+            cfg.reranker, top_n=cfg.rerank_top_n,
+            embedder=hybrid.dense_index.embedder if hybrid.dense_index else None,
+            cross_checkpoint=cfg.cross_checkpoint, blend=cfg.rerank_blend)
         pipeline = RetrievalPipeline(hybrid,
-                                     query_preprocessor=QueryPreprocessor())
+                                     query_preprocessor=QueryPreprocessor(),
+                                     reranker=reranker)
         info = {"config": cfg.to_dict(), "bundle": args.bundle,
                 "n_chunks": len(hybrid.chunks)}
     else:

@@ -44,3 +44,15 @@ def test_explicit_flags_beat_tuned():
     from domain_rag_system_tpu.config import RetrievalConfig
 
     assert kw["prf_docs"] == RetrievalConfig.tuned().prf_docs
+
+
+def test_head_precision_profile():
+    from domain_rag_system_tpu.config import RetrievalConfig
+
+    cfg = RetrievalConfig.head_precision()
+    # base knobs come from tuned(); the CE head applies when the trained
+    # checkpoint exists in the repo (it does here)
+    assert cfg.prf_terms == RetrievalConfig.tuned().prf_terms
+    assert cfg.reranker == "crossencoder"
+    assert cfg.rerank_top_n == 20 and cfg.rerank_blend == 0.5
+    assert cfg.cross_checkpoint and "medrag-cross4" in cfg.cross_checkpoint
