@@ -86,8 +86,8 @@ class RetrievalConfig:
     @classmethod
     def head_precision(cls) -> "RetrievalConfig":
         """The cross-encoder head-precision profile (PERFORMANCE.md
-        "Reranking findings"): trades throughput (~70 q/s) and a little
-        recall@5 for the best head — measured MRR 0.8946 / hit@1 0.86 on
+        "Reranking findings"): trades throughput (~83 q/s) and a little
+        recall@5 for the best head — measured MRR 0.8994 / hit@1 0.87 on
         BioASQ-200 vs the tuned config's 0.8838 / 0.85. For interfaces
         where only the first answer matters."""
         cfg = cls.tuned()
