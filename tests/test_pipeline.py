@@ -267,3 +267,12 @@ def test_evidence_aggregation_grouping():
           {"doc_id": "b", "chunk_id": "b0", "score": 0.9, "rerank_score": 1.0}]
     out = _group_first_per_doc(rr, top_k=2, evidence_alpha=0.3)
     assert [r["doc_id"] for r in out] == ["a", "b"]
+
+
+def test_degenerate_queries_never_crash(pipeline):
+    """Empty, whitespace, punctuation-only, huge and unicode queries must
+    flow through featurization and the fused program without raising."""
+    for q in ["", "   ", "???!!!", "aspirin " * 5000, "ibuprofén 💊 α-blocker"]:
+        out = pipeline.query(q, top_k=2)
+        assert isinstance(out["results"], list)
+    assert pipeline.query_batch([], top_k=2) == []
