@@ -244,6 +244,10 @@ def make_handler(frontend: BatchingFrontend, generator=None,
                     self._send(200, frontend.submit(q, body))
                 elif self.path == "/query_batch":
                     queries = body.pop("queries")
+                    # a bare string would iterate into per-CHARACTER queries
+                    if (not isinstance(queries, (list, tuple))
+                            or not all(isinstance(q, str) for q in queries)):
+                        raise ValueError("'queries' must be a list of strings")
                     unknown = set(body) - _QUERY_KNOBS
                     if unknown:
                         raise ValueError(

@@ -230,3 +230,28 @@ def test_index_save_endpoint_snapshots_live_state(server, tmp_path_factory):
     assert res[0]["chunk_id"] == "c_saved"
     # clean up the live index for other tests
     _post(server.port, "/index/delete", {"chunk_ids": ["c_saved"]})
+
+
+def test_malformed_bodies_return_4xx(server):
+    """Invalid JSON, wrong field types and missing fields must produce
+    4xx JSON errors, never hang or crash the daemon."""
+    import urllib.error
+    import urllib.request
+
+    def raw_post(path, data: bytes):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}{path}", data=data)
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status
+        except urllib.error.HTTPError as exc:
+            return exc.code
+
+    assert raw_post("/query", b"not json {") == 400
+    assert raw_post("/query", b"{}") == 400              # missing "query"
+    assert raw_post("/query_batch", b'{"queries": "not-a-list"}') in (400, 500)
+    assert raw_post("/index/add", b'{"chunks": [{"bogus": 1}]}') == 400
+    assert raw_post("/index/delete", b"{}") == 400
+    # daemon still alive and serving afterwards
+    out = _post(server.port, "/query", {"query": "diabetes"})
+    assert out["num_results"] >= 1
