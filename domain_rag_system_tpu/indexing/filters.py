@@ -41,7 +41,13 @@ class FilterSet:
         """
         if not filters:
             return None
-        key = tuple(sorted(filters.items()))
+        try:
+            key = tuple(sorted(filters.items()))
+            hash(key)  # unhashable values surface here, not at cache.get
+        except TypeError as exc:
+            raise ValueError(
+                "filter values must be hashable scalars (str/int/float), "
+                f"got {filters!r}") from exc
         cached = self._cache.get(key)
         if cached is not None:
             return cached

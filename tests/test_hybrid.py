@@ -67,3 +67,20 @@ def test_hybrid_dense_only_and_sparse_only(toy_chunks):
     r = sparse_only.search("cholesterol", top_k=3)
     assert r
     assert r[0]["chunk_id"] == "doc5_body"
+
+
+def test_filter_value_type_errors_are_clear():
+    """Unhashable filter values (e.g. nested dicts) must raise a clear
+    ValueError instead of an opaque TypeError from the cache key."""
+    import pytest
+
+    from domain_rag_system_tpu.indexing.filters import FilterSet
+    from domain_rag_system_tpu.preprocessing import Chunk
+
+    fs = FilterSet([Chunk(chunk_id="c0", doc_id="d0", source="pubmed",
+                          chunk_type="abstract", text="x", metadata={})])
+    with pytest.raises(ValueError, match="hashable scalars"):
+        fs.mask({"metadata": {"year": 2020}})
+    # scalar filters still work
+    assert fs.mask({"source": "pubmed"}).tolist() == [1]
+    assert fs.mask({"source": "openfda"}).tolist() == [0]
