@@ -54,8 +54,18 @@ class HybridIndex:
         log.info("hybrid index built over %d chunks", len(self.chunks))
 
     def add_chunks_incremental(self, chunks: Sequence[Chunk]) -> None:
-        """Upsert chunks into both live sub-indexes (no full rebuild)."""
-        chunks = list(chunks)
+        """Upsert chunks into both live sub-indexes (no full rebuild).
+
+        Qdrant-upsert semantics (reference ``vector_indexer.py:105-163``):
+        an incoming chunk whose id already exists REPLACES the old version
+        — the old row is tombstoned so at most one live row per id. Within
+        one batch the last occurrence of an id wins."""
+        by_id = {c.chunk_id: c for c in chunks}      # last occurrence wins
+        chunks = list(by_id.values())
+        existing = {c.chunk_id for c in self.chunks}
+        stale = [cid for cid in by_id if cid in existing]
+        if stale:
+            self.delete_chunks(stale)
         self.chunks.extend(chunks)
         if self.dense_index is not None:
             self.dense_index.add_chunks(chunks)

@@ -157,3 +157,36 @@ def test_int8_add_preserves_existing_rows_exactly():
     np.testing.assert_array_equal(np.asarray(idx.embeddings)[:2], before)
     np.testing.assert_allclose(np.asarray(idx.row_scale)[:2], scale_before,
                                rtol=1e-6)
+
+
+def test_incremental_add_upserts_by_chunk_id():
+    """Re-adding an existing chunk_id REPLACES the old version (Qdrant
+    upsert semantics, reference vector_indexer.py:105-163) — never two
+    live rows with the same id."""
+    from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+    from domain_rag_system_tpu.models import MedicalEmbedder
+    from domain_rag_system_tpu.preprocessing import Chunk
+
+    def C(cid, text):
+        return Chunk(chunk_id=cid, doc_id="d" + cid, source="pubmed",
+                     chunk_type="abstract", text=text, metadata={})
+
+    hy = HybridIndex(dense_index=DenseIndex(MedicalEmbedder(dim=64),
+                                            row_block=8),
+                     bm25_index=BM25Index())
+    hy.index_chunks([C("a", "aspirin pain"), C("b", "insulin glucose")])
+    hy.add_chunks_incremental([C("a", "aspirin pain UPDATED unique")])
+
+    res = hy.search("aspirin pain", top_k=4, fusion_method="weighted",
+                    vector_weight=0.5, bm25_weight=0.5)
+    hits = [r for r in res if r["chunk_id"] == "a"]
+    assert len(hits) == 1
+    assert "UPDATED" in hits[0]["text"]
+
+    # within one batch, the LAST occurrence of an id wins
+    hy.add_chunks_incremental([C("c", "first version"),
+                               C("c", "second version wins")])
+    res = hy.search("version wins", top_k=4, fusion_method="weighted",
+                    vector_weight=0.5, bm25_weight=0.5)
+    hits = [r for r in res if r["chunk_id"] == "c"]
+    assert len(hits) == 1 and "second" in hits[0]["text"]
