@@ -220,6 +220,18 @@ class DocumentChunker:
         current: List[str] = []
         current_len = 0
         for sentence in sentences:
+            if len(sentence) > self.max_chunk_size:
+                # an unsplittable over-long "sentence" (no boundaries found)
+                # must not become an over-long chunk — fall back to word
+                # windows for it so the ≤max_chunk_size contract holds
+                if current:
+                    chunks.append(self._make_piece(
+                        doc, section_type, len(chunks), " ".join(current)))
+                    current, current_len = [], 0
+                for piece in self._word_pieces(sentence):
+                    chunks.append(self._make_piece(
+                        doc, section_type, len(chunks), piece))
+                continue
             if current and current_len + len(sentence) > self.max_chunk_size:
                 chunks.append(
                     self._make_piece(doc, section_type, len(chunks), " ".join(current))
@@ -238,14 +250,25 @@ class DocumentChunker:
             )
         return chunks
 
-    def _split_by_words(self, doc: Document, section_type: str, text: str) -> List[Chunk]:
-        """Fixed-stride word windows (~5 chars/word heuristic, reference ``:382-405``)."""
+    def _word_pieces(self, text: str) -> List[str]:
+        """Fixed-stride word windows (~5 chars/word heuristic, reference
+        ``:382-405``); any window still exceeding max_chunk_size (long
+        words break the chars/word heuristic — worst case one unbroken
+        100k-char token) is hard-sliced so the size contract holds."""
         words = text.split()
         words_per_chunk = max(1, self.max_chunk_size // 5)
         overlap_words = self.overlap // 5
         stride = max(1, words_per_chunk - overlap_words)
-        chunks: List[Chunk] = []
+        pieces: List[str] = []
         for i in range(0, len(words), stride):
             piece = " ".join(words[i:i + words_per_chunk])
-            chunks.append(self._make_piece(doc, section_type, len(chunks), piece))
-        return chunks
+            while len(piece) > self.max_chunk_size:
+                pieces.append(piece[: self.max_chunk_size])
+                piece = piece[self.max_chunk_size:]
+            if piece:
+                pieces.append(piece)
+        return pieces
+
+    def _split_by_words(self, doc: Document, section_type: str, text: str) -> List[Chunk]:
+        return [self._make_piece(doc, section_type, i, piece)
+                for i, piece in enumerate(self._word_pieces(text))]

@@ -30,8 +30,11 @@ _ABBREVIATIONS = {
 }
 
 # Candidate boundary: terminator, optional closing quote/bracket, whitespace,
-# then an upper-case letter, digit, or opening bracket/quote.
-_BOUNDARY = re.compile(r'([.!?])(["\')\]]*)(\s+)(?=["\'(\[]?[A-Z0-9])')
+# then an upper-case letter, digit, or any non-ASCII character (Greek /
+# Cyrillic / CJK sentences previously never split because the lookahead
+# demanded [A-Z0-9]; ASCII-punctuation starts keep the old no-split
+# behavior so English chunking is unchanged).
+_BOUNDARY = re.compile(r'([.!?])(["\')\]]*)(\s+)(?=["\'(\[]?[A-Z0-9\u0080-\U0010ffff])')
 
 
 def _token_before(text: str, idx: int) -> str:
@@ -69,8 +72,11 @@ def split_sentences(text: str) -> List[str]:
             prev = _token_before(text, m.start(1))
             if prev in _ABBREVIATIONS:
                 continue
-            # Single capital initial: "J. Smith"
-            if len(prev) == 1 and prev.isalpha():
+            # Single capital initial: "J. Smith" — only UPPERCASE single
+            # letters are initials (a lowercase one-letter word, e.g. Greek
+            # "δ.", is a legitimate sentence end)
+            if (len(prev) == 1 and prev.isalpha()
+                    and text[m.start(1) - 1].isupper()):
                 continue
             # Decimal number continued: "0." followed by digits was excluded by
             # the lookahead only when next char is a digit start — guard anyway.

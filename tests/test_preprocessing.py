@@ -312,3 +312,35 @@ def test_guarded_pattern_prefilter_never_false_negative():
     # sub on a no-hit text returns it unchanged without scanning
     assert g.sub(lambda m: "X", "nothing to see here") == "nothing to see here"
     assert g.sub(lambda m: "X", "an x-ray image") == "an X image"
+
+
+def test_chunker_enforces_max_size_on_pathological_text():
+    """Unsplittable text (non-Latin sentences, giant unbroken tokens) must
+    still respect the max_chunk_size contract — over-long chunks silently
+    lose content at the encoder's token cap."""
+    from domain_rag_system_tpu.preprocessing import Document, DocumentChunker
+
+    ch = DocumentChunker()
+    cases = [
+        Document(doc_id="d1", source="pubmed", title="t",
+                 content="α βδε γζη θικ. " * 300),      # non-Latin sentences
+        Document(doc_id="d2", source="pubmed", title="t",
+                 content="x" * 100000),                  # one giant token
+        Document(doc_id="d3", source="pubmed", title="t",
+                 content="word " * 2000),                # plain long text
+    ]
+    for d in cases:
+        for c in ch.chunk_documents([d]):
+            assert len(c.text) <= ch.max_chunk_size * 1.2, \
+                (d.doc_id, len(c.text))
+
+
+def test_sentence_split_handles_non_latin_boundaries():
+    from domain_rag_system_tpu.preprocessing.sentence_split import (
+        split_sentences,
+    )
+
+    assert len(split_sentences("α βγ δ. " * 10)) == 10  # non-ASCII starts split
+    assert len(split_sentences("Результат хороший. " * 5)) == 5
+    # abbreviation protection still intact
+    assert len(split_sentences("We used e.g. mice. They grew.")) == 2
