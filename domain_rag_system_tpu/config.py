@@ -92,11 +92,16 @@ class RetrievalConfig:
         where only the first answer matters."""
         cfg = cls.tuned()
         ce = Path(__file__).resolve().parent.parent / "checkpoints" / "medrag-cross4"
-        if ce.exists():
-            cfg.reranker = "crossencoder"
-            cfg.cross_checkpoint = str(ce)
-            cfg.rerank_top_n = 20
-            cfg.rerank_blend = 0.5
+        if not ce.exists():
+            # an explicitly requested profile must not silently degrade to
+            # tuned behavior (cf. load_index's missing-checkpoint policy)
+            raise FileNotFoundError(
+                f"head_precision profile needs the trained cross-encoder at "
+                f"{ce} — restore the checkpoint or use the tuned profile")
+        cfg.reranker = "crossencoder"
+        cfg.cross_checkpoint = str(ce)
+        cfg.rerank_top_n = 20
+        cfg.rerank_blend = 0.5
         return cfg
 
     # ---------------------------------------------------------- conversions

@@ -107,9 +107,13 @@ class BM25Index:
         self._rebuild()
         log.info("BM25 index: +%d chunks → %d", len(chunks), len(self.chunks))
 
-    def delete_chunks(self, chunk_ids: Sequence[str]) -> int:
+    def delete_chunks(self, chunk_ids: Sequence[str],
+                      rebuild: bool = True) -> int:
         """Remove chunks by id. Rows stay allocated (index alignment) but
-        carry no terms and are excluded from N/df/avgdl statistics."""
+        carry no terms and are excluded from N/df/avgdl statistics.
+        ``rebuild=False`` defers the array rebuild — for callers that
+        immediately follow with ``add_chunks`` (which rebuilds anyway),
+        halving the ~1 s rebuild cost of an upsert at 91k chunks."""
         self._ensure_tokenized()
         targets = set(chunk_ids)
         deleted = 0
@@ -117,7 +121,7 @@ class BM25Index:
             if chunk.chunk_id in targets and self._alive[i]:
                 self._alive[i] = False
                 deleted += 1
-        if deleted:
+        if deleted and rebuild:
             self._rebuild()
         log.info("BM25 index: deleted %d chunks", deleted)
         return deleted

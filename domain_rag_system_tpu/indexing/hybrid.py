@@ -65,7 +65,12 @@ class HybridIndex:
         existing = {c.chunk_id for c in self.chunks}
         stale = [cid for cid in by_id if cid in existing]
         if stale:
-            self.delete_chunks(stale)
+            if self.dense_index is not None:
+                self.dense_index.delete_chunks(stale)
+            if self.bm25_index is not None:
+                # defer the BM25 rebuild — add_chunks below rebuilds anyway
+                # (one ~1 s rebuild per upsert instead of two at 91k)
+                self.bm25_index.delete_chunks(stale, rebuild=False)
         self.chunks.extend(chunks)
         if self.dense_index is not None:
             self.dense_index.add_chunks(chunks)

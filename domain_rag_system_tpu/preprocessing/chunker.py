@@ -232,7 +232,11 @@ class DocumentChunker:
                     chunks.append(self._make_piece(
                         doc, section_type, len(chunks), piece))
                 continue
-            if current and current_len + len(sentence) > self.max_chunk_size:
+            # current_len counts the JOINED length (sentences + one space
+            # separator each) — counting sentences alone let short-sentence
+            # text overflow the cap by up to 1.33x
+            sep = 1 if current else 0
+            if current and current_len + sep + len(sentence) > self.max_chunk_size:
                 chunks.append(
                     self._make_piece(doc, section_type, len(chunks), " ".join(current))
                 )
@@ -242,8 +246,9 @@ class DocumentChunker:
                 else:
                     current = []
                     current_len = 0
+                sep = 1 if current else 0
             current.append(sentence)
-            current_len += len(sentence)
+            current_len += sep + len(sentence)
         if current:
             chunks.append(
                 self._make_piece(doc, section_type, len(chunks), " ".join(current))

@@ -34,7 +34,7 @@ _ABBREVIATIONS = {
 # Cyrillic / CJK sentences previously never split because the lookahead
 # demanded [A-Z0-9]; ASCII-punctuation starts keep the old no-split
 # behavior so English chunking is unchanged).
-_BOUNDARY = re.compile(r'([.!?])(["\')\]]*)(\s+)(?=["\'(\[]?[A-Z0-9\u0080-\U0010ffff])')
+_BOUNDARY = re.compile(r'([.!?])(["\')\]]*)(\s+)(?=["\'(\[]?(?!\s)[A-Z0-9\u0080-\U0010ffff])')
 
 
 def _token_before(text: str, idx: int) -> str:

@@ -93,6 +93,10 @@ class BatchingFrontend:
         # (/index/add, /index/delete): a mutation mid-batch would swap the
         # index arrays out from under an in-flight fused program's inputs
         self.index_lock = threading.Lock()
+        # serializes WHOLE saves against each other (the snapshot runs
+        # under index_lock, but two /index/save requests writing the same
+        # directory concurrently would interleave per-file writes)
+        self.save_lock = threading.Lock()
         self._queue: "queue.Queue[tuple[_Request, tuple]]" = queue.Queue()
         self._stats = {"requests": 0, "batches": 0, "errors": 0,
                        "max_batch": 0}
@@ -282,12 +286,14 @@ def make_handler(frontend: BatchingFrontend, generator=None,
                     )
 
                     out_dir = body["dir"]
-                    # lock only for the cheap consistent snapshot; the
-                    # compressed writes (seconds at production scale) run
-                    # outside it so queries keep flowing
-                    with frontend.index_lock:
-                        snap = snapshot_index(frontend.pipeline.index)
-                    path = save_index(snap, out_dir)
+                    # index_lock only for the cheap consistent snapshot
+                    # (queries keep flowing during the compressed writes);
+                    # save_lock serializes whole saves so concurrent
+                    # requests can't interleave files in one directory
+                    with frontend.save_lock:
+                        with frontend.index_lock:
+                            snap = snapshot_index(frontend.pipeline.index)
+                        path = save_index(snap, out_dir)
                     self._send(200, {
                         "saved": str(path),
                         "n_chunks": len(snap.chunks)})

@@ -344,3 +344,25 @@ def test_sentence_split_handles_non_latin_boundaries():
     assert len(split_sentences("Результат хороший. " * 5)) == 5
     # abbreviation protection still intact
     assert len(split_sentences("We used e.g. mice. They grew.")) == 2
+
+
+def test_sentence_packing_counts_join_separators():
+    """Short-sentence text must not overflow max_chunk_size via uncounted
+    ' ' join separators (previously up to 1.33x over)."""
+    from domain_rag_system_tpu.preprocessing import Document, DocumentChunker
+
+    ch = DocumentChunker()
+    d = Document(doc_id="d", source="pubmed", title="t", content="Ab. " * 400)
+    for c in ch.chunk_documents([d]):
+        assert len(c.text) <= ch.max_chunk_size, len(c.text)
+
+
+def test_sentence_split_ignores_unicode_whitespace_starts():
+    from domain_rag_system_tpu.preprocessing.sentence_split import (
+        split_sentences,
+    )
+
+    # NBSP after the period: \s+ must not leave a Unicode space as the
+    # "sentence start" char (a real mid-sentence continuation)
+    assert len(split_sentences(
+        "The dose was 5 mg.  per day it was increased.")) == 1
