@@ -156,6 +156,16 @@ def main() -> None:
         save_results(results, out_path)
         all_results[name] = results
 
+    # Datasets NOT selected this run still belong in the comprehensive
+    # report when their cached results exist — a targeted `--datasets
+    # bioasq --force` must not silently drop the other sections (the
+    # reference's evaluator has the same reuse semantics,
+    # comprehensive_evaluation.py:758-765).
+    for name in DATASETS:
+        cached = results_dir / f"{name}_retrieval_results.json"
+        if name not in all_results and cached.exists():
+            all_results[name] = json.load(open(cached))
+
     report = generate_report(
         all_results, results_dir,
         environment={"devices": describe_devices(),
