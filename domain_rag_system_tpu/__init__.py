@@ -13,7 +13,7 @@ and rerank-candidate selection all run under `jax.jit`, sharded over a
 `jax.sharding.Mesh` when more than one device is available.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from domain_rag_system_tpu.preprocessing import (  # noqa: F401
     Document,
