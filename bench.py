@@ -64,15 +64,20 @@ def main() -> None:
     kwargs = cfg.query_kwargs()
     pipeline.query_batch([q["body"] for q in queries[:cfg.batch_size]], **kwargs)
 
-    # Three timed passes, keep the fastest: dispatch latency through the
+    # Three timed passes, report the MEDIAN: dispatch latency through the
     # remote-TPU tunnel jitters run-to-run (measured 260-480 q/s on an
-    # identical config); best-of-N reports steady-state throughput.
+    # identical config); the median reflects expected throughput rather
+    # than the luckiest draw (all passes are recorded alongside).
     # Quality metrics are identical across passes.
+    def median_pass(passes):
+        ranked = sorted(passes,
+                        key=lambda r: r["overall"]["queries_per_second"])
+        return ranked[len(ranked) // 2]
+
     passes = [run_retrieval_evaluation(
         pipeline, queries, batch_size=cfg.batch_size, dataset="bioasq",
         warmup=False, stream=True, **kwargs) for _ in range(3)]
-    results = max(passes, key=lambda r: r["overall"]["queries_per_second"])
-    overall = results["overall"]
+    overall = median_pass(passes)["overall"]
     qps = overall["queries_per_second"]
 
     # Phase 2 — the SAME eval at the reference's production index size
@@ -95,37 +100,45 @@ def main() -> None:
         pipeline_big, queries, batch_size=cfg.batch_size,
         dataset=f"bioasq@{info_big['n_chunks']}", warmup=False, stream=True,
         **kwargs) for _ in range(3)]
-    big = max(passes_big,
-              key=lambda r: r["overall"]["queries_per_second"])["overall"]
+    big = median_pass(passes_big)["overall"]
+    big_qps = big["queries_per_second"]
 
+    # HEADLINE = the production-scale figure (91,853 chunks — the
+    # reference's own index size, preprocessing_stats.json). The easy
+    # small-corpus number is secondary (VERDICT round-2 item 2).
     line = {
-        "metric": "bioasq200_e2e_qps",
-        "value": round(qps, 3),
+        "metric": "bioasq200_e2e_qps_at_91853_chunks",
+        "value": round(big_qps, 3),
         "unit": "queries/sec",
-        "vs_baseline": round(qps / REFERENCE_RAG_QPS, 2),
-        "recall@5": round(overall["recall@5"], 4),
-        "ndcg@10": round(overall["ndcg@10"], 4),
-        "mrr": round(overall["mrr"], 4),
-        "hit@10": round(overall.get("hit@10", 0.0), 4),
-        "recall": round(overall["recall"], 4),
-        "avg_query_latency_ms": round(overall["avg_query_time"] * 1000, 3),
-        "index_build_s": info["index_build_s"],
-        "n_chunks": info["n_chunks"],
-        "at_scale": {
-            "n_chunks": info_big["n_chunks"],
-            "qps": round(big["queries_per_second"], 3),
-            "recall@5": round(big["recall@5"], 4),
-            "ndcg@10": round(big["ndcg@10"], 4),
-            "recall": round(big["recall"], 4),
-            "mrr": round(big["mrr"], 4),
-            "avg_query_latency_ms": round(big["avg_query_time"] * 1000, 3),
-            "index_build_s": info_big["index_build_s"],
-            "dense_dtype": (
-                "int8" if pipeline_big.index.dense_index.quantize
-                else str(pipeline_big.index.dense_index.dtype.__name__)),
-            "stage_timing_ms": {
-                k: round(v["mean_s"] * 1000, 3)
-                for k, v in pipeline_big.timer.summary().items()},
+        "vs_baseline": round(big_qps / REFERENCE_RAG_QPS, 2),
+        "n_chunks": info_big["n_chunks"],
+        "recall@5": round(big["recall@5"], 4),
+        "ndcg@10": round(big["ndcg@10"], 4),
+        "mrr": round(big["mrr"], 4),
+        "hit@10": round(big.get("hit@10", 0.0), 4),
+        "recall": round(big["recall"], 4),
+        "avg_query_latency_ms": round(big["avg_query_time"] * 1000, 3),
+        "index_build_s": info_big["index_build_s"],
+        "qps_all_passes": [round(p["overall"]["queries_per_second"], 1)
+                           for p in passes_big],
+        "dense_dtype": (
+            "int8" if pipeline_big.index.dense_index.quantize
+            else str(pipeline_big.index.dense_index.dtype.__name__)),
+        "stage_timing_ms": {
+            k: round(v["mean_s"] * 1000, 3)
+            for k, v in pipeline_big.timer.summary().items()},
+        "small_corpus": {
+            "n_chunks": info["n_chunks"],
+            "qps": round(qps, 3),
+            "recall@5": round(overall["recall@5"], 4),
+            "ndcg@10": round(overall["ndcg@10"], 4),
+            "recall": round(overall["recall"], 4),
+            "mrr": round(overall["mrr"], 4),
+            "hit@10": round(overall.get("hit@10", 0.0), 4),
+            "avg_query_latency_ms": round(overall["avg_query_time"] * 1000, 3),
+            "index_build_s": info["index_build_s"],
+            "qps_all_passes": [round(p["overall"]["queries_per_second"], 1)
+                               for p in passes],
         },
         "encoder": info["encoder"],
         "config": {k: v for k, v in cfg.to_dict().items()

@@ -109,7 +109,8 @@ def run_retrieval_evaluation(
         else:
             pipeline.query(first[0], top_k=top_k, fusion_method=fusion_method,
                            vector_weight=vector_weight, bm25_weight=bm25_weight,
-                           rerank_top_n=rerank_top_n, group_by_doc=group_by_doc)
+                           rerank_top_n=rerank_top_n, group_by_doc=group_by_doc,
+                           **pipeline_kwargs)
         # drop warmup (compile-inflated) samples so StageTimer means
         # reported by bench/scale_bench/healthz reflect steady state
         pipeline.timer.totals.clear()
@@ -168,7 +169,7 @@ def run_retrieval_evaluation(
                 q["body"], top_k=top_k, fusion_method=fusion_method,
                 vector_weight=vector_weight, bm25_weight=bm25_weight,
                 rerank_top_n=rerank_top_n, group_by_doc=group_by_doc,
-                evidence_alpha=pipeline_kwargs.get("evidence_alpha", 0.0),
+                **pipeline_kwargs,
             )
             dt = time.perf_counter() - t0
             per_query.append(evaluate_one(q, out["results"], dt))

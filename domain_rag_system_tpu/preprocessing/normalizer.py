@@ -49,7 +49,12 @@ class GuardedPattern:
     no table entry at all. Any `\\b`-anchored match implies the entry's
     first ``\\w+`` chunk appears as a maximal word run in the text, so an
     O(words) set check against the entries' first words safely skips the
-    regex in the common no-hit case (never a false negative)."""
+    regex in the common no-hit case (never a false negative).
+
+    Comparison uses ``str.casefold()`` on both sides — ``re.IGNORECASE``
+    matches some non-ASCII case pairs (dotted/dotless I, 'ẞ') that plain
+    ``.lower()`` misses, and a prefilter miss there would silently skip a
+    substitution the regex would have made."""
 
     __slots__ = ("rx", "first_words")
 
@@ -59,11 +64,11 @@ class GuardedPattern:
         for t in terms:
             m = _WORD_RE.search(t)
             if m:
-                self.first_words.add(m.group(0).lower())
+                self.first_words.add(m.group(0).casefold())
 
     def _hit(self, text: str) -> bool:
         fw = self.first_words
-        return any(w.lower() in fw for w in _WORD_RE.findall(text))
+        return any(w.casefold() in fw for w in _WORD_RE.findall(text))
 
     def sub(self, repl, text: str) -> str:
         return self.rx.sub(repl, text) if self._hit(text) else text

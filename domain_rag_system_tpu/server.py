@@ -126,6 +126,38 @@ class BatchingFrontend:
         assert req.result is not None
         return req.result
 
+    def bulk_query(self, queries: Sequence[str], filters=None,
+                   **kwargs) -> List[Dict]:
+        """Serve an explicit query list at the collector's dispatch shapes.
+
+        ``/query_batch`` requests arrive with arbitrary (unbounded) lengths;
+        dispatching the raw length would compile a new fused program per
+        previously-unseen size — a multi-second XLA compile while holding
+        ``index_lock``, stalling all ``/query`` traffic. Split into
+        ``batch_size`` slices and pad the tail slice to the same bucket
+        shapes the collector uses, so bulk requests only ever reuse the
+        |buckets| already-compiled programs.
+        """
+        queries = list(queries)
+        per_query_filters = (list(filters) if filters is not None
+                             and not isinstance(filters, dict)
+                             else [filters] * len(queries))
+        outs: List[Dict] = []
+        step = self.cfg.batch_size
+        for start in range(0, len(queries), step):
+            qs = queries[start:start + step]
+            fs = per_query_filters[start:start + step]
+            n = len(qs)
+            bucket = next(b for b in self.batch_buckets if b >= n)
+            if n < bucket:
+                qs = qs + [qs[0]] * (bucket - n)
+                fs = fs + [None] * (bucket - n)
+            with self.index_lock:
+                batch_outs = self.pipeline.query_batch(
+                    qs, filters=(fs if any(fs) else None), **kwargs)
+            outs.extend(batch_outs[:n])
+        return outs
+
     def stats(self) -> Dict:
         with self._stats_lock:
             return dict(self._stats)
@@ -259,11 +291,8 @@ def make_handler(frontend: BatchingFrontend, generator=None,
                     kwargs = frontend.cfg.query_kwargs()
                     filters = body.pop("filters", None)
                     kwargs.update(body)
-                    # same index lock as the collector: a live mutation
-                    # mid-dispatch would swap arrays under the program
-                    with frontend.index_lock:
-                        outs = frontend.pipeline.query_batch(
-                            list(queries), filters=filters, **kwargs)
+                    outs = frontend.bulk_query(
+                        list(queries), filters=filters, **kwargs)
                     self._send(200, {"results": outs})
                 elif self.path == "/index/add":
                     from domain_rag_system_tpu.preprocessing import Chunk

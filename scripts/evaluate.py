@@ -148,7 +148,8 @@ def main() -> None:
         if "coverage" in ds:
             from domain_rag_system_tpu.etl.recover import corpus_coverage
 
-            corpus_docs = json.load(open(ds["coverage"]["corpus"]))
+            with open(ds["coverage"]["corpus"], "r", encoding="utf-8") as f:
+                corpus_docs = json.load(f)
             doc_ids = {str(d.get("id", d.get("doc_id", ""))) for d in corpus_docs}
             results["coverage"] = corpus_coverage(
                 doc_ids, queries,
@@ -164,7 +165,14 @@ def main() -> None:
     for name in DATASETS:
         cached = results_dir / f"{name}_retrieval_results.json"
         if name not in all_results and cached.exists():
-            all_results[name] = json.load(open(cached))
+            with open(cached, "r", encoding="utf-8") as f:
+                section = json.load(f)
+            # Cached sections may have been produced under a different
+            # config/checkpoint than this run's environment block — mark
+            # them so mixed-config reports are distinguishable.
+            section["cached"] = True
+            section["cached_from"] = str(cached)
+            all_results[name] = section
 
     report = generate_report(
         all_results, results_dir,

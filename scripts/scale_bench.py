@@ -104,15 +104,17 @@ def main() -> None:
     if cfg.mine_terms:
         pipeline.preprocessor.normalizer.build_drug_mapping_from_data(docs)
 
-    # best-of-N: dispatch latency through the remote tunnel jitters
-    # run-to-run (observed ±15% on identical code); quality metrics are
-    # identical across passes (same protocol as bench.py)
+    # median-of-N: dispatch latency through the remote tunnel jitters
+    # run-to-run (observed ±15% on identical code); the median reflects
+    # expected throughput rather than the luckiest draw. Quality metrics
+    # are identical across passes (same protocol as bench.py).
     all_passes = [run_retrieval_evaluation(
         pipeline, queries, batch_size=cfg.batch_size, stream=args.stream,
         dataset=f"bioasq@{info['n_chunks']}", warmup=(i == 0),
         **cfg.query_kwargs()) for i in range(args.passes)]
-    results = max(all_passes,
-                  key=lambda r: r["overall"]["queries_per_second"])
+    ranked = sorted(all_passes,
+                    key=lambda r: r["overall"]["queries_per_second"])
+    results = ranked[len(ranked) // 2]
     o = results["overall"]
     line = {
         "metric": "bioasq200_qps_at_scale",
@@ -120,6 +122,8 @@ def main() -> None:
         "n_real_chunks": info["n_real_chunks"],
         "value": round(o["queries_per_second"], 2),
         "unit": "queries/sec",
+        "qps_all_passes": [round(p["overall"]["queries_per_second"], 1)
+                           for p in all_passes],
         "recall@5": round(o["recall@5"], 4),
         "ndcg@10": round(o["ndcg@10"], 4),
         "recall": round(o["recall"], 4),
