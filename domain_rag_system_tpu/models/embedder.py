@@ -105,6 +105,15 @@ class MedicalEmbedder:
 
         return jnp.asarray(self._impl.encode(texts, normalize=True))
 
+    def program_encoder(self):
+        """(module, params) for in-program fused encode, or None when the
+        backend has no jittable forward (lexical hash)."""
+        f = getattr(self._impl, "program_encoder", None)
+        return f() if f is not None else None
+
+    def tokenize_ids(self, texts):
+        return self._impl.tokenize_ids(texts)
+
     def encode_chunks(self, chunks, normalize: bool = True) -> np.ndarray:
         return self._impl.encode([c.text for c in chunks], normalize=normalize)
 

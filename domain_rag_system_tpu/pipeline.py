@@ -74,7 +74,8 @@ def _device_cosine_rerank(
 @functools.partial(jax.jit, static_argnames=(
     "over_k", "fetch_k", "fusion_method",
     "rerank_top_n", "vocab_size", "has_dense", "has_sparse", "use_rerank",
-    "use_split", "prf_terms", "prf_docs", "has_qfilter"))
+    "use_split", "prf_terms", "prf_docs", "has_qfilter",
+    "enc_module", "encode_orig"))
 def _fused_batch_retrieval(
     embeddings,    # [N_pad, d] or [1, 1] placeholder
     valid_mask,    # [N_pad] or [1]
@@ -95,6 +96,8 @@ def _fused_batch_retrieval(
     bm25_weight,     # traced scalar
     q_filter_d,    # [B, N_pad] per-query dense filter masks or [1, 1]
     q_filter_s,    # [B, N]     per-query sparse filter masks or [1, 1]
+    enc_params=None,  # encoder param pytree (device-resident) when fused encode
+    q_tok=None,       # [B, L] (or [2B, L] with encode_orig) query token ids
     *,
     over_k: int,
     fetch_k: int,
@@ -109,15 +112,38 @@ def _fused_batch_retrieval(
     prf_docs: int = 10,
     prf_alpha: float = 0.6,
     has_qfilter: bool = False,
+    enc_module=None,
+    encode_orig: bool = False,
 ):
     """The whole query batch as ONE device program.
 
-    dense top-k → BM25 top-k → RRF/weighted fusion → rerank scoring, fused
-    under a single jit so a batch costs one host→device dispatch (the
-    per-query fusion dispatches previously dominated end-to-end latency
-    through the remote-TPU tunnel).
+    query encode (transformer forward over token ids) → dense top-k →
+    BM25 top-k → RRF/weighted fusion → rerank scoring, fused under a
+    single jit so a batch costs one host→device dispatch (the per-query
+    fusion dispatches — and, before round 3, the separate encode
+    dispatch — previously dominated end-to-end latency through the
+    remote-TPU tunnel). With ``enc_module`` set, a query enters the chip
+    as token ids and leaves as (chunk_id, score) pairs — the SURVEY §7
+    signature design, now literal.
     """
     b = q_ids.shape[0] if has_sparse else q_emb.shape[0]
+
+    if enc_module is not None and has_dense:
+        # Fused query encode: mask/type ids derived on device (PAD id 0);
+        # all-PAD batch-padding rows keep one attended slot so softmax
+        # rows stay finite (mirrors BertEmbedder._forward_packed).
+        tok_mask = (q_tok != 0).astype(jnp.int32)
+        tok_mask = tok_mask.at[:, 0].set(1)
+        emb_all = enc_module.apply(enc_params, q_tok, tok_mask,
+                                   jnp.zeros_like(q_tok), deterministic=True)
+        q_dtype = (jnp.float32 if embeddings.dtype == jnp.int8
+                   else embeddings.dtype)
+        emb_all = emb_all.astype(q_dtype)
+        if encode_orig:
+            q_emb = emb_all[:b]
+            q_orig_emb = emb_all[b:]
+        else:
+            q_emb = q_orig_emb = emb_all
 
     has_scale = row_scale is not None and getattr(row_scale, "ndim", 0) == 1
     if has_dense:
@@ -506,10 +532,40 @@ class RetrievalPipeline:
         )
 
         b = len(queries)
+        # Fused in-program encode: when the dense backend exposes a
+        # jittable forward, queries enter the device as TOKEN IDS and the
+        # transformer forward runs inside the same fused program as
+        # scoring — one dispatch per batch instead of encode + retrieval
+        # round trips (encode was the largest at-scale serving stage,
+        # 62.9 ms/batch in BENCH_r02).
+        prog = (getattr(dense.embedder, "program_encoder", lambda: None)()
+                if has_dense else None)
+        enc_module = enc_params = q_tok = None
         with self.timer.stage("encode"):
-            if has_dense:
+            if has_dense and prog is not None:
+                enc_module, enc_params = prog
+                mesh = getattr(dense, "mesh", None)
+                if mesh is not None:
+                    # corpus arrays are sharded over the mesh — the encoder
+                    # params must be REPLICATED on the same devices or jit
+                    # rejects the mixed device sets (cached per mesh).
+                    cache = getattr(self, "_replicated_enc", None)
+                    if cache is None or cache[0] is not mesh:
+                        from jax.sharding import NamedSharding, PartitionSpec
+                        rep = NamedSharding(mesh, PartitionSpec())
+                        cache = (mesh, jax.device_put(enc_params, rep))
+                        self._replicated_enc = cache
+                    enc_params = cache[1]
+                encode_orig = use_device_rerank and (
+                    list(search_queries) != list(queries))
+                texts = (list(search_queries) + list(queries)
+                         if encode_orig else list(search_queries))
+                q_tok = jnp.asarray(dense.embedder.tokenize_ids(texts))
+                q_emb = q_orig_emb = jnp.zeros((b, 1), jnp.float32)
+            elif has_dense:
                 q_dtype = (jnp.float32 if dense.embeddings.dtype == jnp.int8
                            else dense.embeddings.dtype)
+                encode_orig = False
 
                 def enc(texts):
                     # device-resident encode when the backend supports it:
@@ -525,6 +581,7 @@ class RetrievalPipeline:
                 q_orig_emb = (q_emb if not use_device_rerank
                               else enc(list(queries)))
             else:
+                encode_orig = False
                 q_emb = q_orig_emb = jnp.zeros((b, 1), jnp.float32)
             if has_sparse:
                 q_enc = [sparse.encode_query(q) for q in search_queries]
@@ -578,6 +635,8 @@ class RetrievalPipeline:
                  else jnp.zeros((), jnp.float32)),
                 vector_weight, bm25_weight,
                 q_filter_d, q_filter_s,
+                enc_params, q_tok,
+                enc_module=enc_module, encode_orig=encode_orig,
                 over_k=over_k, fetch_k=fetch_k, fusion_method=fusion_method,
                 rerank_top_n=(self.reranker.top_n if use_device_rerank else 0),
                 vocab_size=len(sparse.vocab) if has_sparse else 0,

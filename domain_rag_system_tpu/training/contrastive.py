@@ -136,12 +136,18 @@ class ContrastiveTrainer:
 
     # ------------------------------------------------------------------ setup
 
-    def init_state(self, seq_len: int = 128) -> TrainState:
+    def init_state(self, seq_len: int = 128,
+                   init_params: Optional[Dict] = None) -> TrainState:
+        """Fresh random init, or warm-start from ``init_params`` — e.g. the
+        ``bert`` subtree of an MLM/ICT pretrain (training/pretrain.py).
+        Missing subtrees keep their random init; shapes must match."""
         rng = jax.random.PRNGKey(self._seed)
         ids = jnp.zeros((1, seq_len), jnp.int32)
         mask = jnp.ones((1, seq_len), jnp.int32)
         variables = self.module.init(rng, ids, mask)
         params = variables["params"]
+        if init_params is not None:
+            params = _merge_params(params, init_params)
         opt_state = self.optimizer.init(params)
         self.state = TrainState(params=params, opt_state=opt_state)
 
@@ -196,6 +202,25 @@ class ContrastiveTrainer:
                 log.info("step %d: loss=%.4f acc=%.3f",
                          self.state.step, metrics["loss"], metrics["accuracy"])
         return history
+
+
+def _merge_params(base: Dict, override: Dict) -> Dict:
+    """Recursively overlay ``override`` onto ``base`` (dict leaves only),
+    checking array-shape agreement so a geometry mismatch fails loudly."""
+    out = dict(base)
+    for k, v in override.items():
+        if k not in base:
+            continue  # e.g. MLM head params not present in SentenceEncoder
+        if isinstance(v, dict) and isinstance(base[k], dict):
+            out[k] = _merge_params(base[k], v)
+        else:
+            if hasattr(v, "shape") and hasattr(base[k], "shape") \
+                    and tuple(v.shape) != tuple(base[k].shape):
+                raise ValueError(
+                    f"init param {k!r} shape {tuple(v.shape)} != expected "
+                    f"{tuple(base[k].shape)}")
+            out[k] = v
+    return out
 
 
 def make_pair_batches(

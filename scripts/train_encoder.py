@@ -188,6 +188,11 @@ def main() -> None:
                          "default: mine from the training corpus")
     ap.add_argument("--hard_negatives", type=int, default=0,
                     help="BM25-mined hard negatives per query (0 = off)")
+    ap.add_argument("--init_checkpoint", default=None,
+                    help="warm-start from an MLM/ICT pretrain checkpoint "
+                         "(scripts/pretrain_encoder.py); reuses its "
+                         "tokenizer and geometry, ignores --vocab_size/"
+                         "--hidden/--layers/--heads")
     args = ap.parse_args()
 
     corpus = json.load(open(args.corpus))
@@ -217,21 +222,34 @@ def main() -> None:
                         aug_seed=args.seed)
     print(f"{len(pairs)} training pairs from {len(corpus)} docs")
 
-    texts = [t for pair in pairs for t in pair]
-    print("training WordPiece vocabulary...")
-    tokenizer = train_wordpiece(texts, vocab_size=args.vocab_size)
-    print(f"vocab: {len(tokenizer)} tokens")
+    init_params = None
+    if args.init_checkpoint:
+        from domain_rag_system_tpu.persistence.checkpoints import (
+            load_encoder_checkpoint,
+        )
 
-    config = BertConfig(
-        vocab_size=len(tokenizer), hidden_size=args.hidden,
-        num_layers=args.layers, num_heads=args.heads,
-        intermediate_size=args.hidden * 4, dropout_rate=0.1,
-        max_position_embeddings=args.seq_len, dtype="bfloat16",
-    )
+        config, init_params, tokenizer = load_encoder_checkpoint(
+            args.init_checkpoint)
+        args.seq_len = min(args.seq_len, config.max_position_embeddings)
+        print(f"warm start from {args.init_checkpoint}: "
+              f"{config.num_layers}L/{config.hidden_size}H "
+              f"vocab={config.vocab_size} seq_len={args.seq_len}")
+    else:
+        texts = [t for pair in pairs for t in pair]
+        print("training WordPiece vocabulary...")
+        tokenizer = train_wordpiece(texts, vocab_size=args.vocab_size)
+        print(f"vocab: {len(tokenizer)} tokens")
+
+        config = BertConfig(
+            vocab_size=len(tokenizer), hidden_size=args.hidden,
+            num_layers=args.layers, num_heads=args.heads,
+            intermediate_size=args.hidden * 4, dropout_rate=0.1,
+            max_position_embeddings=args.seq_len, dtype="bfloat16",
+        )
     trainer = ContrastiveTrainer(config, learning_rate=args.lr,
                                  warmup_steps=max(args.steps // 10, 10),
                                  total_steps=args.steps, seed=args.seed)
-    trainer.init_state(seq_len=args.seq_len)
+    trainer.init_state(seq_len=args.seq_len, init_params=init_params)
 
     hard_pool = None
     if args.hard_negatives > 0:

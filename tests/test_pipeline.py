@@ -276,3 +276,54 @@ def test_degenerate_queries_never_crash(pipeline):
         out = pipeline.query(q, top_k=2)
         assert isinstance(out["results"], list)
     assert pipeline.query_batch([], top_k=2) == []
+
+
+def test_fused_in_program_encode_matches_separate_encode(toy_chunks):
+    """With a BERT dense backend, queries enter the fused program as token
+    ids and the forward runs inside it (one dispatch). Rankings and scores
+    must equal the separate encode_device path — including the device
+    cosine rerank, whose ORIGINAL-query embeddings ride the same forward
+    (encode_orig)."""
+    import jax
+    import jax.numpy as jnp
+
+    from domain_rag_system_tpu.models.bert import BertConfig, SentenceEncoder
+    from domain_rag_system_tpu.models.bert_embedder import BertEmbedder
+    from domain_rag_system_tpu.tokenization import train_wordpiece
+
+    texts = [c.text for c in toy_chunks]
+    tokenizer = train_wordpiece(texts * 2, vocab_size=400)
+    config = BertConfig.tiny(vocab_size=len(tokenizer), dropout_rate=0.0)
+    module = SentenceEncoder(config)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                         jnp.ones((1, 8), jnp.int32))
+    emb = BertEmbedder(config=config, params=params["params"],
+                       tokenizer=tokenizer, max_length=64, batch_size=4)
+    hybrid = HybridIndex(dense_index=DenseIndex(emb, row_block=8),
+                         bm25_index=BM25Index())
+    hybrid.index_chunks(toy_chunks)
+    rr = SimpleSimilarityReranker(embedder=emb, top_n=6)
+    pipe = RetrievalPipeline(hybrid, reranker=rr)
+
+    queries = ["ASA for pain", "diabetes drug", "blood pressure medication"]
+
+    def run():
+        return pipe.query_batch(queries, top_k=4, fusion_method="weighted",
+                                vector_weight=0.5, bm25_weight=0.5,
+                                prf_terms=3, prf_docs=4)
+
+    fused = run()
+    orig_fn = BertEmbedder.program_encoder
+    BertEmbedder.program_encoder = lambda self: None  # old two-dispatch path
+    try:
+        separate = run()
+    finally:
+        BertEmbedder.program_encoder = orig_fn
+
+    for a, b in zip(fused, separate):
+        assert [r["chunk_id"] for r in a["results"]] == \
+               [r["chunk_id"] for r in b["results"]]
+        np.testing.assert_allclose(
+            [r.get("rerank_score", r["score"]) for r in a["results"]],
+            [r.get("rerank_score", r["score"]) for r in b["results"]],
+            rtol=1e-4)
