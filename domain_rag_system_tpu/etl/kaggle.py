@@ -195,7 +195,8 @@ _NAME_SYLLABLES = ["zor", "vex", "lam", "dri", "fen", "tac", "mir", "pol",
 
 
 def make_distractor_records(records: List[Dict], n: int = 60,
-                            seed: int = 13) -> List[Dict]:
+                            seed: int = 13,
+                            shadows_per_record: int = 0) -> List[Dict]:
     """Deterministic decoy drug records for honest retrieval evaluation.
 
     Round-1's regenerated Kaggle eval scored 1.0 across the board because
@@ -204,6 +205,13 @@ def make_distractor_records(records: List[Dict], n: int = 60,
     and side-effect vocabulary — so they compete lexically — but carry
     invented drug names and DISJOINT conditions/classes, so they are never
     legitimate answers and the rule-based ground truth stays complete.
+
+    ``shadows_per_record`` adds HARD decoys (VERDICT round-2 item 6): for
+    each real record, shadow records copy its side-effect lists VERBATIM
+    (near-duplicate sections) under an invented drug name and a disjoint
+    condition/class — a name-keyed query must then rank the real drug's
+    chunk above textually near-identical impostors, so neither the system
+    nor the dense control can score 1.0 structurally.
     """
     import random
 
@@ -214,10 +222,56 @@ def make_distractor_records(records: List[Dict], n: int = 60,
         side_pool += se.get("serious", []) + se.get("common", [])
     side_pool = sorted(set(side_pool)) or ["nausea", "headache", "dizziness"]
 
+    # distractor conditions/classes must NEVER collide with real ones —
+    # a decoy claiming a real condition would be a legitimate answer to
+    # condition-keyed queries, breaking ground-truth completeness
+    real_conditions = {r.get("medical_condition", "").lower() for r in records}
+    real_classes = {c.lower() for r in records
+                    for c in r.get("drug_classes", [])}
+    conditions = [c for c in _DISTRACTOR_CONDITIONS
+                  if c.lower() not in real_conditions]
+    classes = [c for c in _DISTRACTOR_CLASSES if c.lower() not in real_classes]
+
     out = []
+    for si in range(shadows_per_record):
+        for r in records:
+            name = "".join(rng.sample(_NAME_SYLLABLES, 3)).capitalize()
+            cond = rng.choice(conditions)
+            se = r.get("side_effects_structured") or {}
+            summary = (r.get("condition_summary") or "")
+            # reuse the REAL record's summary phrasing with the condition
+            # swapped — lexically adjacent, semantically disjoint
+            if summary and r.get("medical_condition"):
+                summary = summary.replace(r["medical_condition"], cond)
+            out.append({
+                "doc_id": _md5(f"shadow|{r['doc_id']}|{name}|{si}"),
+                "drug_name": name,
+                "generic_name": name.lower(),
+                "medical_condition": cond,
+                "drug_classes": [rng.choice(classes)],
+                "brand_names": [name],
+                "rx_otc": r.get("rx_otc", "Rx"),
+                "pregnancy_category": r.get("pregnancy_category", ""),
+                "pregnancy_category_raw": r.get("pregnancy_category_raw", ""),
+                "csa": r.get("csa", "N"),
+                "alcohol": r.get("alcohol", ""),
+                "rating": r.get("rating"),
+                "activity": r.get("activity", ""),
+                "no_of_reviews": r.get("no_of_reviews", 0),
+                "side_effects_structured": {
+                    "serious": list(se.get("serious", [])),
+                    "common": list(se.get("common", []))},
+                "side_effects_raw": r.get("side_effects_raw", ""),
+                "condition_summary": summary,
+                "related_drugs": [],
+                "links": {},
+                "distractor": True,
+                "shadow_of": r["doc_id"],
+            })
+
     for i in range(n):
         name = "".join(rng.sample(_NAME_SYLLABLES, 3)).capitalize()
-        cond = rng.choice(_DISTRACTOR_CONDITIONS)
+        cond = rng.choice(conditions)
         se_serious = rng.sample(side_pool, min(2, len(side_pool)))
         se_common = rng.sample(side_pool, min(3, len(side_pool)))
         out.append({
@@ -225,7 +279,7 @@ def make_distractor_records(records: List[Dict], n: int = 60,
             "drug_name": name,
             "generic_name": name.lower(),
             "medical_condition": cond,
-            "drug_classes": [rng.choice(_DISTRACTOR_CLASSES)],
+            "drug_classes": [rng.choice(classes)],
             "brand_names": [name],
             "rx_otc": rng.choice(["Rx", "OTC", "Rx/OTC"]),
             "pregnancy_category": rng.choice(
@@ -248,17 +302,32 @@ def make_distractor_records(records: List[Dict], n: int = 60,
     return out
 
 
-#: The 8 fixed query templates (reference test_queries.py:84-99).
-QUERY_TEMPLATES: List[Tuple[str, str]] = [
-    ("drug_side_effects", "What are the side effects of {drug}?"),
-    ("condition_treatment", "What drugs treat {condition}?"),
-    ("drug_safety", "Is {drug} safe during pregnancy?"),
-    ("drug_class_info", "What class of drug is {drug}?"),
-    ("related_drugs", "What drugs are similar to {drug}?"),
-    ("condition_overview", "What is {condition}?"),
-    ("drug_rating", "How well rated is {drug} for {condition}?"),
-    ("class_based_options", "Which {drug_class} drugs are available?"),
+#: The 8 fixed query types (reference test_queries.py:84-99), each with a
+#: canonical template (the reference's phrasing, which shares the chunk
+#: text's vocabulary) and a HELD-OUT paraphrase whose key content words do
+#: not occur in the chunks — so half the eval stresses semantic matching
+#: (VERDICT round-2 item 6).
+QUERY_TEMPLATES: List[Tuple[str, str, str]] = [
+    ("drug_side_effects", "What are the side effects of {drug}?",
+     "Which adverse reactions can {drug} cause?"),
+    ("condition_treatment", "What drugs treat {condition}?",
+     "Which medications are used to manage {condition}?"),
+    ("drug_safety", "Is {drug} safe during pregnancy?",
+     "Can {drug} be used while pregnant?"),
+    ("drug_class_info", "What class of drug is {drug}?",
+     "Which drug family does {drug} belong to?"),
+    ("related_drugs", "What drugs are similar to {drug}?",
+     "What are alternatives to {drug}?"),
+    ("condition_overview", "What is {condition}?",
+     "Give an overview of {condition}."),
+    ("drug_rating", "How well rated is {drug} for {condition}?",
+     "How do patients score {drug} against {condition}?"),
+    ("class_based_options", "Which {drug_class} drugs are available?",
+     "List the medications in the {drug_class} family."),
 ]
+
+_NAME_KEYED = ("drug_side_effects", "drug_safety", "drug_class_info",
+               "related_drugs", "drug_rating")
 
 
 def build_test_queries(
@@ -266,7 +335,17 @@ def build_test_queries(
     top_k: int = 5,
     output_path: Optional[str] = None,
 ) -> List[Dict]:
-    """Rule-based test queries with chunk-level AND doc-level ground truth."""
+    """Rule-based test queries with chunk-level AND doc-level ground truth.
+
+    Round-2 shipped 8 queries about ONE drug — too few to detect anything
+    (VERDICT round-2 item 6). Now every real record yields the name-keyed
+    query types, every distinct condition/class yields its keyed types,
+    and each query alternates canonical vs held-out paraphrase templates
+    (tagged via ``template``). Ground truth is computed from the REAL
+    (non-distractor) records only and is complete by construction: decoy
+    records never share a real drug name, condition, or class.
+    """
+    records = [r for r in records if not r.get("distractor")]
     if not records:
         return []
     chunks = build_etl_chunks(records)
@@ -274,54 +353,75 @@ def build_test_queries(
     for c in chunks:
         by_doc.setdefault(c["doc_id"], []).append(c)
 
-    rated = sorted((r for r in records if r.get("rating")),
-                   key=lambda r: -(r["rating"] or 0)) or records
-    primary = rated[0]
-    condition = primary["medical_condition"]
-    drug_class = (primary["drug_classes"][0] if primary["drug_classes"]
-                  else "prescription")
-
-    def rule_gt(qtype: str) -> Tuple[List[str], List[str]]:
-        """(gt chunk ids, gt doc ids) for a query type."""
+    def rule_gt(qtype: str, record=None, condition=None,
+                drug_class=None) -> Tuple[List[str], List[str]]:
+        """(gt chunk ids, gt doc ids) for one keyed query."""
         if qtype == "drug_side_effects":
             pool = [c for c in chunks if c["kind"].startswith("side_effects")
-                    and c["drug_name"] == primary["drug_name"]]
+                    and c["drug_name"] == record["drug_name"]]
         elif qtype == "condition_treatment":
             pool = [c for c in chunks if c["kind"] == "facts"
                     and c["medical_condition"] == condition]
         elif qtype == "drug_safety":
-            pool = [c for c in by_doc.get(primary["doc_id"], [])]
+            pool = [c for c in by_doc.get(record["doc_id"], [])]
         elif qtype == "drug_class_info":
             pool = [c for c in chunks if c["kind"] == "facts"
-                    and c["drug_name"] == primary["drug_name"]]
+                    and c["drug_name"] == record["drug_name"]]
         elif qtype == "related_drugs":
             pool = [c for c in chunks if c["kind"] == "related"
-                    and c["drug_name"] == primary["drug_name"]]
+                    and c["drug_name"] == record["drug_name"]]
         elif qtype == "condition_overview":
             pool = [c for c in chunks if c["kind"] == "condition_overview"
                     and c["medical_condition"] == condition]
         elif qtype == "drug_rating":
-            pool = [c for c in by_doc.get(primary["doc_id"], [])]
+            pool = [c for c in by_doc.get(record["doc_id"], [])]
         else:  # class_based_options
             docs = {r["doc_id"] for r in records
                     if drug_class in r.get("drug_classes", [])}
-            pool = [c for c in chunks if c["doc_id"] in docs and c["kind"] == "facts"]
+            pool = [c for c in chunks
+                    if c["doc_id"] in docs and c["kind"] == "facts"]
         pool = pool[:top_k]
-        return [c["chunk_id"] for c in pool], list(dict.fromkeys(c["doc_id"] for c in pool))
+        return ([c["chunk_id"] for c in pool],
+                list(dict.fromkeys(c["doc_id"] for c in pool)))
 
-    queries = []
-    for i, (qtype, template) in enumerate(QUERY_TEMPLATES, 1):
-        body = template.format(drug=primary["drug_name"], condition=condition,
-                               drug_class=drug_class)
-        gt_chunks, gt_docs = rule_gt(qtype)
+    templates = {t[0]: (t[1], t[2]) for t in QUERY_TEMPLATES}
+    queries: List[Dict] = []
+
+    def add(qtype: str, record=None, condition=None, drug_class=None) -> None:
+        gt_chunks, gt_docs = rule_gt(qtype, record, condition, drug_class)
+        if not gt_docs:
+            return
+        i = len(queries)
+        variant = "canonical" if i % 2 == 0 else "paraphrase"
+        template = templates[qtype][i % 2]
+        body = template.format(
+            drug=record["drug_name"] if record else "",
+            condition=(condition if condition is not None
+                       else (record or {}).get("medical_condition", "")),
+            drug_class=drug_class or "")
         queries.append({
-            "id": f"kaggle_{i:03d}",
+            "id": f"kaggle_{i + 1:03d}",
             "type": qtype,
+            "template": variant,
             "body": body,
             "gt_chunk_ids": gt_chunks,   # faithful (reference id space)
             "documents": gt_docs,        # doc-level ids (quirk-1 fix)
         })
-    log.info("built %d kaggle test queries", len(queries))
+
+    for record in records:
+        for qtype in _NAME_KEYED:
+            add(qtype, record=record)
+    for condition in sorted({r["medical_condition"] for r in records
+                             if r.get("medical_condition")}):
+        add("condition_treatment", condition=condition)
+        add("condition_overview", condition=condition)
+    for drug_class in sorted({c for r in records
+                              for c in r.get("drug_classes", [])}):
+        add("class_based_options", drug_class=drug_class)
+
+    n_para = sum(q["template"] == "paraphrase" for q in queries)
+    log.info("built %d kaggle test queries (%d canonical / %d paraphrase)",
+             len(queries), len(queries) - n_para, n_para)
     if output_path:
         Path(output_path).parent.mkdir(parents=True, exist_ok=True)
         with open(output_path, "w", encoding="utf-8") as f:

@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Cross-validated hyperparameter selection (held-out tuning protocol).
+
+Round-2 verdict item 3: every knob was previously tuned on the same 200
+BioASQ queries the headline reports. This script runs a config grid ONCE
+per config over all queries (recording per-query metrics), then performs
+5-fold stratified cross-validation *offline*: for each fold, the best
+config is chosen on the other 4 folds and scored on the held-out fold.
+The out-of-fold average is an honest estimate of tuned-system quality on
+unseen queries; the in-sample best is reported alongside for continuity.
+
+Efficient by construction: fold selection is pure post-processing over the
+per-query metric matrix, so the device work is |grid| eval passes, not
+|grid| x |folds|. vector/bm25 weights are traced scalars (no recompile);
+only distinct (prf_terms, prf_docs) pairs compile new fused programs.
+
+Usage:
+    python scripts/cv_tune.py --output results/cv_tune.json
+    python scripts/cv_tune.py --n_chunks 91853 --output results/cv_tune_at_scale.json
+"""
+
+import argparse
+import itertools
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from domain_rag_system_tpu.utils.jaxtools import (  # noqa: E402
+    describe_devices,
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
+import numpy as np  # noqa: E402
+
+
+def stratified_folds(queries, n_folds=5, seed=0):
+    """Fold assignment stratified by question type (50 per type in
+    BioASQ-200 → 10 per type per fold)."""
+    rng = np.random.default_rng(seed)
+    by_type = {}
+    for i, q in enumerate(queries):
+        by_type.setdefault(q.get("type", ""), []).append(i)
+    fold_of = np.zeros(len(queries), dtype=int)
+    for idxs in by_type.values():
+        idxs = np.asarray(idxs)
+        rng.shuffle(idxs)
+        for f in range(n_folds):
+            fold_of[idxs[f::n_folds]] = f
+    return fold_of
+
+
+def config_grid(args):
+    """The tuned-config neighborhood. evidence_alpha and the fusion weights
+    are free (host-side / traced); (prf_terms, prf_docs) pairs compile."""
+    grid = []
+    for vw, prf_t, prf_d, ev in itertools.product(
+            args.vector_weights, args.prf_terms, args.prf_docs,
+            args.evidence_alphas):
+        grid.append({
+            "vector_weight": vw,
+            "bm25_weight": round(1.0 - vw, 3),
+            "prf_terms": prf_t,
+            "prf_docs": prf_d,
+            "evidence_alpha": ev,
+        })
+    return grid
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n_chunks", type=int, default=0,
+                    help="pad with deterministic distractors to this index "
+                         "size (0 = real corpus only)")
+    ap.add_argument("--n_folds", type=int, default=5)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--vector_weights", type=float, nargs="+",
+                    default=[0.0, 0.1, 0.2, 0.3])
+    ap.add_argument("--prf_terms", type=int, nargs="+", default=[0, 10, 15, 20])
+    ap.add_argument("--prf_docs", type=int, nargs="+", default=[10, 20])
+    ap.add_argument("--evidence_alphas", type=float, nargs="+",
+                    default=[0.0, 0.5, 0.8])
+    ap.add_argument("--encoder_checkpoint", default=None)
+    ap.add_argument("--selection_metric", default="recall@5+ndcg@10",
+                    help="'recall@5', 'ndcg@10', or 'recall@5+ndcg@10' (mean)")
+    ap.add_argument("--output", default="results/cv_tune.json")
+    args = ap.parse_args()
+
+    from domain_rag_system_tpu.config import RetrievalConfig
+    from domain_rag_system_tpu.evaluation.runners import (
+        load_queries,
+        run_retrieval_evaluation,
+    )
+    from domain_rag_system_tpu.preprocessing import DataLoader, DocumentChunker
+    from domain_rag_system_tpu.serving import build_pipeline
+
+    root = Path(__file__).resolve().parent.parent
+    cfg = RetrievalConfig.tuned()
+    if args.encoder_checkpoint:
+        cfg.encoder_checkpoint = args.encoder_checkpoint
+
+    corpus_path = root / "data/recovered/BioASQ/corpus_subset.json"
+    queries = load_queries(root / "data/recovered/BioASQ/bioasq_queries.json")
+
+    docs = DataLoader(pubmed_path=str(corpus_path)).load_pubmed()
+    chunks = DocumentChunker().chunk_documents(docs)
+    extra = None
+    if args.n_chunks > len(chunks):
+        from domain_rag_system_tpu.etl.synthetic import synthetic_chunks
+
+        extra = synthetic_chunks(args.n_chunks - len(chunks))
+    pipeline, info = build_pipeline(cfg, chunks=chunks, extra_chunks=extra)
+    if cfg.mine_terms:
+        pipeline.preprocessor.normalizer.build_drug_mapping_from_data(docs)
+
+    grid = config_grid(args)
+    print(f"{len(grid)} configs x {len(queries)} queries "
+          f"@ {info['n_chunks']} chunks")
+
+    def sel_score(m):
+        if args.selection_metric == "recall@5":
+            return m["recall@5"]
+        if args.selection_metric == "ndcg@10":
+            return m["ndcg@10"]
+        return 0.5 * (m["recall@5"] + m["ndcg@10"])
+
+    # ---- one eval pass per config, per-query metrics recorded ------------
+    runs = []
+    t0 = time.time()
+    for gi, knobs in enumerate(grid):
+        kw = cfg.query_kwargs()
+        kw.update(knobs)
+        res = run_retrieval_evaluation(
+            pipeline, queries, batch_size=cfg.batch_size, stream=True,
+            dataset=f"grid{gi}", warmup=(gi == 0), **kw)
+        per_q = [{"recall@5": p["metrics"]["recall@5"],
+                  "ndcg@10": p["metrics"]["ndcg@10"]}
+                 for p in res["per_query"]]
+        runs.append({"knobs": knobs, "per_query": per_q,
+                     "overall": {k: res["overall"][k]
+                                 for k in ("recall@5", "ndcg@10", "mrr",
+                                           "recall")}})
+        print(f"  [{gi + 1}/{len(grid)}] {knobs} -> "
+              f"r@5={res['overall']['recall@5']:.4f} "
+              f"ndcg@10={res['overall']['ndcg@10']:.4f}")
+    elapsed = time.time() - t0
+
+    # ---- offline 5-fold CV ----------------------------------------------
+    fold_of = stratified_folds(queries, args.n_folds, args.seed)
+    folds = []
+    oof = {"recall@5": [], "ndcg@10": []}
+    for f in range(args.n_folds):
+        train_idx = np.flatnonzero(fold_of != f)
+        test_idx = np.flatnonzero(fold_of == f)
+
+        def mean_on(run, idx):
+            return {
+                "recall@5": float(np.mean(
+                    [run["per_query"][i]["recall@5"] for i in idx])),
+                "ndcg@10": float(np.mean(
+                    [run["per_query"][i]["ndcg@10"] for i in idx])),
+            }
+
+        best = max(runs, key=lambda r: sel_score(mean_on(r, train_idx)))
+        held = mean_on(best, test_idx)
+        folds.append({"fold": f, "selected": best["knobs"],
+                      "train": mean_on(best, train_idx), "heldout": held,
+                      "n_test": int(len(test_idx))})
+        for k in oof:
+            oof[k].append(held[k])
+        print(f"fold {f}: selected {best['knobs']} -> held-out "
+              f"r@5={held['recall@5']:.4f} ndcg@10={held['ndcg@10']:.4f}")
+
+    in_sample_best = max(runs, key=lambda r: sel_score(r["overall"]))
+    out = {
+        "metric_protocol": {
+            "n_folds": args.n_folds,
+            "stratified_by": "question type",
+            "selection_metric": args.selection_metric,
+            "seed": args.seed,
+        },
+        "n_chunks": info["n_chunks"],
+        "grid_size": len(grid),
+        "grid_elapsed_s": round(elapsed, 1),
+        "out_of_fold": {
+            "recall@5": round(float(np.mean(oof["recall@5"])), 4),
+            "ndcg@10": round(float(np.mean(oof["ndcg@10"])), 4),
+            "recall@5_std": round(float(np.std(oof["recall@5"])), 4),
+            "ndcg@10_std": round(float(np.std(oof["ndcg@10"])), 4),
+        },
+        "in_sample_best": {
+            "knobs": in_sample_best["knobs"],
+            "overall": in_sample_best["overall"],
+        },
+        "per_fold": folds,
+        "grid": [{"knobs": r["knobs"], "overall": r["overall"]}
+                 for r in runs],
+        "encoder_checkpoint": cfg.encoder_checkpoint,
+        "devices": describe_devices(),
+    }
+    out_path = Path(args.output)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(out, indent=1))
+    print(f"\nout-of-fold: recall@5={out['out_of_fold']['recall@5']:.4f} "
+          f"ndcg@10={out['out_of_fold']['ndcg@10']:.4f}  -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,17 @@ DATASETS = {
     },
     "openfda": {
         "corpus_kwargs": {"openfda_path": "data/recovered/OpenFDA/openfda_corpus.json"},
+        # rule-generated queries (>=50) with COMPLETE doc-level ground
+        # truth over the recovered fragment corpus; half use held-out
+        # paraphrase templates (etl/openfda.py — VERDICT round-2 item 6)
+        "queries": "generate",
+        "top_k": 10,
+    },
+    "openfda_ref": {
+        "corpus_kwargs": {"openfda_path": "data/recovered/OpenFDA/openfda_corpus.json"},
+        # the reference's 5 hand-written queries (parity continuity only —
+        # statistically meaningless on the 80-doc fragment; the coverage
+        # block records the structural ceiling)
         "queries": "data/recovered/OpenFDA/openfda_test_queries.json",
         "top_k": 10,
         # 80 preview-recovered docs of the original 2,976 (etl/recover.py)
@@ -113,24 +124,38 @@ def main() -> None:
     for name in args.datasets:
         ds = DATASETS[name]
         queries_spec = ds["queries"]
-        if queries_spec == "generate":
+        if queries_spec == "generate" and name == "kaggle":
             from domain_rag_system_tpu.etl.kaggle import (
                 build_test_queries,
                 make_distractor_records,
             )
 
-            records = json.load(open(ds["corpus_kwargs"]["kaggle_path"]))
+            with open(ds["corpus_kwargs"]["kaggle_path"], encoding="utf-8") as f:
+                records = json.load(f)
             # queries + ground truth come from the REAL records; the indexed
-            # corpus additionally carries format-matched decoy records so
-            # perfect scores are no longer structural (VERDICT item 4)
+            # corpus additionally carries format-matched decoy records —
+            # including per-record SHADOWS with verbatim-copied side-effect
+            # sections — so perfect scores are no longer structural
+            # (VERDICT round-1 item 4, round-2 item 6)
             generated = build_test_queries(records)
-            combined = records + make_distractor_records(records, n=600)
+            combined = records + make_distractor_records(
+                records, n=600, shadows_per_record=3)
             corpus_path = results_dir / f"{name}_corpus_with_distractors.json"
-            json.dump(combined, open(corpus_path, "w"), indent=1)
+            with open(corpus_path, "w", encoding="utf-8") as f:
+                json.dump(combined, f, indent=1)
             gen_path = results_dir / f"{name}_generated_queries.json"
-            json.dump(generated, open(gen_path, "w"), indent=1)
+            with open(gen_path, "w", encoding="utf-8") as f:
+                json.dump(generated, f, indent=1)
             ds = {**ds, "queries": str(gen_path),
                   "corpus_kwargs": {"kaggle_path": str(corpus_path)}}
+        elif queries_spec == "generate" and name == "openfda":
+            from domain_rag_system_tpu.etl.openfda import build_openfda_queries
+
+            with open(ds["corpus_kwargs"]["openfda_path"], encoding="utf-8") as f:
+                corpus = json.load(f)
+            gen_path = results_dir / f"{name}_generated_queries.json"
+            build_openfda_queries(corpus, output_path=str(gen_path))
+            ds = {**ds, "queries": str(gen_path)}
         out_path = results_dir / f"{name}_retrieval_results.json"
         if out_path.exists() and not args.force:
             print(f"[{name}] reusing existing {out_path}")

@@ -153,11 +153,17 @@ def test_etl_chunks_and_queries(tmp_path):
     assert all(len(c["chunk_id"]) == 32 for c in chunks)
 
     queries = build_test_queries(records)
-    assert len(queries) == 8
+    # per-record name-keyed types + per-condition + per-class queries,
+    # alternating canonical / held-out paraphrase templates
+    assert len(queries) >= 8
     assert {q["type"] for q in queries} == {
         "drug_side_effects", "condition_treatment", "drug_safety",
         "drug_class_info", "related_drugs", "condition_overview",
         "drug_rating", "class_based_options"}
+    assert {q["template"] for q in queries} == {"canonical", "paraphrase"}
+    # every real drug gets its name-keyed queries
+    for r in records:
+        assert any(r["drug_name"] in q["body"] for q in queries)
     # doc-level gt present (quirk-1 fix) alongside faithful chunk gt
     for q in queries:
         if q["gt_chunk_ids"]:
@@ -173,3 +179,64 @@ def test_kaggle_records_load_through_data_loader(tmp_path):
     docs = DataLoader(kaggle_path=str(tmp_path / "docs.json")).load_kaggle()
     assert len(docs) == 2
     assert "=== SIDE EFFECTS ===" in docs[0].content
+
+
+def test_shadow_distractors_are_hard_but_disjoint(tmp_path):
+    p = tmp_path / "drugs.csv"
+    p.write_text(CSV_TEXT)
+    records = process_csv(str(p))
+    from domain_rag_system_tpu.etl.kaggle import make_distractor_records
+
+    dis = make_distractor_records(records, n=20, shadows_per_record=3)
+    shadows = [d for d in dis if d.get("shadow_of")]
+    assert len(shadows) == 3 * len(records)
+    by_doc = {r["doc_id"]: r for r in records}
+    real_names = {r["drug_name"].lower() for r in records}
+    real_conds = {r["medical_condition"].lower() for r in records}
+    real_classes = {c.lower() for r in records for c in r["drug_classes"]}
+    for s in shadows:
+        src = by_doc[s["shadow_of"]]
+        # near-duplicate sections: side-effect lists copied VERBATIM
+        assert s["side_effects_structured"] == src["side_effects_structured"]
+        # ...but never a legitimate answer to any rule-keyed query
+        assert s["drug_name"].lower() not in real_names
+        assert s["medical_condition"].lower() not in real_conds
+        assert all(c.lower() not in real_classes for c in s["drug_classes"])
+    # determinism (the eval corpus must be reproducible)
+    again = make_distractor_records(records, n=20, shadows_per_record=3)
+    assert [d["doc_id"] for d in again] == [d["doc_id"] for d in dis]
+
+
+def test_openfda_generated_queries_complete_gt():
+    from domain_rag_system_tpu.etl.openfda import build_openfda_queries
+
+    corpus = [
+        {"id": "a1", "brand_name": "PainAway", "generic_name": "ACETAMINOPHEN",
+         "text": "Drug names: PainAway (ACETAMINOPHEN)\n"
+                 "Active ingredients: Acetaminophen 500 mg\n"
+                 "Warning information: Liver warning applies.\n"
+                 "Dosage and administration: take 2 tablets",
+         "metadata": {"has_warnings": True, "has_dosage": True,
+                      "has_indications": False}},
+        {"id": "a2", "brand_name": "MAPAP", "generic_name": "ACETAMINOPHEN",
+         "text": "Drug names: MAPAP (ACETAMINOPHEN)\n"
+                 "Active ingredients: Acetaminophen 325 mg\n"
+                 "Indications and usage: pain reliever",
+         "metadata": {"has_warnings": False, "has_dosage": False,
+                      "has_indications": True}},
+        {"id": "b1", "brand_name": "", "generic_name": "",
+         "text": "Active ingredients: Ethyl Alcohol 70vv\n"
+                 "Warning information: flammable",
+         "metadata": {"has_warnings": True}},
+    ]
+    qs = build_openfda_queries(corpus, min_queries=1)
+    assert qs
+    assert {q["template"] for q in qs} == {"canonical", "paraphrase"}
+    # ingredient rule: acetaminophen must ground-truth BOTH products
+    ing = [q for q in qs if q["type"] == "ingredient"
+           and "acetaminophen" in q["body"].lower()]
+    assert ing and sorted(ing[0]["documents"]) == ["a1", "a2"]
+    # name-keyed queries never include unrelated docs
+    for q in qs:
+        if q["type"] != "ingredient":
+            assert "b1" not in q["documents"]
