@@ -239,6 +239,63 @@ def bm25_scores(
     return scores[0] if single else scores
 
 
+@functools.partial(jax.jit, static_argnames=("vocab_size",))
+def bm25_scores_vocab_major(
+    doc_terms: jax.Array,      # [N, D] int32, -1 padded
+    doc_contrib: jax.Array,    # [N, D] f32
+    query_ids: jax.Array,      # [L] or [B, L] int32, negative = padding
+    query_weights: jax.Array,  # [L] or [B, L] f32
+    vocab_size: int = 0,
+) -> jax.Array:
+    """Exact BM25 via a VOCAB-MAJOR weight table — layout experiment.
+
+    ``bm25_scores`` gathers from a [B, V+1] table: element (b, n, d) reads
+    address ``b·V + terms[n,d]`` — for one (n, d) the B reads are V apart,
+    so every 4-byte lookup lands on its own HBM access. Transposing the
+    table to [V+1, B] makes the B weights for one term CONTIGUOUS: the doc
+    gather becomes an embedding-style axis-0 row gather (the layout TPU
+    gathers are optimized for), reading B·4 bytes per touched term.
+
+        score[b, n] = Σ_d contrib[n, d] · T[terms[n, d], b]
+
+    Row blocks bound the [block, D, B] gather temp. Bit-equal to
+    ``bm25_scores`` (same arithmetic, different access order).
+    """
+    single = query_ids.ndim == 1
+    q_ids = jnp.atleast_2d(query_ids)          # [B, L]
+    q_w = jnp.atleast_2d(query_weights)        # [B, L]
+    b = q_ids.shape[0]
+    n, d = doc_terms.shape
+    v = int(vocab_size) if vocab_size else 1 << 20
+
+    cols = jnp.arange(b)[None, :] * jnp.ones_like(q_ids[:, :1])  # [B, 1]→bcast
+    cols = jnp.broadcast_to(jnp.arange(b)[:, None], q_ids.shape)
+    safe_q = jnp.where(q_ids >= 0, jnp.minimum(q_ids, v - 1), v)
+    safe_terms = jnp.where(doc_terms >= 0, jnp.minimum(doc_terms, v - 1), v)
+    table = jnp.zeros((v + 1, b), jnp.float32).at[safe_q, cols].add(
+        jnp.where(q_ids >= 0, q_w, 0.0))
+
+    block = _block_rows(n, b, d)
+    if block >= n:
+        gathered = table[safe_terms]                        # [N, D, B]
+        scores = jnp.einsum("ndb,nd->bn", gathered, doc_contrib)
+    else:
+        n_pad = -(-n // block) * block
+        terms_p = jnp.pad(safe_terms, ((0, n_pad - n), (0, 0)),
+                          constant_values=v)
+        contrib_p = jnp.pad(doc_contrib, ((0, n_pad - n), (0, 0)))
+        terms_b = terms_p.reshape(n_pad // block, block, d)
+        contrib_b = contrib_p.reshape(n_pad // block, block, d)
+
+        def score_block(args):
+            t_blk, c_blk = args
+            return jnp.einsum("ndb,nd->bn", table[t_blk], c_blk)
+
+        blocks = jax.lax.map(score_block, (terms_b, contrib_b))
+        scores = jnp.transpose(blocks, (1, 0, 2)).reshape(b, n_pad)[:, :n]
+    return scores[0] if single else scores
+
+
 def split_overflow(
     doc_terms: np.ndarray,
     doc_contrib: np.ndarray,

@@ -66,18 +66,63 @@ def grouped_softmax_loss(
     return loss, {"loss": loss, "accuracy": accuracy}
 
 
+def listwise_distill_loss(
+    logits: jax.Array,          # [B·G] CE relevance logits
+    teacher_scores: jax.Array,  # [B·G] tuned-stack fused scores (-inf = pad)
+    group_size: int,
+    temperature: float = 1.0,
+) -> Tuple[jax.Array, Dict]:
+    """KL(teacher ‖ student) over candidate lists — ranking distillation.
+
+    The teacher is the tuned fusion+PRF+evidence ranking (corpus-only
+    pseudo-queries, no eval leakage — VERDICT round-2 item 4): per query
+    group, teacher scores are z-normalized then softmaxed at
+    ``temperature``; the CE's softmax must match. Padding slots carry
+    ``-inf`` teacher scores and are excluded from both distributions.
+    Reported accuracy = how often the CE's argmax equals the teacher's.
+    """
+    s = logits.reshape(-1, group_size)
+    t = teacher_scores.reshape(-1, group_size)
+    valid = jnp.isfinite(t)
+    # z-normalize valid teacher scores per group (fusion scores are on an
+    # arbitrary per-query scale; the RANKING is the supervision signal)
+    cnt = jnp.maximum(valid.sum(axis=1, keepdims=True), 1)
+    mean = jnp.where(valid, t, 0.0).sum(axis=1, keepdims=True) / cnt
+    var = (jnp.where(valid, (t - mean) ** 2, 0.0).sum(axis=1, keepdims=True)
+           / cnt)
+    t_norm = (t - mean) / jnp.sqrt(var + 1e-6)
+    neg = jnp.float32(-1e30)
+    t_logits = jnp.where(valid, t_norm / temperature, neg)
+    s_logits = jnp.where(valid, s, neg)
+    t_prob = jax.nn.softmax(t_logits, axis=1)
+    log_s = jax.nn.log_softmax(s_logits, axis=1)
+    log_t = jax.nn.log_softmax(t_logits, axis=1)
+    kl = jnp.sum(jnp.where(valid, t_prob * (log_t - log_s), 0.0), axis=1)
+    loss = jnp.mean(kl)
+    accuracy = jnp.mean(jnp.argmax(s_logits, axis=1)
+                        == jnp.argmax(t_logits, axis=1))
+    return loss, {"loss": loss, "accuracy": accuracy}
+
+
 def make_cross_train_step(
     module: CrossEncoder,
     optimizer: optax.GradientTransformation,
     group_size: int = 0,
+    distill: bool = False,
+    temperature: float = 1.0,
 ) -> Callable:
-    """``group_size > 0`` → grouped softmax ranking loss (batches laid out
-    as [pos, neg...] groups); 0 → pointwise BCE on ``batch['labels']``."""
+    """``distill`` → listwise KL against ``batch['teacher']`` scores;
+    else ``group_size > 0`` → grouped softmax ranking loss (batches laid
+    out as [pos, neg...] groups); else pointwise BCE on
+    ``batch['labels']``."""
 
     def train_step(params, opt_state, batch):
         def loss_fn(p):
             logits = module.apply({"params": p}, batch["ids"], batch["mask"],
                                   batch["types"], deterministic=True)
+            if distill:
+                return listwise_distill_loss(logits, batch["teacher"],
+                                             group_size, temperature)
             if group_size > 0:
                 return grouped_softmax_loss(logits, group_size)
             return bce_loss(logits, batch["labels"])
@@ -102,8 +147,12 @@ class CrossEncoderTrainer:
         warmup_steps: int = 50,
         total_steps: int = 5_000,
         group_size: int = 0,
+        distill: bool = False,
+        temperature: float = 1.0,
     ):
         self.group_size = group_size
+        self.distill = distill
+        self.temperature = temperature
         self.config = config
         self.mesh = mesh
         self.module = CrossEncoder(config)
@@ -114,11 +163,16 @@ class CrossEncoderTrainer:
         self._step_fn = None
         self.state: Optional[CrossTrainState] = None
 
-    def init_state(self, seq_len: int = 128) -> CrossTrainState:
+    def init_state(self, seq_len: int = 128,
+                   init_params: Optional[Dict] = None) -> CrossTrainState:
         rng = jax.random.PRNGKey(self._seed)
         ids = jnp.zeros((1, seq_len), jnp.int32)
         mask = jnp.ones((1, seq_len), jnp.int32)
         params = self.module.init(rng, ids, mask, jnp.zeros_like(ids))["params"]
+        if init_params is not None:
+            from domain_rag_system_tpu.training.contrastive import _merge_params
+
+            params = _merge_params(params, init_params)
         if self.mesh is not None:
             pspecs = partition_params(params, self.mesh)
             params = jax.tree_util.tree_map(
@@ -134,7 +188,8 @@ class CrossEncoderTrainer:
         if self._step_fn is None:
             self._step_fn = jax.jit(
                 make_cross_train_step(self.module, self.optimizer,
-                                      self.group_size))
+                                      self.group_size, self.distill,
+                                      self.temperature))
         history = []
         for i, batch in enumerate(batches):
             if self.mesh is not None:

@@ -204,3 +204,38 @@ def test_split_overflow_no_overflow_corpus():
         np.asarray(bm25_scores_split(*split, q, w, vocab_size=10)),
         np.asarray(bm25_scores(doc_terms, doc_contrib, q, w, vocab_size=10)),
         atol=1e-6)
+
+
+def test_vocab_major_layout_matches_batch_major(rng):
+    """The [V+1, B] vocab-major table variant must be bit-equal (to float
+    tolerance) to the shipping [B, V+1] layout — same arithmetic, only the
+    gather access order differs."""
+    import jax.numpy as jnp
+
+    from domain_rag_system_tpu.ops.sparse_bm25 import (
+        bm25_scores,
+        bm25_scores_vocab_major,
+    )
+
+    n, d, b, l, v = 300, 12, 5, 7, 64
+    terms = rng.integers(-1, v, size=(n, d)).astype(np.int32)
+    contrib = (rng.random((n, d)) * (terms >= 0)).astype(np.float32)
+    q_ids = rng.integers(-2, v, size=(b, l)).astype(np.int32)  # incl. padding
+    q_w = (rng.random((b, l)) * 2).astype(np.float32)
+
+    ref = bm25_scores(jnp.asarray(terms), jnp.asarray(contrib),
+                      jnp.asarray(q_ids), jnp.asarray(q_w), vocab_size=v)
+    out = bm25_scores_vocab_major(jnp.asarray(terms), jnp.asarray(contrib),
+                                  jnp.asarray(q_ids), jnp.asarray(q_w),
+                                  vocab_size=v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # single-query (1-D) path
+    ref1 = bm25_scores(jnp.asarray(terms), jnp.asarray(contrib),
+                       jnp.asarray(q_ids[0]), jnp.asarray(q_w[0]),
+                       vocab_size=v)
+    out1 = bm25_scores_vocab_major(jnp.asarray(terms), jnp.asarray(contrib),
+                                   jnp.asarray(q_ids[0]), jnp.asarray(q_w[0]),
+                                   vocab_size=v)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
+                               rtol=1e-5, atol=1e-5)

@@ -245,3 +245,33 @@ def test_extend_position_embeddings_tiles_table():
     # no-op when the trunk already covers the target length
     same, same_config = extend_position_embeddings(trunk, config, 16)
     assert same is trunk and same_config is config
+
+
+def test_listwise_distill_loss_semantics():
+    """KL distillation: perfect-match logits give ~0 loss; padding slots
+    (teacher -inf) are excluded; argmax accuracy reflects teacher order."""
+    import jax.numpy as jnp
+
+    from domain_rag_system_tpu.training.cross_encoder import (
+        listwise_distill_loss,
+    )
+
+    g = 4
+    teacher = jnp.asarray([3.0, 2.0, 1.0, float("-inf"),
+                           1.0, 5.0, 2.0, 0.5], jnp.float32)
+    # student matching the teacher's normalized distribution exactly
+    t = teacher.reshape(2, g)
+    valid = jnp.isfinite(t)
+    cnt = valid.sum(axis=1, keepdims=True)
+    mean = jnp.where(valid, t, 0).sum(axis=1, keepdims=True) / cnt
+    var = jnp.where(valid, (t - mean) ** 2, 0).sum(axis=1, keepdims=True) / cnt
+    student = jnp.where(valid, (t - mean) / jnp.sqrt(var + 1e-6), 0.0)
+    loss, m = listwise_distill_loss(student.reshape(-1), teacher, g)
+    assert float(loss) < 1e-4
+    assert float(m["accuracy"]) == 1.0
+
+    # anti-correlated student: positive loss, zero accuracy
+    bad = -student
+    loss2, m2 = listwise_distill_loss(bad.reshape(-1), teacher, g)
+    assert float(loss2) > 0.5
+    assert float(m2["accuracy"]) == 0.0
