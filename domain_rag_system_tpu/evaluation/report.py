@@ -136,6 +136,21 @@ def generate_report(
         if control:
             report[name]["same_corpus_control"] = control
 
+    # Held-out tuning protocol (scripts/cv_tune.py): when a CV artifact
+    # exists, surface its out-of-fold numbers next to the in-sample ones —
+    # the honest estimate for "tuned system on unseen queries".
+    for cv_name, key in (("cv_tune.json", "out_of_fold"),
+                         ("cv_tune_at_scale.json", "out_of_fold_at_scale")):
+        cv_path = out / cv_name
+        if cv_path.exists():
+            with open(cv_path, encoding="utf-8") as f:
+                cv = json.load(f)
+            report.setdefault("bioasq", {})[key] = {
+                **cv.get("out_of_fold", {}),
+                "protocol": cv.get("metric_protocol", {}),
+                "n_chunks": cv.get("n_chunks"),
+            }
+
     json_path = out / "comprehensive_evaluation.json"
     with open(json_path, "w", encoding="utf-8") as f:
         json.dump(report, f, indent=2, ensure_ascii=False)
