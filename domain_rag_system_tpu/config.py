@@ -49,6 +49,10 @@ class RetrievalConfig:
     embedding_dim: int = 2048             # hash embedder dim
     dense_dtype: str = "float32"          # "float32" | "bfloat16" | "int8"
     mine_terms: bool = False              # corpus-mined abbreviations + drug map
+    normalize_index: bool = False         # canonicalize chunk text (brand →
+                                          # "generic (Brand)") at BM25 index
+                                          # time, symmetric with query-side
+                                          # normalization
 
     @classmethod
     def reference_parity(cls) -> "RetrievalConfig":

@@ -411,6 +411,43 @@ def build_test_queries(
     for record in records:
         for qtype in _NAME_KEYED:
             add(qtype, record=record)
+
+    # Cross-name queries: ask by GENERIC name or by an ALTERNATE brand
+    # while the chunks mention the primary brand (drug_name). Lexical
+    # matching alone cannot answer these — they exercise the mined
+    # brand↔generic mapping with index-side canonicalization
+    # (RetrievalConfig.normalize_index) or the dense arm.
+    by_generic: Dict[str, List[str]] = {}
+    for r in records:
+        g = (r.get("generic_name") or "").strip()
+        if g and g.lower() != r["drug_name"].lower():
+            by_generic.setdefault(g, []).append(r["doc_id"])
+    side_templates = templates["drug_side_effects"]
+    for generic in sorted(by_generic):
+        i = len(queries)
+        queries.append({
+            "id": f"kaggle_{i + 1:03d}",
+            "type": "generic_name_side_effects",
+            "template": "canonical" if i % 2 == 0 else "paraphrase",
+            "body": side_templates[i % 2].format(drug=generic),
+            "gt_chunk_ids": [],
+            "documents": sorted(by_generic[generic]),
+        })
+    for r in records:
+        alts = [b for b in r.get("brand_names", [])
+                if b and b.lower() != r["drug_name"].lower()]
+        for alt in alts[:1]:
+            docs_with_alt = sorted({rr["doc_id"] for rr in records
+                                    if alt in rr.get("brand_names", [])})
+            i = len(queries)
+            queries.append({
+                "id": f"kaggle_{i + 1:03d}",
+                "type": "brand_alias_side_effects",
+                "template": "canonical" if i % 2 == 0 else "paraphrase",
+                "body": side_templates[i % 2].format(drug=alt),
+                "gt_chunk_ids": [],
+                "documents": docs_with_alt,
+            })
     for condition in sorted({r["medical_condition"] for r in records
                              if r.get("medical_condition")}):
         add("condition_treatment", condition=condition)

@@ -42,10 +42,19 @@ class BM25Index:
         max_doc_terms: int = MAX_DOC_TERMS,
         max_query_terms: int = MAX_QUERY_TERMS,
         mesh=None,
+        text_normalizer=None,
     ):
         self.mesh = mesh
         self.k1 = k1
         self.b = b
+        #: Optional MedicalTermNormalizer applied to chunk TEXT before
+        #: tokenization. Queries are normalized by the pipeline's
+        #: QueryPreprocessor with the same tables; canonicalizing both
+        #: sides makes brand↔generic drug mentions match lexically
+        #: ("Vibramycin" chunks ↔ "doxycycline" queries) — the reference
+        #: only rewrites the query side, so cross-brand lexical matches
+        #: are impossible there.
+        self.text_normalizer = text_normalizer
         self.tokenizer = tokenizer or RegexTokenizer()
         self.max_doc_terms = max_doc_terms
         self.max_query_terms = max_query_terms
@@ -67,6 +76,8 @@ class BM25Index:
     def _tokenize_texts(self, texts: List[str], use_native: bool = True):
         """→ per-doc token-string lists (native C++ path when available —
         parity-tested, much faster on this single-core host)."""
+        if self.text_normalizer is not None:
+            texts = [self.text_normalizer.normalize_text(t) for t in texts]
         if use_native:
             from domain_rag_system_tpu.native import tokenize_corpus_native
 

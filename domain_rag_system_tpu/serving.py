@@ -60,21 +60,27 @@ def build_pipeline(
     if extra_chunks:
         chunks += list(extra_chunks)
 
-    embedder = build_embedder(cfg)
-    hybrid = HybridIndex(
-        dense_index=DenseIndex(embedder, dtype=cfg.dense_dtype),
-        bm25_index=BM25Index(k1=cfg.bm25_k1, b=cfg.bm25_b),
-    )
-    t0 = time.perf_counter()
-    hybrid.index_chunks(chunks)
-    build_s = time.perf_counter() - t0
-
+    # The normalizer is built BEFORE indexing so cfg.normalize_index can
+    # canonicalize chunk text with the same tables queries are normalized
+    # with (symmetric brand↔generic matching).
     normalizer = MedicalTermNormalizer()
     if cfg.mine_terms:
         if docs:
             normalizer.build_drug_mapping_from_data(docs)
         normalizer.mine_terms_from_texts([c.text for c in chunks[:n_real]])
     preprocessor = QueryPreprocessor(medical_normalizer=normalizer)
+
+    embedder = build_embedder(cfg)
+    hybrid = HybridIndex(
+        dense_index=DenseIndex(embedder, dtype=cfg.dense_dtype),
+        bm25_index=BM25Index(k1=cfg.bm25_k1, b=cfg.bm25_b,
+                             text_normalizer=(normalizer
+                                              if cfg.normalize_index
+                                              else None)),
+    )
+    t0 = time.perf_counter()
+    hybrid.index_chunks(chunks)
+    build_s = time.perf_counter() - t0
 
     reranker = build_reranker(cfg.reranker, top_n=cfg.rerank_top_n,
                               embedder=embedder,
