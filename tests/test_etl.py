@@ -156,10 +156,12 @@ def test_etl_chunks_and_queries(tmp_path):
     # per-record name-keyed types + per-condition + per-class queries,
     # alternating canonical / held-out paraphrase templates
     assert len(queries) >= 8
-    assert {q["type"] for q in queries} == {
+    assert {q["type"] for q in queries} >= {
         "drug_side_effects", "condition_treatment", "drug_safety",
         "drug_class_info", "related_drugs", "condition_overview",
         "drug_rating", "class_based_options"}
+    # cross-name types exist when generic/alt-brand names differ
+    assert any(q["type"] == "generic_name_side_effects" for q in queries)
     assert {q["template"] for q in queries} == {"canonical", "paraphrase"}
     # every real drug gets its name-keyed queries
     for r in records:
