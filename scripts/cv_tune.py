@@ -84,7 +84,15 @@ def main() -> None:
     ap.add_argument("--prf_docs", type=int, nargs="+", default=[10, 20])
     ap.add_argument("--evidence_alphas", type=float, nargs="+",
                     default=[0.0, 0.5, 0.8])
+    ap.add_argument("--bm25_grid", default=None,
+                    help="outer loop over BM25 index params, e.g. "
+                         "'0.9:0.5,1.2:0.6,1.5:0.75' (k1:b pairs; each "
+                         "rebuilds the BM25 arrays). Default: tuned k1/b "
+                         "only")
     ap.add_argument("--encoder_checkpoint", default=None)
+    ap.add_argument("--max_docs", type=int, default=0,
+                    help="corpus truncation for smoke tests (0 = full)")
+    ap.add_argument("--max_queries", type=int, default=0)
     ap.add_argument("--selection_metric", default="recall@5+ndcg@10",
                     help="'recall@5', 'ndcg@10', or 'recall@5+ndcg@10' (mean)")
     ap.add_argument("--output", default="results/cv_tune.json")
@@ -107,6 +115,10 @@ def main() -> None:
     queries = load_queries(root / "data/recovered/BioASQ/bioasq_queries.json")
 
     docs = DataLoader(pubmed_path=str(corpus_path)).load_pubmed()
+    if args.max_docs:
+        docs = docs[: args.max_docs]
+    if args.max_queries:
+        queries = queries[: args.max_queries]
     chunks = DocumentChunker().chunk_documents(docs)
     extra = None
     if args.n_chunks > len(chunks):
@@ -117,9 +129,14 @@ def main() -> None:
     if cfg.mine_terms:
         pipeline.preprocessor.normalizer.build_drug_mapping_from_data(docs)
 
+    bm25_pairs = [(cfg.bm25_k1, cfg.bm25_b)]
+    if args.bm25_grid:
+        bm25_pairs = [tuple(float(x) for x in p.split(":"))
+                      for p in args.bm25_grid.split(",")]
+
     grid = config_grid(args)
-    print(f"{len(grid)} configs x {len(queries)} queries "
-          f"@ {info['n_chunks']} chunks")
+    print(f"{len(bm25_pairs)} bm25 pairs x {len(grid)} configs x "
+          f"{len(queries)} queries @ {info['n_chunks']} chunks")
 
     def sel_score(m):
         if args.selection_metric == "recall@5":
@@ -131,22 +148,31 @@ def main() -> None:
     # ---- one eval pass per config, per-query metrics recorded ------------
     runs = []
     t0 = time.time()
-    for gi, knobs in enumerate(grid):
-        kw = cfg.query_kwargs()
-        kw.update(knobs)
-        res = run_retrieval_evaluation(
-            pipeline, queries, batch_size=cfg.batch_size, stream=True,
-            dataset=f"grid{gi}", warmup=(gi == 0), **kw)
-        per_q = [{"recall@5": p["metrics"]["recall@5"],
-                  "ndcg@10": p["metrics"]["ndcg@10"]}
-                 for p in res["per_query"]]
-        runs.append({"knobs": knobs, "per_query": per_q,
-                     "overall": {k: res["overall"][k]
-                                 for k in ("recall@5", "ndcg@10", "mrr",
-                                           "recall")}})
-        print(f"  [{gi + 1}/{len(grid)}] {knobs} -> "
-              f"r@5={res['overall']['recall@5']:.4f} "
-              f"ndcg@10={res['overall']['ndcg@10']:.4f}")
+    for bi, (k1, b) in enumerate(bm25_pairs):
+        if (k1, b) != (pipeline.index.bm25_index.k1,
+                       pipeline.index.bm25_index.b):
+            sparse = pipeline.index.bm25_index
+            sparse.k1, sparse.b = k1, b
+            sparse._rebuild()
+            print(f"rebuilt BM25 arrays for k1={k1} b={b}")
+        for gi, knobs in enumerate(grid):
+            kw = cfg.query_kwargs()
+            kw.update(knobs)
+            res = run_retrieval_evaluation(
+                pipeline, queries, batch_size=cfg.batch_size, stream=True,
+                dataset=f"grid{bi}.{gi}", warmup=(bi == 0 and gi == 0), **kw)
+            per_q = [{"recall@5": p["metrics"]["recall@5"],
+                      "ndcg@10": p["metrics"]["ndcg@10"]}
+                     for p in res["per_query"]]
+            knobs_full = {**knobs, "bm25_k1": k1, "bm25_b": b}
+            runs.append({"knobs": knobs_full, "per_query": per_q,
+                         "overall": {k: res["overall"][k]
+                                     for k in ("recall@5", "ndcg@10", "mrr",
+                                               "recall")}})
+            print(f"  [{bi * len(grid) + gi + 1}/"
+                  f"{len(bm25_pairs) * len(grid)}] {knobs_full} -> "
+                  f"r@5={res['overall']['recall@5']:.4f} "
+                  f"ndcg@10={res['overall']['ndcg@10']:.4f}")
     elapsed = time.time() - t0
 
     # ---- offline 5-fold CV ----------------------------------------------
