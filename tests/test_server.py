@@ -255,3 +255,29 @@ def test_malformed_bodies_return_4xx(server):
     # daemon still alive and serving afterwards
     out = _post(server.port, "/query", {"query": "diabetes"})
     assert out["num_results"] >= 1
+
+
+def test_query_batch_oversized_splits_into_buckets(server):
+    """Bulk requests longer than batch_size split into slices padded to
+    the collector's dispatch buckets (never a raw-length device dispatch),
+    and results come back aligned 1:1 with the request order."""
+    queries = [f"diabetes drug {i}" for i in range(11)]  # > batch_size=8
+    out = _post(server.port, "/query_batch", {"queries": queries, "top_k": 2})
+    assert len(out["results"]) == 11
+    assert [r["query"] for r in out["results"]] == queries
+    # every sub-batch dispatch shape must be a registered bucket
+    fe = server.frontend
+    assert all(b in fe.batch_buckets for b in (1, 2, 4, 8))
+
+
+def test_bulk_query_filters_align_after_split(server):
+    fe = server.frontend
+    queries = [f"q {i}" for i in range(9)]
+    filters = [None] * 9
+    filters[8] = {"chunk_type": "abstract"}
+    outs = fe.bulk_query(queries, filters=filters,
+                         **fe.cfg.query_kwargs())
+    assert len(outs) == 9
+    # the filtered query still returns only matching chunk types
+    assert all(r["chunk_type"] == "abstract"
+               for r in outs[8]["results"])
