@@ -53,6 +53,12 @@ class RetrievalConfig:
                                           # "generic (Brand)") at BM25 index
                                           # time, symmetric with query-side
                                           # normalization
+    bm25_band: int = 0                    # dense-band size: top-K df terms
+                                          # score via an [N, K] MXU matmul
+                                          # instead of the doc-major gather
+                                          # (0 = off; rebuilt indexes only —
+                                          # bundle-loaded indexes keep the
+                                          # gather path)
 
     @classmethod
     def reference_parity(cls) -> "RetrievalConfig":

@@ -43,10 +43,17 @@ class BM25Index:
         max_query_terms: int = MAX_QUERY_TERMS,
         mesh=None,
         text_normalizer=None,
+        band_k: int = 0,
     ):
         self.mesh = mesh
         self.k1 = k1
         self.b = b
+        #: Dense-band size: the top ``band_k`` df terms score via an
+        #: [N, K] MXU matmul instead of the doc-major gather
+        #: (ops.sparse_bm25.build_dense_band). 0 = off.
+        self.band_k = band_k
+        self.band_mat = None       # [N, K] f32 device
+        self.band_slot = None      # [V+1] int32 device
         #: Optional MedicalTermNormalizer applied to chunk TEXT before
         #: tokenization. Queries are normalized by the pipeline's
         #: QueryPreprocessor with the same tables; canonicalizing both
@@ -171,6 +178,16 @@ class BM25Index:
         self._filters = FilterSet(self.chunks)
         self._valid_rows_dev = None  # recomputed lazily (alive set changed)
         self._split_cache = None     # recomputed lazily (arrays changed)
+        self.band_mat = self.band_slot = None
+        self._rest_arrays = None
+        if self.band_k > 0 and self.mesh is None:
+            from domain_rag_system_tpu.ops.sparse_bm25 import build_dense_band
+
+            band_mat, slot_of, rest_t, rest_c, _ = build_dense_band(
+                doc_terms, doc_contrib, len(self.vocab), self.band_k)
+            self.band_mat = jnp.asarray(band_mat)
+            self.band_slot = jnp.asarray(slot_of)
+            self._rest_arrays = (rest_t, rest_c)
         log.info(
             "BM25 index: %d chunks, %d terms, avgdl=%.1f",
             len(self.chunks), len(self.vocab), stats["avgdl"],
@@ -214,11 +231,24 @@ class BM25Index:
         if self._split_cache is None:
             from domain_rag_system_tpu.ops.sparse_bm25 import split_overflow
 
-            base_t, base_c, ovf_r, ovf_t, ovf_c = split_overflow(
-                np.asarray(self.doc_terms), np.asarray(self.doc_contrib))
+            if self.band_mat is not None and self._rest_arrays is not None:
+                # dense band active: the split covers only the REST terms
+                src_t, src_c = self._rest_arrays
+            else:
+                src_t = np.asarray(self.doc_terms)
+                src_c = np.asarray(self.doc_contrib)
+            base_t, base_c, ovf_r, ovf_t, ovf_c = split_overflow(src_t, src_c)
             self._split_cache = tuple(
                 jnp.asarray(a) for a in (base_t, base_c, ovf_r, ovf_t, ovf_c))
         return self._split_cache
+
+    def band_arrays(self):
+        """(band_mat [N, K], slot_of [V+1]) when the dense band is active,
+        else None. The fused program scores band terms with one MXU
+        matmul and the rest via the split gather path."""
+        if self.band_mat is None:
+            return None
+        return self.band_mat, self.band_slot
 
     def encode_query(self, query: str) -> Tuple[np.ndarray, np.ndarray]:
         """Query text → fixed-width (term ids, multiplicity weights)."""

@@ -296,6 +296,84 @@ def bm25_scores_vocab_major(
     return scores[0] if single else scores
 
 
+def build_dense_band(
+    doc_terms: np.ndarray,     # [N, D] int32, -1 padded
+    doc_contrib: np.ndarray,   # [N, D] f32
+    vocab_size: int,
+    k_band: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
+    """Partition scoring work into a DENSE BAND + sparse rest.
+
+    High-df terms dominate the touched (term, doc) slots (natural-language
+    df is Zipfian), but each costs a 4-byte random gather in the doc-major
+    formulation. Giving the top ``k_band`` df terms a dense ``[N, K]``
+    contribution matrix turns their work into ONE MXU matmul
+    (``band @ q_dense.T`` — thousands of times cheaper per slot) and
+    leaves only rare terms in the gather path, whose rows re-pack much
+    narrower. Exact: every (term, doc) contribution is scored exactly
+    once, on exactly one side.
+
+    Returns (band_mat [N, K] f32, slot_of [V+1] int32 (-1 = not banded),
+    rest_terms [N, D'], rest_contrib [N, D'], slot_coverage).
+    """
+    terms = np.asarray(doc_terms)
+    contrib = np.asarray(doc_contrib)
+    n, d = terms.shape
+    df = np.bincount(terms[terms >= 0], minlength=vocab_size)
+    k_band = min(k_band, int((df > 0).sum()))
+    band_terms = np.argsort(df)[::-1][:k_band]
+    slot_of = np.full(vocab_size + 1, -1, np.int32)
+    slot_of[band_terms] = np.arange(k_band, dtype=np.int32)
+
+    band_mat = np.zeros((n, k_band), np.float32)
+    in_band = (terms >= 0) & (slot_of[np.maximum(terms, 0)] >= 0)
+    rows, cols = np.nonzero(in_band)
+    # add.at: duplicate (doc, term) slots accumulate exactly like the
+    # gather path does (corpus rows are unique-term by construction, but
+    # exactness must not depend on that)
+    np.add.at(band_mat, (rows, slot_of[terms[rows, cols]]),
+              contrib[rows, cols])
+
+    touched = int((terms >= 0).sum())
+    coverage = float(in_band.sum()) / max(touched, 1)
+
+    keep = (terms >= 0) & ~in_band
+    widths = keep.sum(axis=1)
+    new_d = max(8, -(-int(widths.max(initial=1)) // 8) * 8)
+    rest_terms = np.full((n, new_d), -1, np.int32)
+    rest_contrib = np.zeros((n, new_d), np.float32)
+    for i in np.nonzero(widths)[0]:
+        sel = np.nonzero(keep[i])[0]
+        rest_terms[i, : len(sel)] = terms[i, sel]
+        rest_contrib[i, : len(sel)] = contrib[i, sel]
+    log.info("BM25 dense band: K=%d covers %.1f%% of slots; rest width %d "
+             "(was %d)", k_band, coverage * 100, new_d, d)
+    return band_mat, slot_of, rest_terms, rest_contrib, coverage
+
+
+def banded_query_split(slot_of: jax.Array, q_ids: jax.Array,
+                       q_w: jax.Array, k_band: int):
+    """Device-side query split: (dense [B, K] weight matrix for the band,
+    sparse weights with banded terms zeroed). Works on PRF-expanded ids
+    too — the split happens inside the fused program."""
+    v = slot_of.shape[0] - 1
+    slots = slot_of[jnp.clip(q_ids, 0, v)]
+    in_band = (q_ids >= 0) & (slots >= 0)
+    b = q_ids.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], q_ids.shape)
+    q_dense = jnp.zeros((b, k_band), jnp.float32).at[
+        rows, jnp.maximum(slots, 0)].add(jnp.where(in_band, q_w, 0.0))
+    q_w_rest = jnp.where(in_band, 0.0, q_w)
+    return q_dense, q_w_rest
+
+
+def band_scores(band_mat: jax.Array, q_dense: jax.Array) -> jax.Array:
+    """[N, K] band contributions × [B, K] query weights → [B, N] via MXU."""
+    return jax.lax.dot_general(
+        band_mat, q_dense, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).T
+
+
 def split_overflow(
     doc_terms: np.ndarray,
     doc_contrib: np.ndarray,

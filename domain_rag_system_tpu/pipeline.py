@@ -75,7 +75,7 @@ def _device_cosine_rerank(
     "over_k", "fetch_k", "fusion_method",
     "rerank_top_n", "vocab_size", "has_dense", "has_sparse", "use_rerank",
     "use_split", "prf_terms", "prf_docs", "has_qfilter",
-    "enc_module", "encode_orig"))
+    "enc_module", "encode_orig", "band_k"))
 def _fused_batch_retrieval(
     embeddings,    # [N_pad, d] or [1, 1] placeholder
     valid_mask,    # [N_pad] or [1]
@@ -98,6 +98,8 @@ def _fused_batch_retrieval(
     q_filter_s,    # [B, N]     per-query sparse filter masks or [1, 1]
     enc_params=None,  # encoder param pytree (device-resident) when fused encode
     q_tok=None,       # [B, L] (or [2B, L] with encode_orig) query token ids
+    band_mat=None,    # [N, K] dense-band contributions (high-df terms)
+    band_slot=None,   # [V+1] term id → band slot (-1 = not banded)
     *,
     over_k: int,
     fetch_k: int,
@@ -114,6 +116,7 @@ def _fused_batch_retrieval(
     has_qfilter: bool = False,
     enc_module=None,
     encode_orig: bool = False,
+    band_k: int = 0,
 ):
     """The whole query batch as ONE device program.
 
@@ -167,6 +170,22 @@ def _fused_batch_retrieval(
 
     if has_sparse:
         def sparse_score(ids, w):
+            if band_k > 0:
+                # dense band: high-df terms via MXU matmul; the gather
+                # path (split arrays built from the REST terms) scores
+                # only rare terms, with banded query weights zeroed
+                from domain_rag_system_tpu.ops.sparse_bm25 import (
+                    band_scores,
+                    banded_query_split,
+                )
+
+                q_dense, w_rest = banded_query_split(band_slot, ids, w,
+                                                     band_k)
+                dense_part = band_scores(band_mat, q_dense)
+                rest = bm25_scores_split(
+                    sb_terms, sb_contrib, sb_ovf_rows, sb_ovf_terms,
+                    sb_ovf_contrib, ids, w_rest, vocab_size=vocab_size)
+                return dense_part + rest
             if use_split:
                 return bm25_scores_split(
                     sb_terms, sb_contrib, sb_ovf_rows, sb_ovf_terms,
@@ -622,6 +641,10 @@ class RetrievalPipeline:
         use_split = split is not None
         if not use_split:
             split = _SB_PLACEHOLDER()
+        band = (sparse.band_arrays()
+                if has_sparse and hasattr(sparse, "band_arrays") else None)
+        band_mat, band_slot = band if band is not None else (None, None)
+        band_k = int(band_mat.shape[1]) if band_mat is not None else 0
         with self.timer.stage("dispatch"):
             fused_ids_dev, fused_scores_dev, rerank_dev = _fused_batch_retrieval(
                 dense.embeddings if has_dense else jnp.zeros((1, 1), jnp.float32),
@@ -635,8 +658,9 @@ class RetrievalPipeline:
                  else jnp.zeros((), jnp.float32)),
                 vector_weight, bm25_weight,
                 q_filter_d, q_filter_s,
-                enc_params, q_tok,
+                enc_params, q_tok, band_mat, band_slot,
                 enc_module=enc_module, encode_orig=encode_orig,
+                band_k=band_k,
                 over_k=over_k, fetch_k=fetch_k, fusion_method=fusion_method,
                 rerank_top_n=(self.reranker.top_n if use_device_rerank else 0),
                 vocab_size=len(sparse.vocab) if has_sparse else 0,

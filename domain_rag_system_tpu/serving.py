@@ -74,6 +74,7 @@ def build_pipeline(
     hybrid = HybridIndex(
         dense_index=DenseIndex(embedder, dtype=cfg.dense_dtype),
         bm25_index=BM25Index(k1=cfg.bm25_k1, b=cfg.bm25_b,
+                             band_k=cfg.bm25_band,
                              text_normalizer=(normalizer
                                               if cfg.normalize_index
                                               else None)),

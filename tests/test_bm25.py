@@ -239,3 +239,70 @@ def test_vocab_major_layout_matches_batch_major(rng):
                                    vocab_size=v)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dense_band_pipeline_matches_gather_path(toy_chunks):
+    """band_k > 0 routes high-df terms through the [N, K] matmul and rare
+    terms through the narrowed gather; rankings and scores must equal the
+    pure gather path — including under RM3 PRF (expanded terms split on
+    device)."""
+    from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+    from domain_rag_system_tpu.models import MedicalEmbedder
+    from domain_rag_system_tpu.pipeline import RetrievalPipeline
+
+    def build(band_k):
+        emb = MedicalEmbedder(dim=128)
+        h = HybridIndex(dense_index=DenseIndex(emb, row_block=8),
+                        bm25_index=BM25Index(band_k=band_k))
+        h.index_chunks(toy_chunks)
+        return RetrievalPipeline(h)
+
+    plain = build(0)
+    banded = build(16)
+    assert banded.index.bm25_index.band_arrays() is not None
+
+    queries = ["diabetes treatment drug", "pain and fever relief",
+               "blood pressure"]
+    kw = dict(top_k=5, fusion_method="weighted", vector_weight=0.3,
+              bm25_weight=0.7, prf_terms=3, prf_docs=4)
+    out_a = plain.query_batch(queries, **kw)
+    out_b = banded.query_batch(queries, **kw)
+    for a, b in zip(out_a, out_b):
+        assert [r["chunk_id"] for r in a["results"]] == \
+               [r["chunk_id"] for r in b["results"]]
+        np.testing.assert_allclose([r["score"] for r in a["results"]],
+                                   [r["score"] for r in b["results"]],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_dense_band_arrays_partition_exactly(rng):
+    """Every (term, doc) contribution lands on exactly one side of the
+    band partition, and banded+rest scoring equals full scoring."""
+    import jax.numpy as jnp
+
+    from domain_rag_system_tpu.ops.sparse_bm25 import (
+        band_scores,
+        banded_query_split,
+        bm25_scores,
+        build_dense_band,
+    )
+
+    n, d, v, b, l, k = 200, 10, 50, 4, 6, 12
+    terms = rng.integers(-1, v, size=(n, d)).astype(np.int32)
+    contrib = (rng.random((n, d)) * (terms >= 0)).astype(np.float32)
+    band_mat, slot_of, rest_t, rest_c, cov = build_dense_band(
+        terms, contrib, v, k)
+    assert 0 < cov <= 1
+    q_ids = rng.integers(-2, v, size=(b, l)).astype(np.int32)
+    q_w = (rng.random((b, l)) + 0.5).astype(np.float32)
+
+    ref = bm25_scores(jnp.asarray(terms), jnp.asarray(contrib),
+                      jnp.asarray(q_ids), jnp.asarray(q_w), vocab_size=v)
+    q_dense, w_rest = banded_query_split(jnp.asarray(slot_of),
+                                         jnp.asarray(q_ids),
+                                         jnp.asarray(q_w), k)
+    out = band_scores(jnp.asarray(band_mat), q_dense) + np.asarray(
+        bm25_scores(jnp.asarray(rest_t), jnp.asarray(rest_c),
+                    jnp.asarray(q_ids), jnp.asarray(w_rest), vocab_size=v))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
