@@ -368,10 +368,17 @@ def banded_query_split(slot_of: jax.Array, q_ids: jax.Array,
 
 
 def band_scores(band_mat: jax.Array, q_dense: jax.Array) -> jax.Array:
-    """[N, K] band contributions × [B, K] query weights → [B, N] via MXU."""
+    """[N, K] band contributions × [B, K] query weights → [B, N] via MXU.
+
+    Precision HIGHEST: the TPU default decomposes f32 matmuls to one bf16
+    pass (~3 decimal digits) — measured 0.008 absolute error on BM25
+    scores, enough to flip near-tie rankings vs the exact gather path.
+    The f32-exact passes cost ~6x MXU time, still negligible next to the
+    gathers this band replaces."""
     return jax.lax.dot_general(
         band_mat, q_dense, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).T
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).T
 
 
 def split_overflow(

@@ -206,12 +206,12 @@ def _banded_scores_jit(band_mat, slot_of, sb0, sb1, sb2, sb3, sb4,
     slots = slot_of[jnp.clip(qi, 0, v)]                 # [B, L]
     in_band = (qi >= 0) & (slots >= 0)
     # dense band: scatter query weights into [B, K], one MXU matmul
+    from domain_rag_system_tpu.ops.sparse_bm25 import band_scores
+
     rowsb = jnp.broadcast_to(jnp.arange(b)[:, None], qi.shape)
     q_dense = jnp.zeros((b, k_band), jnp.float32).at[
         rowsb, jnp.maximum(slots, 0)].add(jnp.where(in_band, qw, 0.0))
-    dense_part = jax.lax.dot_general(
-        band_mat, q_dense, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).T            # [B, N]
+    dense_part = band_scores(band_mat, q_dense)          # [B, N]
     # sparse rest: banded query terms zeroed out
     qw_rest = jnp.where(in_band, 0.0, qw)
     rest = bm25_scores_split(sb0, sb1, sb2, sb3, sb4, qi, qw_rest,

@@ -57,6 +57,8 @@ def main() -> None:
     ap.add_argument("--vector_weight", type=float, default=None)
     ap.add_argument("--bm25_weight", type=float, default=None)
     ap.add_argument("--prf_terms", type=int, default=None)
+    ap.add_argument("--bm25_band", type=int, default=None,
+                    help="dense-band size (top-K df terms via MXU matmul)")
     ap.add_argument("--output", default=None,
                     help="also write the JSON line to this file")
     ap.add_argument("--stream", action="store_true",
