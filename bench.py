@@ -90,16 +90,20 @@ def main() -> None:
     docs = DataLoader(pubmed_path=str(corpus_path)).load_pubmed()
     chunks = DocumentChunker().chunk_documents(docs)
     extra = synthetic_chunks(max(REFERENCE_N_CHUNKS - len(chunks), 0))
-    pipeline_big, info_big = build_pipeline(cfg, chunks=chunks,
+    # scale-aware operating point: BM25 k1/b differ at 26x the index size
+    # (5-fold CV at scale, results/cv_tune_at_scale.json)
+    cfg_big = RetrievalConfig.tuned_at_scale()
+    kwargs_big = cfg_big.query_kwargs()
+    pipeline_big, info_big = build_pipeline(cfg_big, chunks=chunks,
                                             extra_chunks=extra)
-    if cfg.mine_terms:
+    if cfg_big.mine_terms:
         pipeline_big.preprocessor.normalizer.build_drug_mapping_from_data(docs)
     pipeline_big.query_batch(
-        [q["body"] for q in queries[:cfg.batch_size]], **kwargs)
+        [q["body"] for q in queries[:cfg_big.batch_size]], **kwargs_big)
     passes_big = [run_retrieval_evaluation(
-        pipeline_big, queries, batch_size=cfg.batch_size,
+        pipeline_big, queries, batch_size=cfg_big.batch_size,
         dataset=f"bioasq@{info_big['n_chunks']}", warmup=False, stream=True,
-        **kwargs) for _ in range(3)]
+        **kwargs_big) for _ in range(3)]
     big = median_pass(passes_big)["overall"]
     big_qps = big["queries_per_second"]
 
@@ -141,10 +145,12 @@ def main() -> None:
                                for p in passes],
         },
         "encoder": info["encoder"],
-        "config": {k: v for k, v in cfg.to_dict().items()
+        "config": {k: v for k, v in cfg_big.to_dict().items()
                    if k in ("fusion_method", "vector_weight", "bm25_weight",
                             "prf_terms", "group_by_doc", "bm25_k1", "bm25_b",
-                            "mine_terms")},
+                            "mine_terms", "bm25_band")},
+        "small_corpus_config": {k: v for k, v in cfg.to_dict().items()
+                                if k in ("bm25_k1", "bm25_b")},
         "devices": describe_devices(),
     }
     print(json.dumps(line))
