@@ -74,7 +74,7 @@ def main() -> None:
     if args.passes < 1:
         ap.error("--passes must be >= 1")
 
-    cfg = RetrievalConfig.tuned().apply_overrides(args)
+    cfg = RetrievalConfig.tuned_at_scale().apply_overrides(args)
     if cfg.encoder_checkpoint == "none":
         cfg.encoder_checkpoint = None
     # term mining over 91k synthetic chunks adds build time without
