@@ -58,14 +58,15 @@ def config_grid(args):
     """The tuned-config neighborhood. evidence_alpha and the fusion weights
     are free (host-side / traced); (prf_terms, prf_docs) pairs compile."""
     grid = []
-    for vw, prf_t, prf_d, ev in itertools.product(
+    for vw, prf_t, prf_d, prf_a, ev in itertools.product(
             args.vector_weights, args.prf_terms, args.prf_docs,
-            args.evidence_alphas):
+            args.prf_alphas, args.evidence_alphas):
         grid.append({
             "vector_weight": vw,
             "bm25_weight": round(1.0 - vw, 3),
             "prf_terms": prf_t,
             "prf_docs": prf_d,
+            "prf_alpha": prf_a,
             "evidence_alpha": ev,
         })
     return grid
@@ -82,6 +83,9 @@ def main() -> None:
                     default=[0.0, 0.1, 0.2, 0.3])
     ap.add_argument("--prf_terms", type=int, nargs="+", default=[0, 10, 15, 20])
     ap.add_argument("--prf_docs", type=int, nargs="+", default=[10, 20])
+    ap.add_argument("--prf_alphas", type=float, nargs="+", default=[0.6],
+                    help="RM3 interpolation weight on the original query "
+                         "model (traced scalar — no recompile per value)")
     ap.add_argument("--evidence_alphas", type=float, nargs="+",
                     default=[0.0, 0.5, 0.8])
     ap.add_argument("--bm25_grid", default=None,
