@@ -35,6 +35,11 @@ class RetrievalConfig:
     group_by_doc: bool = False            # top_k counts distinct documents
     evidence_alpha: float = 0.0           # doc evidence aggregation: doc score
                                           # = best chunk + alpha*sum(next 2)
+    fetch_mult: int = 4                   # doc-grouping over-fetch depth:
+                                          # fused chunk pool = top_k*fetch_mult
+                                          # before grouping to distinct docs
+    evidence_chunks: int = 2              # chunks beyond the best that count
+                                          # toward a doc's evidence score
     reranker: str = "none"                # "none" | "simple" | "crossencoder"
     rerank_top_n: int = 50
     cross_checkpoint: Optional[str] = None  # trained CE for "crossencoder"
@@ -150,6 +155,8 @@ class RetrievalConfig:
             prf_alpha=self.prf_alpha,
             group_by_doc=self.group_by_doc,
             evidence_alpha=self.evidence_alpha,
+            evidence_chunks=self.evidence_chunks,
+            fetch_mult=self.fetch_mult,
             rerank_top_n=self.rerank_top_n,
         )
 

@@ -330,6 +330,8 @@ class RetrievalPipeline:
         prf_alpha: float = 0.6,
         group_by_doc: bool = False,
         evidence_alpha: float = 0.0,
+        evidence_chunks: int = 2,
+        fetch_mult: int = 4,
         use_batch_path: bool = True,
     ) -> Dict:
         # All queries — filtered or not — ride the fused batch program with
@@ -345,6 +347,7 @@ class RetrievalPipeline:
                 rerank_top_n=rerank_top_n, preprocess=preprocess,
                 prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
                 group_by_doc=group_by_doc, evidence_alpha=evidence_alpha,
+                evidence_chunks=evidence_chunks, fetch_mult=fetch_mult,
                 filters=filters,
             )[0]
         # NB: the host orchestration below is the reference-shaped parity
@@ -362,7 +365,7 @@ class RetrievalPipeline:
 
         fetch_k = max(top_k, rerank_top_n if self.reranker is not None else top_k)
         if group_by_doc:
-            fetch_k = max(fetch_k, top_k * 4)
+            fetch_k = max(fetch_k, top_k * fetch_mult)
         keep = fetch_k if group_by_doc else top_k
 
         with self.timer.stage("search"):
@@ -382,7 +385,8 @@ class RetrievalPipeline:
             results = results[:keep]
         if group_by_doc:
             results = _group_first_per_doc(results, top_k,
-                                           evidence_alpha=evidence_alpha)
+                                           evidence_alpha=evidence_alpha,
+                                           evidence_chunks=evidence_chunks)
 
         return {
             "query": query,
@@ -408,6 +412,8 @@ class RetrievalPipeline:
         prf_alpha: float = 0.6,
         group_by_doc: bool = False,
         evidence_alpha: float = 0.0,
+        evidence_chunks: int = 2,
+        fetch_mult: int = 4,
         filters=None,
     ) -> List[Dict]:
         """Batched retrieval: heavy stages run once over the whole batch.
@@ -434,6 +440,7 @@ class RetrievalPipeline:
             rerank_top_n=rerank_top_n, preprocess=preprocess,
             prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
             group_by_doc=group_by_doc, evidence_alpha=evidence_alpha,
+            evidence_chunks=evidence_chunks, fetch_mult=fetch_mult,
             filters=filters)
         return self.finalize_batch(handle) if handle is not None else []
 
@@ -484,6 +491,8 @@ class RetrievalPipeline:
         prf_alpha: float = 0.6,
         group_by_doc: bool = False,
         evidence_alpha: float = 0.0,
+        evidence_chunks: int = 2,
+        fetch_mult: int = 4,
         filters=None,
         async_copy: bool = False,
     ) -> Optional[Dict]:
@@ -511,7 +520,11 @@ class RetrievalPipeline:
         sparse = self.index.bm25_index
         fetch_k = max(top_k, rerank_top_n if self.reranker is not None else top_k)
         if group_by_doc:
-            fetch_k = max(fetch_k, top_k * 4)
+            # fetch_mult governs how deep the fused chunk pool is before doc
+            # grouping: at production index sizes distractor chunks dilute
+            # the pool, so deeper pools can recover distinct relevant docs
+            # (swept at scale — see results/cv_tune_fetch_mult.json)
+            fetch_k = max(fetch_k, top_k * fetch_mult)
         keep = fetch_k if group_by_doc else top_k
         over_k = fetch_k * 2  # hybrid over-fetch parity
         # RM3 needs a feedback set that is a strict subset of the index:
@@ -694,6 +707,7 @@ class RetrievalPipeline:
             "top_k": top_k,
             "group_by_doc": group_by_doc,
             "evidence_alpha": evidence_alpha,
+            "evidence_chunks": evidence_chunks,
         }
 
     def finalize_batch(self, handle: Dict) -> List[Dict]:
@@ -708,6 +722,7 @@ class RetrievalPipeline:
         top_k = handle["top_k"]
         group_by_doc = handle["group_by_doc"]
         evidence_alpha = handle["evidence_alpha"]
+        evidence_chunks = handle["evidence_chunks"]
 
         with self.timer.stage("retrieve"):
             # one consolidated device→host pull (each separate np.asarray
@@ -777,7 +792,8 @@ class RetrievalPipeline:
             results = all_results[qi]
             if group_by_doc:
                 results = _group_first_per_doc(results, top_k,
-                                               evidence_alpha=evidence_alpha)
+                                               evidence_alpha=evidence_alpha,
+                                               evidence_chunks=evidence_chunks)
             outputs.append({
                 "query": query,
                 "preprocessed": pres[qi],

@@ -58,9 +58,10 @@ def config_grid(args):
     """The tuned-config neighborhood. evidence_alpha and the fusion weights
     are free (host-side / traced); (prf_terms, prf_docs) pairs compile."""
     grid = []
-    for vw, prf_t, prf_d, prf_a, ev in itertools.product(
+    for vw, prf_t, prf_d, prf_a, ev, fm, ec in itertools.product(
             args.vector_weights, args.prf_terms, args.prf_docs,
-            args.prf_alphas, args.evidence_alphas):
+            args.prf_alphas, args.evidence_alphas, args.fetch_mults,
+            args.evidence_chunks):
         grid.append({
             "vector_weight": vw,
             "bm25_weight": round(1.0 - vw, 3),
@@ -68,6 +69,8 @@ def config_grid(args):
             "prf_docs": prf_d,
             "prf_alpha": prf_a,
             "evidence_alpha": ev,
+            "fetch_mult": fm,
+            "evidence_chunks": ec,
         })
     return grid
 
@@ -88,6 +91,13 @@ def main() -> None:
                          "model (traced scalar — no recompile per value)")
     ap.add_argument("--evidence_alphas", type=float, nargs="+",
                     default=[0.0, 0.5, 0.8])
+    ap.add_argument("--fetch_mults", type=int, nargs="+", default=[4],
+                    help="doc-grouping over-fetch depth (pool = "
+                         "top_k*fetch_mult; each value compiles a new "
+                         "fused-program shape)")
+    ap.add_argument("--evidence_chunks", type=int, nargs="+", default=[2],
+                    help="chunks beyond the best that count toward a doc's "
+                         "evidence score (host-side — no recompile)")
     ap.add_argument("--bm25_grid", default=None,
                     help="outer loop over BM25 index params, e.g. "
                          "'0.9:0.5,1.2:0.6,1.5:0.75' (k1:b pairs; each "

@@ -269,6 +269,54 @@ def test_evidence_aggregation_grouping():
     assert [r["doc_id"] for r in out] == ["a", "b"]
 
 
+def test_fetch_mult_and_evidence_chunks_knobs():
+    """fetch_mult deepens the fused pool before doc grouping (a doc whose
+    best chunk sits below top_k*4 becomes reachable at fetch_mult=8);
+    evidence_chunks widens the per-doc evidence sum."""
+    from domain_rag_system_tpu.pipeline import _group_first_per_doc
+    from domain_rag_system_tpu.preprocessing import Chunk
+
+    # evidence_chunks: 3rd extra chunk counts only when asked for
+    results = [
+        {"doc_id": "solid", "chunk_id": f"s{i}", "score": s}
+        for i, s in enumerate([0.9, 0.8, 0.7, 0.6])
+    ]
+    two = _group_first_per_doc(results, top_k=1, evidence_alpha=1.0)
+    three = _group_first_per_doc(results, top_k=1, evidence_alpha=1.0,
+                                 evidence_chunks=3)
+    assert two[0]["doc_score"] == pytest.approx(0.9 + 0.8 + 0.7)
+    assert three[0]["doc_score"] == pytest.approx(0.9 + 0.8 + 0.7 + 0.6)
+
+    # fetch_mult: 12 docs x 4 near-identical chunks; at top_k=2 the pool of
+    # top_k*fetch_mult chunks holds ~pool/4 distinct docs, so deeper pools
+    # surface more docs after grouping
+    chunks = []
+    for d in range(12):
+        for c in range(4):
+            chunks.append(Chunk(
+                chunk_id=f"d{d}_c{c}", doc_id=f"doc{d}", source="pubmed",
+                chunk_type="abstract",
+                text=f"metformin glucose trial arm {c} cohort {d}",
+                metadata={}))
+    emb = MedicalEmbedder(dim=128)
+    hybrid = HybridIndex(dense_index=DenseIndex(emb, row_block=8),
+                         bm25_index=BM25Index())
+    hybrid.index_chunks(chunks)
+    pipe = RetrievalPipeline(hybrid)
+    shallow = pipe.query_batch(["metformin glucose"], top_k=2,
+                               group_by_doc=True, fetch_mult=4)[0]["results"]
+    deep = pipe.query_batch(["metformin glucose"], top_k=2,
+                            group_by_doc=True, fetch_mult=8)[0]["results"]
+    # both return top_k distinct docs and agree on the best doc
+    assert len({r["doc_id"] for r in shallow}) == 2
+    assert len({r["doc_id"] for r in deep}) == 2
+    assert shallow[0]["doc_id"] == deep[0]["doc_id"]
+    # config plumbing: the knobs ride query_kwargs
+    from domain_rag_system_tpu.config import RetrievalConfig
+    kw = RetrievalConfig(fetch_mult=8, evidence_chunks=3).query_kwargs()
+    assert kw["fetch_mult"] == 8 and kw["evidence_chunks"] == 3
+
+
 def test_degenerate_queries_never_crash(pipeline):
     """Empty, whitespace, punctuation-only, huge and unicode queries must
     flow through featurization and the fused program without raising."""
