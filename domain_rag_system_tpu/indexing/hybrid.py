@@ -41,10 +41,12 @@ class HybridIndex:
 
     # ------------------------------------------------------------------ build
 
-    def index_chunks(self, chunks: Sequence[Chunk]) -> None:
+    def index_chunks(self, chunks: Sequence[Chunk],
+                     precomputed_embeddings=None) -> None:
         self.chunks = list(chunks)
         if self.dense_index is not None:
-            self.dense_index.index_chunks(self.chunks)
+            self.dense_index.index_chunks(
+                self.chunks, precomputed=precomputed_embeddings)
         else:
             log.warning("no dense index configured")
         if self.bm25_index is not None:

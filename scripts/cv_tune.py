@@ -110,6 +110,10 @@ def main() -> None:
     ap.add_argument("--selection_metric", default="recall@5+ndcg@10",
                     help="'recall@5', 'ndcg@10', or 'recall@5+ndcg@10' (mean)")
     ap.add_argument("--output", default="results/cv_tune.json")
+    ap.add_argument("--embedding_cache", default=None,
+                    help="directory caching the corpus embedding matrix "
+                         "keyed by encoder+corpus content (a 91k-chunk "
+                         "BERT re-encode costs ~13 min per sweep run)")
     args = ap.parse_args()
 
     from domain_rag_system_tpu.config import RetrievalConfig
@@ -139,7 +143,8 @@ def main() -> None:
         from domain_rag_system_tpu.etl.synthetic import synthetic_chunks
 
         extra = synthetic_chunks(args.n_chunks - len(chunks))
-    pipeline, info = build_pipeline(cfg, chunks=chunks, extra_chunks=extra)
+    pipeline, info = build_pipeline(cfg, chunks=chunks, extra_chunks=extra,
+                                    embedding_cache_dir=args.embedding_cache)
     if cfg.mine_terms:
         pipeline.preprocessor.normalizer.build_drug_mapping_from_data(docs)
 

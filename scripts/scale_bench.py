@@ -59,6 +59,9 @@ def main() -> None:
     ap.add_argument("--prf_terms", type=int, default=None)
     ap.add_argument("--bm25_band", type=int, default=None,
                     help="dense-band size (top-K df terms via MXU matmul)")
+    ap.add_argument("--embedding_cache", default=None,
+                    help="directory caching the corpus embedding matrix "
+                         "(see cv_tune.py)")
     ap.add_argument("--output", default=None,
                     help="also write the JSON line to this file")
     ap.add_argument("--stream", action="store_true",
@@ -101,7 +104,8 @@ def main() -> None:
     extra = synthetic_chunks(max(args.n_chunks - len(chunks), 0))
     queries = load_queries(root / "data/recovered/BioASQ/bioasq_queries.json")
 
-    pipeline, info = build_pipeline(cfg, chunks=chunks, extra_chunks=extra)
+    pipeline, info = build_pipeline(cfg, chunks=chunks, extra_chunks=extra,
+                                    embedding_cache_dir=args.embedding_cache)
     # drug mapping needs the docs (chunks were prebuilt)
     if cfg.mine_terms:
         pipeline.preprocessor.normalizer.build_drug_mapping_from_data(docs)

@@ -171,3 +171,53 @@ def test_bundle_compacts_tombstoned_chunks(tmp_path, toy_chunks):
     res2 = loaded.search("aspirin pain", top_k=1, fusion_method="weighted",
                          vector_weight=0.5, bm25_weight=0.5)
     assert res2[0]["chunk_id"] == "a"
+
+
+def test_embedding_cache_roundtrip(tmp_path, toy_chunks):
+    """build_pipeline(embedding_cache_dir=...): the first build encodes and
+    writes the cache; a rebuild loads it (bit-identical index rows) and any
+    corpus change invalidates the key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from domain_rag_system_tpu.config import RetrievalConfig
+    from domain_rag_system_tpu.models.bert import BertConfig, SentenceEncoder
+    from domain_rag_system_tpu.persistence.checkpoints import (
+        save_encoder_checkpoint,
+    )
+    from domain_rag_system_tpu.serving import build_pipeline
+    from domain_rag_system_tpu.tokenization import train_wordpiece
+
+    texts = [c.text for c in toy_chunks]
+    tokenizer = train_wordpiece(texts * 2, vocab_size=400)
+    config = BertConfig.tiny(vocab_size=len(tokenizer), dropout_rate=0.0)
+    module = SentenceEncoder(config)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                         jnp.ones((1, 8), jnp.int32))["params"]
+    ckpt = save_encoder_checkpoint(tmp_path / "ckpt", config, params, tokenizer)
+
+    cfg = RetrievalConfig(encoder_checkpoint=str(ckpt))
+    cache = tmp_path / "embcache"
+    p1, _ = build_pipeline(cfg, chunks=toy_chunks,
+                           embedding_cache_dir=str(cache))
+    cached = list(cache.glob("emb_*.npz"))
+    assert len(cached) == 1
+    p2, _ = build_pipeline(cfg, chunks=toy_chunks,
+                           embedding_cache_dir=str(cache))
+    np.testing.assert_array_equal(
+        np.asarray(p1.index.dense_index.embeddings),
+        np.asarray(p2.index.dense_index.embeddings))
+    # retrieval through the cached index agrees with the encoded one
+    q = "aspirin for fever and pain"
+    r1 = p1.query(q, top_k=3)["results"]
+    r2 = p2.query(q, top_k=3)["results"]
+    assert [r["chunk_id"] for r in r1] == [r["chunk_id"] for r in r2]
+    # corpus change -> different key, no stale hit
+    mutated = list(toy_chunks)
+    mutated[0] = type(toy_chunks[0])(
+        chunk_id=toy_chunks[0].chunk_id, doc_id=toy_chunks[0].doc_id,
+        source=toy_chunks[0].source, chunk_type=toy_chunks[0].chunk_type,
+        text=toy_chunks[0].text + " mutated", metadata={})
+    build_pipeline(cfg, chunks=mutated, embedding_cache_dir=str(cache))
+    assert len(list(cache.glob("emb_*.npz"))) == 2
