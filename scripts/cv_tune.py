@@ -58,10 +58,10 @@ def config_grid(args):
     """The tuned-config neighborhood. evidence_alpha and the fusion weights
     are free (host-side / traced); (prf_terms, prf_docs) pairs compile."""
     grid = []
-    for vw, prf_t, prf_d, prf_a, ev, fm, ec in itertools.product(
+    for vw, prf_t, prf_d, prf_a, ev, fm, ec, fus in itertools.product(
             args.vector_weights, args.prf_terms, args.prf_docs,
             args.prf_alphas, args.evidence_alphas, args.fetch_mults,
-            args.evidence_chunks):
+            args.evidence_chunks, args.fusion_methods):
         grid.append({
             "vector_weight": vw,
             "bm25_weight": round(1.0 - vw, 3),
@@ -71,6 +71,7 @@ def config_grid(args):
             "evidence_alpha": ev,
             "fetch_mult": fm,
             "evidence_chunks": ec,
+            "fusion_method": fus,
         })
     return grid
 
@@ -98,6 +99,9 @@ def main() -> None:
     ap.add_argument("--evidence_chunks", type=int, nargs="+", default=[2],
                     help="chunks beyond the best that count toward a doc's "
                          "evidence score (host-side — no recompile)")
+    ap.add_argument("--fusion_methods", nargs="+", default=["weighted"],
+                    choices=["weighted", "rrf"],
+                    help="fusion branch (compiled program per value)")
     ap.add_argument("--bm25_grid", default=None,
                     help="outer loop over BM25 index params, e.g. "
                          "'0.9:0.5,1.2:0.6,1.5:0.75' (k1:b pairs; each "
