@@ -733,9 +733,65 @@ class RetrievalPipeline:
             fused = [(fused_ids_np[i], fused_scores_np[i]) for i in range(b)]
             device_rerank_scores = rerank_np if use_device_rerank else None
 
+        n_chunks = len(self.index.chunks)
+
+        if self.reranker is None and group_by_doc:
+            # Hot production path (tuned config: reranker="none",
+            # group_by_doc=True): group on (chunk_idx, score) pairs FIRST and
+            # materialize result dicts only for the top_k surviving docs —
+            # at fetch_mult=8 the pool holds 8x top_k candidates, so dict
+            # churn for discarded chunks dominates finalize otherwise.
+            # Semantics identical to materialize-then-_group_first_per_doc
+            # (equality-tested).
+            chunks_list = self.index.chunks
+            outputs = []
+            for qi in range(b):
+                f_ids, f_scores = fused[qi]
+                best: Dict[str, tuple] = {}
+                extra: Dict[str, list] = {}
+                order: List[str] = []
+                for i, score in zip(f_ids, f_scores):
+                    if i < 0 or i >= n_chunks:
+                        continue
+                    doc_id = chunks_list[int(i)].doc_id
+                    if doc_id not in best:
+                        best[doc_id] = (int(i), float(score))
+                        extra[doc_id] = []
+                        order.append(doc_id)
+                    elif len(extra[doc_id]) < evidence_chunks:
+                        extra[doc_id].append(float(score))
+                scored = []
+                for pos, doc_id in enumerate(order):
+                    _, s = best[doc_id]
+                    scored.append((-(s + evidence_alpha * sum(extra[doc_id])),
+                                   pos, doc_id))
+                scored.sort()
+                results = []
+                for neg_doc_score, _, doc_id in scored[:top_k]:
+                    idx, s = best[doc_id]
+                    chunk = chunks_list[idx]
+                    results.append({
+                        "chunk_id": chunk.chunk_id,
+                        "doc_id": chunk.doc_id,
+                        "source": chunk.source,
+                        "chunk_type": chunk.chunk_type,
+                        "text": chunk.text,
+                        "metadata": chunk.metadata,
+                        "score": s,
+                        "fusion_method": fusion_method,
+                        "doc_score": -neg_doc_score,
+                    })
+                outputs.append({
+                    "query": queries[qi],
+                    "preprocessed": pres[qi],
+                    "search_query": search_queries[qi],
+                    "num_results": len(results),
+                    "results": results,
+                })
+            return outputs
+
         # Materialize per-query result dicts (with each result's original
         # fused SLOT — rerank scores are slot-indexed).
-        n_chunks = len(self.index.chunks)
         all_results: List[List[Dict]] = []
         all_slots: List[List[int]] = []
         for qi in range(b):

@@ -317,6 +317,46 @@ def test_fetch_mult_and_evidence_chunks_knobs():
     assert kw["fetch_mult"] == 8 and kw["evidence_chunks"] == 3
 
 
+def test_fast_grouping_path_matches_general_path(toy_chunks):
+    """The no-reranker + group_by_doc finalize groups on (idx, score) arrays
+    before materializing dicts; it must produce byte-identical results to
+    the general materialize-then-_group_first_per_doc path (driven here via
+    a passthrough reranker on the SAME dispatch handle)."""
+    emb = MedicalEmbedder(dim=256)
+    hybrid = HybridIndex(dense_index=DenseIndex(emb, row_block=8),
+                         bm25_index=BM25Index())
+    hybrid.index_chunks(toy_chunks)
+    pipe = RetrievalPipeline(hybrid)
+
+    queries = ["aspirin pain fever", "diabetes insulin glucose"]
+    handle = pipe.dispatch_batch(queries, top_k=3, fusion_method="weighted",
+                                 vector_weight=0.4, bm25_weight=0.6,
+                                 group_by_doc=True, evidence_alpha=0.7,
+                                 evidence_chunks=2, fetch_mult=4)
+    fast = pipe.finalize_batch(handle)
+
+    class _Passthrough:
+        top_n = 0
+
+        def rerank_batch(self, qs, all_results, top_k):
+            return [r[:top_k] for r in all_results]
+
+    pipe.reranker = _Passthrough()
+    try:
+        general = pipe.finalize_batch(handle)
+    finally:
+        pipe.reranker = None
+
+    assert len(fast) == len(general)
+    for a, b in zip(fast, general):
+        assert [r["chunk_id"] for r in a["results"]] == \
+               [r["chunk_id"] for r in b["results"]]
+        for ra, rb in zip(a["results"], b["results"]):
+            assert ra["doc_score"] == pytest.approx(rb["doc_score"])
+            assert ra["score"] == pytest.approx(rb["score"])
+            assert set(ra.keys()) == set(rb.keys())
+
+
 def test_degenerate_queries_never_crash(pipeline):
     """Empty, whitespace, punctuation-only, huge and unicode queries must
     flow through featurization and the fused program without raising."""
