@@ -57,6 +57,10 @@ def main() -> None:
     ap.add_argument("--vector_weight", type=float, default=None)
     ap.add_argument("--bm25_weight", type=float, default=None)
     ap.add_argument("--prf_terms", type=int, default=None)
+    ap.add_argument("--fetch_mult", type=int, default=None,
+                    help="doc-grouping over-fetch depth (pool = "
+                         "top_k*fetch_mult)")
+    ap.add_argument("--evidence_chunks", type=int, default=None)
     ap.add_argument("--bm25_band", type=int, default=None,
                     help="dense-band size (top-K df terms via MXU matmul)")
     ap.add_argument("--embedding_cache", default=None,
