@@ -113,10 +113,23 @@ class RetrievalConfig:
         normalization win again. Selected by 5-fold CV at scale — every
         fold chose k1=1.5 (``results/cv_tune_at_scale.json``: in-sample
         recall@5 0.5318 / nDCG@10 0.7922 vs 0.5227 / 0.7809 for the
-        small-corpus point; out-of-fold 0.5247 / 0.7828)."""
+        small-corpus point; out-of-fold 0.5247 / 0.7828).
+
+        The fused candidate pool is also deeper (fetch_mult 8, evidence
+        over 3 extra chunks): at 26x the index size distractor chunks
+        dilute the pool, so doc grouping needs top_k*8 fused chunks to
+        surface the same distinct relevant docs — recall@5 0.5318 →
+        0.5375 / MRR 0.8423 → 0.8479 on chip at equal nDCG, 4/5 CV folds
+        selecting fetch_mult=8 (``results/cv_tune_fetch_mult{,_deep}.json``,
+        ``results/scale_bench_fm8.json``). The 6L/384 MLM-init encoder is
+        the quality-leaning alternative (+0.005 nDCG/MRR, −0.006 r@5,
+        ~2x device cost — ``results/scale_bench_6l_fm8.json``); the 4L
+        semantic encoder stays for throughput."""
         cfg = cls.tuned()
         cfg.bm25_k1 = 1.5
         cfg.bm25_b = 0.75
+        cfg.fetch_mult = 8
+        cfg.evidence_chunks = 3
         return cfg
 
     @classmethod
