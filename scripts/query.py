@@ -74,6 +74,10 @@ def add_query_flags(ap: argparse.ArgumentParser) -> None:
                     default=None,
                     help="top_k counts distinct documents (best chunk each)")
     ap.add_argument("--evidence_alpha", type=float, default=None)
+    ap.add_argument("--evidence_chunks", type=int, default=None)
+    ap.add_argument("--fetch_mult", type=int, default=None,
+                    help="doc-grouping over-fetch depth "
+                         "(pool = top_k*fetch_mult)")
     ap.add_argument("--tuned", action="store_true",
                     help="use RetrievalConfig.tuned() for every knob not "
                          "explicitly set on the command line")
@@ -84,7 +88,7 @@ def add_query_flags(ap: argparse.ArgumentParser) -> None:
 _REFERENCE_DEFAULTS = dict(
     top_k=5, fusion_method="rrf", vector_weight=0.5, bm25_weight=0.5,
     rerank_top_n=50, prf_terms=0, prf_docs=10, prf_alpha=0.6,
-    group_by_doc=False, evidence_alpha=0.0,
+    group_by_doc=False, evidence_alpha=0.0, evidence_chunks=2, fetch_mult=4,
 )
 
 
