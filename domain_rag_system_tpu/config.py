@@ -133,6 +133,27 @@ class RetrievalConfig:
         return cfg
 
     @classmethod
+    def quality_at_scale(cls) -> "RetrievalConfig":
+        """The quality-leaning production-scale profile: the 6L/384
+        MLM+ICT-initialized encoder at vector_weight 0.15 on top of
+        :meth:`tuned_at_scale`. Trades ~2x device cost for the best
+        measured at-scale ranking head — on chip at 91,853 chunks:
+        nDCG@10 0.798 / MRR 0.852 vs the default's 0.793 / 0.848
+        (recall@5 0.532 vs 0.538; ``results/scale_bench_6l_fm8.json``,
+        CV grid ``results/cv_tune_6l_at_scale.json``)."""
+        cfg = cls.tuned_at_scale()
+        ckpt = Path(__file__).resolve().parent.parent / "checkpoints" / "medrag-pre-6l"
+        if not ckpt.exists():
+            raise FileNotFoundError(
+                f"quality_at_scale profile needs the 6L encoder at {ckpt} — "
+                f"train it with scripts/pretrain_encoder.py + "
+                f"scripts/train_encoder.py or use tuned_at_scale()")
+        cfg.encoder_checkpoint = str(ckpt)
+        cfg.vector_weight = 0.15
+        cfg.bm25_weight = 0.85
+        return cfg
+
+    @classmethod
     def head_precision(cls) -> "RetrievalConfig":
         """The cross-encoder head-precision profile (PERFORMANCE.md
         "Reranking findings"): trades throughput (~83 q/s) and a little

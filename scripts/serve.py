@@ -48,10 +48,14 @@ def main() -> None:
     ap.add_argument("--generator", default="extractive",
                     choices=["template", "extractive", "none"])
     ap.add_argument("--profile", default="tuned",
-                    choices=["tuned", "head_precision"],
-                    help="tuned = best recall/nDCG at ~1000 q/s; "
-                         "head_precision = cross-encoder rerank for the "
-                         "best MRR/hit@1 at ~70 q/s")
+                    choices=["tuned", "tuned_at_scale", "quality_at_scale",
+                             "head_precision"],
+                    help="tuned = best recall/nDCG at ~1000 q/s (small "
+                         "index); tuned_at_scale = the 91k-chunk operating "
+                         "point (deeper candidate pool); quality_at_scale = "
+                         "6L encoder for the best at-scale nDCG/MRR at ~2x "
+                         "device cost; head_precision = cross-encoder "
+                         "rerank for the best MRR/hit@1 at ~70 q/s")
     args = ap.parse_args()
 
     from domain_rag_system_tpu.config import RetrievalConfig
@@ -62,8 +66,7 @@ def main() -> None:
     from domain_rag_system_tpu.server import RagServer
     from domain_rag_system_tpu.serving import build_pipeline
 
-    cfg = (RetrievalConfig.head_precision() if args.profile == "head_precision"
-           else RetrievalConfig.tuned())
+    cfg = getattr(RetrievalConfig, args.profile)()
     if args.batch_size:
         cfg.batch_size = args.batch_size
     if args.encoder_checkpoint:

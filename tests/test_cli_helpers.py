@@ -46,6 +46,20 @@ def test_explicit_flags_beat_tuned():
     assert kw["prf_docs"] == RetrievalConfig.tuned().prf_docs
 
 
+def test_quality_at_scale_profile():
+    from domain_rag_system_tpu.config import RetrievalConfig
+
+    cfg = RetrievalConfig.quality_at_scale()
+    base = RetrievalConfig.tuned_at_scale()
+    # inherits the at-scale pool depth and BM25 point
+    assert cfg.fetch_mult == base.fetch_mult == 8
+    assert cfg.evidence_chunks == base.evidence_chunks == 3
+    assert cfg.bm25_k1 == 1.5 and cfg.bm25_b == 0.75
+    # swaps in the 6L encoder at its CV-selected weight
+    assert cfg.encoder_checkpoint and "medrag-pre-6l" in cfg.encoder_checkpoint
+    assert cfg.vector_weight == 0.15 and cfg.bm25_weight == 0.85
+
+
 def test_head_precision_profile():
     from domain_rag_system_tpu.config import RetrievalConfig
 
