@@ -93,6 +93,13 @@ class RetrievalConfig:
                                   # chunk evidence beats MaxP on r@5/nDCG/MRR
             bm25_k1=0.9,
             bm25_b=0.5,
+            fetch_mult=6,     # doc-grouping pool = top_k*6: 4/5 CV folds
+                              # select 6 over the default 4 on the small
+                              # corpus too (out-of-fold r@5 0.5699 vs
+                              # 0.5543 — results/cv_tune_fetch_mult_small
+                              # .json); on-chip confirm r@5 0.5729 /
+                              # recall 0.7322 vs 0.5699 / 0.7277 at equal
+                              # q/s (results/small_fm{4,6}_confirm.json)
             encoder_checkpoint=str(ckpt) if ckpt.exists() else None,
             dense_dtype="auto",   # f32 under ~16k rows, bf16 at scale
             mine_terms=True,

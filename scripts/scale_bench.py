@@ -74,6 +74,10 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=3,
                     help="timed passes; the fastest is reported (tunnel "
                          "dispatch jitter)")
+    ap.add_argument("--profile", default="tuned_at_scale",
+                    choices=["tuned", "tuned_at_scale", "quality_at_scale"],
+                    help="base config before CLI overrides; use 'tuned' to "
+                         "confirm small-corpus operating points on chip")
     ap.add_argument("--all_corpora", action="store_true",
                     help="index all three recovered corpora (reference's "
                          "mixed production composition) before padding")
@@ -81,7 +85,7 @@ def main() -> None:
     if args.passes < 1:
         ap.error("--passes must be >= 1")
 
-    cfg = RetrievalConfig.tuned_at_scale().apply_overrides(args)
+    cfg = getattr(RetrievalConfig, args.profile)().apply_overrides(args)
     if cfg.encoder_checkpoint == "none":
         cfg.encoder_checkpoint = None
     # term mining over 91k synthetic chunks adds build time without
