@@ -25,14 +25,17 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_failed = False
 
 
+_SOURCES = ("drs_native.cpp", "drs_http.cpp")
+
+
 def _build() -> bool:
-    src = _NATIVE_DIR / "drs_native.cpp"
-    if not src.exists():
+    srcs = [_NATIVE_DIR / s for s in _SOURCES if (_NATIVE_DIR / s).exists()]
+    if not srcs:
         return False
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", str(_SO_PATH), str(src)],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             "-o", str(_SO_PATH)] + [str(s) for s in srcs],
             check=True, capture_output=True, timeout=120,
         )
         log.info("built native library → %s", _SO_PATH)
@@ -43,11 +46,13 @@ def _build() -> bool:
 
 
 def _stale() -> bool:
-    """True when the library is missing or older than its source."""
+    """True when the library is missing or older than any of its sources."""
     if not _SO_PATH.exists():
         return True
-    src = _NATIVE_DIR / "drs_native.cpp"
-    return src.exists() and src.stat().st_mtime > _SO_PATH.stat().st_mtime
+    lib_mtime = _SO_PATH.stat().st_mtime
+    return any((_NATIVE_DIR / s).exists()
+               and (_NATIVE_DIR / s).stat().st_mtime > lib_mtime
+               for s in _SOURCES)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

@@ -1,0 +1,267 @@
+"""Native epoll HTTP front: C++ connection handling, Python routing.
+
+The pure-Python serving daemon (server.py) spends its interactive budget in
+the web layer — http.server's thread-per-connection model and per-request
+thread wakeups under the GIL cap 16-client throughput near ~80 q/s while
+one fused device dispatch serves 50 queries at a time
+(results/serving_http_bench.json; VERDICT round-2 "weak" item 6). This
+module keeps every route's business logic in Python but moves HTTP framing
+into native/drs_http.cpp: one epoll event loop owns all connections
+(keep-alive + pipelining + TCP_NODELAY), parses requests off the GIL, and a
+single Python dispatcher thread pulls device-sized batches of parsed
+requests (``drs_http_wait`` blocks in C++ with the GIL released), serves
+each batch with ONE fused-program dispatch, and pushes JSON responses back
+to the event loop.
+
+Routing parity with the Python front is enforced structurally: every route
+except single-query ``/query``/``/rag`` goes through the SAME
+``server.route_misc`` function, and the batching semantics (knob-grouped
+batches, bucket padding, index locking) mirror
+``BatchingFrontend._serve_batch``. tests/test_native_http.py asserts
+response parity between the two fronts route by route.
+
+Usage: ``python scripts/serve.py --http native``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import threading
+from typing import Dict, List, Optional
+
+from domain_rag_system_tpu.config import RetrievalConfig
+from domain_rag_system_tpu.native import get_lib
+from domain_rag_system_tpu.pipeline import RetrievalPipeline
+from domain_rag_system_tpu.server import (
+    _QUERY_KNOBS,
+    BatchingFrontend,
+    route_misc,
+)
+from domain_rag_system_tpu.utils import get_logger
+
+log = get_logger(__name__)
+
+
+def _bind_http(lib) -> Optional[ctypes.CDLL]:
+    """Declare the drs_http_* ABI once per loaded library."""
+    if lib is None:
+        return None
+    if getattr(lib, "_drs_http_bound", False):
+        return lib
+    try:
+        lib.drs_http_create.restype = ctypes.c_void_p
+        lib.drs_http_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.drs_http_port.restype = ctypes.c_int
+        lib.drs_http_port.argtypes = [ctypes.c_void_p]
+        lib.drs_http_wait.restype = ctypes.c_longlong
+        lib.drs_http_wait.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint64)]
+        lib.drs_http_req_size.restype = ctypes.c_longlong
+        lib.drs_http_req_size.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.drs_http_req_copy.restype = None
+        lib.drs_http_req_copy.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p]
+        lib.drs_http_respond.restype = None
+        lib.drs_http_respond.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_longlong]
+        lib.drs_http_drop.restype = None
+        lib.drs_http_drop.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.drs_http_stats.restype = None
+        lib.drs_http_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong)]
+        lib.drs_http_stop.restype = None
+        lib.drs_http_stop.argtypes = [ctypes.c_void_p]
+        lib._drs_http_bound = True
+        return lib
+    except Exception as exc:  # pragma: no cover - defensive
+        log.warning("native http ABI unavailable: %s", exc)
+        return None
+
+
+def native_http_available() -> bool:
+    return _bind_http(get_lib()) is not None
+
+
+class _QueryItem:
+    __slots__ = ("req_id", "query", "filters", "is_rag", "qtype")
+
+    def __init__(self, req_id, query, filters, is_rag, qtype):
+        self.req_id = req_id
+        self.query = query
+        self.filters = filters
+        self.is_rag = is_rag
+        self.qtype = qtype
+
+
+class NativeRagServer:
+    """Drop-in alternative to server.RagServer backed by the epoll front.
+
+    Same constructor surface and endpoints; one dispatcher thread replaces
+    the collector + thread-per-connection stack. Raises ``RuntimeError``
+    when the native library cannot be built/loaded (callers fall back to
+    the Python front).
+    """
+
+    def __init__(self, pipeline: RetrievalPipeline, cfg: RetrievalConfig,
+                 generator=None, host: str = "127.0.0.1", port: int = 8080,
+                 max_wait_ms: float = 10.0, index_info: Optional[Dict] = None,
+                 prewarm: bool = False):
+        self._lib = _bind_http(get_lib())
+        if self._lib is None:
+            raise RuntimeError("native http library unavailable "
+                               "(g++ build failed or missing)")
+        self.frontend = BatchingFrontend(pipeline, cfg,
+                                         max_wait_ms=max_wait_ms,
+                                         start_collector=False)
+        if prewarm:
+            self.frontend.warm_dispatch_buckets()
+        self.generator = generator
+        self.index_info = dict(index_info or {})
+        self.index_info["http_front"] = "native-epoll"
+        self._handle = self._lib.drs_http_create(host.encode(), port)
+        if not self._handle:
+            raise RuntimeError(f"could not bind {host}:{port}")
+        self.port = int(self._lib.drs_http_port(self._handle))
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._ids_buf = (ctypes.c_uint64 * cfg.batch_size)()
+
+    # ------------------------------------------------------------- lifecycle
+
+    def serve_forever(self) -> None:
+        log.info("native http serving on :%d (batch_size=%d, max_wait=%.0fms)",
+                 self.port, self.frontend.cfg.batch_size,
+                 self.frontend.max_wait_ms)
+        self._dispatch_loop()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self._dispatch_loop,
+                             name="drs-native-http", daemon=True)
+        t.start()
+        self._thread = t
+        return t
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        if self._handle:
+            self._lib.drs_http_stop(self._handle)
+            self._handle = None
+        self.frontend.shutdown()
+
+    # ------------------------------------------------------------ dispatcher
+
+    def _respond(self, req_id: int, code: int, payload: Dict) -> None:
+        body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+        self._lib.drs_http_respond(self._handle, req_id, code, body,
+                                   len(body))
+
+    def _dispatch_loop(self) -> None:
+        cfg = self.frontend.cfg
+        straggler_us = int(self.frontend.max_wait_ms * 1000)
+        while not self._stop.is_set():
+            n = self._lib.drs_http_wait(self._handle, cfg.batch_size,
+                                        100_000, straggler_us, self._ids_buf)
+            if n <= 0:
+                continue
+            try:
+                self._serve_ids([self._ids_buf[i] for i in range(n)])
+            except Exception:  # pragma: no cover - defensive
+                log.exception("dispatch cycle failed")
+
+    def _serve_ids(self, ids: List[int]) -> None:
+        # requests with identical retrieval knobs ride one fused dispatch;
+        # everything else is routed through the shared route_misc
+        groups: Dict[tuple, List[_QueryItem]] = {}
+        group_kwargs: Dict[tuple, Dict] = {}
+        for req_id in ids:
+            size = self._lib.drs_http_req_size(self._handle, req_id)
+            if size < 0:  # connection died before we got here
+                continue
+            buf = ctypes.create_string_buffer(int(size))
+            self._lib.drs_http_req_copy(self._handle, req_id, buf)
+            method_b, path_b, body_b = buf.raw.split(b"\n", 2)
+            method, path = method_b.decode(), path_b.decode()
+            try:
+                body = json.loads(body_b) if body_b else {}
+                if not isinstance(body, dict):
+                    raise ValueError("request body must be a JSON object")
+                if method == "POST" and path in ("/query", "/rag"):
+                    is_rag = path == "/rag"
+                    if is_rag and self.generator is None:
+                        self._respond(req_id, 503,
+                                      {"error": "no generator configured"})
+                        continue
+                    query = body.pop("query")
+                    if not isinstance(query, str):
+                        raise ValueError("'query' must be a string")
+                    qtype = (body.pop("question_type", "summary")
+                             if is_rag else None)
+                    filters = body.pop("filters", None)
+                    unknown = set(body) - _QUERY_KNOBS
+                    if unknown:
+                        raise ValueError(
+                            f"unknown retrieval knobs: {sorted(unknown)}")
+                    kwargs = self.frontend.cfg.query_kwargs()
+                    kwargs.update(body)
+                    key = tuple(sorted(kwargs.items()))
+                    groups.setdefault(key, []).append(
+                        _QueryItem(req_id, query, filters, is_rag, qtype))
+                    group_kwargs[key] = kwargs
+                else:
+                    self._respond(req_id, *route_misc(
+                        self.frontend, self.generator, self.index_info,
+                        method, path, body))
+            except (KeyError, ValueError, TypeError) as exc:
+                self._respond(req_id, 400,
+                              {"error": f"{type(exc).__name__}: {exc}"})
+            except TimeoutError as exc:
+                self._respond(req_id, 504, {"error": str(exc)})
+            except Exception as exc:  # pragma: no cover - defensive
+                log.exception("request failed")
+                self._respond(req_id, 500,
+                              {"error": f"{type(exc).__name__}: {exc}"})
+        for key, items in groups.items():
+            self._serve_group(items, group_kwargs[key])
+
+    def _serve_group(self, items: List[_QueryItem], kwargs: Dict) -> None:
+        """One fused-program dispatch for a same-knob batch (mirrors
+        BatchingFrontend._serve_batch: bucket padding + index locking)."""
+        queries = [it.query for it in items]
+        filters = None
+        if any(it.filters for it in items):
+            filters = [it.filters for it in items]
+        bucket = next(b for b in self.frontend.batch_buckets
+                      if b >= len(queries))
+        if len(queries) < bucket:
+            queries = queries + [queries[0]] * (bucket - len(queries))
+            if filters is not None:
+                filters = list(filters) + [None] * (bucket - len(filters))
+        recorded = False
+        try:
+            with self.frontend.index_lock:
+                outs = self.frontend.pipeline.query_batch(
+                    queries, filters=filters, **kwargs)
+            # stats BEFORE responses (same order as the python front's
+            # _serve_batch): a client must never observe its own response
+            # while /healthz still shows the batch unaccounted
+            self.frontend.record_batch(len(items))
+            recorded = True
+            for it, out in zip(items, outs):
+                if it.is_rag:
+                    gen = self.generator.generate(
+                        it.query, out["results"], question_type=it.qtype)
+                    out["answer"] = gen["answer"]
+                    out["generation"] = gen.get("metadata", {})
+                self._respond(it.req_id, 200, out)
+        except Exception as exc:  # pragma: no cover - defensive
+            log.exception("batch of %d failed", len(items))
+            if not recorded:
+                self.frontend.record_batch(len(items), errors=len(items))
+            for it in items:
+                self._respond(it.req_id, 500,
+                              {"error": f"{type(exc).__name__}: {exc}"})

@@ -84,7 +84,7 @@ class BatchingFrontend:
     """
 
     def __init__(self, pipeline: RetrievalPipeline, cfg: RetrievalConfig,
-                 max_wait_ms: float = 10.0):
+                 max_wait_ms: float = 10.0, start_collector: bool = True):
         self.pipeline = pipeline
         self.cfg = cfg
         self.max_wait_ms = max_wait_ms
@@ -102,9 +102,13 @@ class BatchingFrontend:
                        "max_batch": 0}
         self._stats_lock = threading.Lock()
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._collector_loop,
-                                        name="drs-batcher", daemon=True)
-        self._thread.start()
+        # the native HTTP front (native_http.py) batches in its own
+        # dispatcher and never calls submit(); it skips the collector thread
+        self._thread: Optional[threading.Thread] = None
+        if start_collector:
+            self._thread = threading.Thread(target=self._collector_loop,
+                                            name="drs-batcher", daemon=True)
+            self._thread.start()
 
     # ------------------------------------------------------------ client API
 
@@ -184,9 +188,19 @@ class BatchingFrontend:
         with self._stats_lock:
             return dict(self._stats)
 
+    def record_batch(self, n: int, errors: int = 0) -> None:
+        """Account one dispatched batch (used by external batchers —
+        the native HTTP front — so /healthz stats stay comparable)."""
+        with self._stats_lock:
+            self._stats["requests"] += n
+            self._stats["batches"] += 1
+            self._stats["errors"] += errors
+            self._stats["max_batch"] = max(self._stats["max_batch"], n)
+
     def shutdown(self) -> None:
         self._stop.set()
-        self._thread.join(timeout=5)
+        if self._thread is not None:
+            self._thread.join(timeout=5)
 
     # ------------------------------------------------------- collector side
 
@@ -254,11 +268,81 @@ class BatchingFrontend:
                 req.event.set()
 
 
+def route_misc(frontend: BatchingFrontend, generator, index_info,
+               method: str, path: str, body: Dict) -> tuple:
+    """Serve every route EXCEPT single-query /query and /rag (whose
+    batching strategy differs per HTTP front) → ``(status, payload)``.
+
+    Shared by the Python handler (make_handler) and the native epoll front
+    (native_http.py) so route behavior cannot drift between them. Raises
+    the same exceptions the handlers map to HTTP codes (KeyError/ValueError/
+    TypeError → 400, TimeoutError → 504).
+    """
+    if method == "GET":
+        if path == "/healthz":
+            return 200, {"status": "ok",
+                         "server": frontend.stats(),
+                         "stage_timing": {
+                             k: round(v["mean_s"] * 1000, 3)
+                             for k, v in
+                             frontend.pipeline.timer.summary().items()},
+                         "index": index_info or {}}
+        return 404, {"error": f"no route {path}"}
+    if path == "/query_batch":
+        queries = body.pop("queries")
+        # a bare string would iterate into per-CHARACTER queries
+        if (not isinstance(queries, (list, tuple))
+                or not all(isinstance(q, str) for q in queries)):
+            raise ValueError("'queries' must be a list of strings")
+        unknown = set(body) - _QUERY_KNOBS
+        if unknown:
+            raise ValueError(f"unknown retrieval knobs: {sorted(unknown)}")
+        kwargs = frontend.cfg.query_kwargs()
+        filters = body.pop("filters", None)
+        kwargs.update(body)
+        outs = frontend.bulk_query(list(queries), filters=filters, **kwargs)
+        return 200, {"results": outs}
+    if path == "/index/add":
+        from domain_rag_system_tpu.preprocessing import Chunk
+
+        chunks = [Chunk.from_dict(c) for c in body["chunks"]]
+        with frontend.index_lock:
+            frontend.pipeline.index.add_chunks_incremental(chunks)
+        return 200, {"added": len(chunks),
+                     "n_chunks": len(frontend.pipeline.index.chunks)}
+    if path == "/index/delete":
+        ids = list(body["chunk_ids"])
+        with frontend.index_lock:
+            deleted = frontend.pipeline.index.delete_chunks(ids)
+        return 200, {"deleted": deleted}
+    if path == "/index/save":
+        from domain_rag_system_tpu.persistence import (
+            save_index,
+            snapshot_index,
+        )
+
+        out_dir = body["dir"]
+        # index_lock only for the cheap consistent snapshot (queries keep
+        # flowing during the compressed writes); save_lock serializes whole
+        # saves so concurrent requests can't interleave files in one dir
+        with frontend.save_lock:
+            with frontend.index_lock:
+                snap = snapshot_index(frontend.pipeline.index)
+            path_out = save_index(snap, out_dir)
+        return 200, {"saved": str(path_out), "n_chunks": len(snap.chunks)}
+    return 404, {"error": f"no route {path}"}
+
+
 def make_handler(frontend: BatchingFrontend, generator=None,
                  index_info: Optional[Dict] = None):
     """Build the request-handler class bound to one frontend."""
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1: keep-alive connections (Content-Length is always sent,
+        # so the protocol upgrade is safe); HTTP/1.0's one-request-per-
+        # connection model costs a TCP handshake + server thread per request
+        protocol_version = "HTTP/1.1"
+
         # serve access logs through our logger, not stderr
         def log_message(self, fmt, *args):  # noqa: N802
             log.debug("%s %s", self.address_string(), fmt % args)
@@ -279,17 +363,8 @@ def make_handler(frontend: BatchingFrontend, generator=None,
 
         def do_GET(self):  # noqa: N802
             try:
-                if self.path == "/healthz":
-                    self._send(200, {"status": "ok",
-                                     "server": frontend.stats(),
-                                     "stage_timing": {
-                                         k: round(v["mean_s"] * 1000, 3)
-                                         for k, v in
-                                         frontend.pipeline.timer.summary()
-                                         .items()},
-                                     "index": index_info or {}})
-                else:
-                    self._send(404, {"error": f"no route {self.path}"})
+                self._send(*route_misc(frontend, generator, index_info,
+                                       "GET", self.path, {}))
             except Exception as exc:  # pragma: no cover - defensive
                 log.exception("GET %s failed", self.path)
                 self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
@@ -300,54 +375,6 @@ def make_handler(frontend: BatchingFrontend, generator=None,
                 if self.path == "/query":
                     q = body.pop("query")
                     self._send(200, frontend.submit(q, body))
-                elif self.path == "/query_batch":
-                    queries = body.pop("queries")
-                    # a bare string would iterate into per-CHARACTER queries
-                    if (not isinstance(queries, (list, tuple))
-                            or not all(isinstance(q, str) for q in queries)):
-                        raise ValueError("'queries' must be a list of strings")
-                    unknown = set(body) - _QUERY_KNOBS
-                    if unknown:
-                        raise ValueError(
-                            f"unknown retrieval knobs: {sorted(unknown)}")
-                    kwargs = frontend.cfg.query_kwargs()
-                    filters = body.pop("filters", None)
-                    kwargs.update(body)
-                    outs = frontend.bulk_query(
-                        list(queries), filters=filters, **kwargs)
-                    self._send(200, {"results": outs})
-                elif self.path == "/index/add":
-                    from domain_rag_system_tpu.preprocessing import Chunk
-
-                    chunks = [Chunk.from_dict(c) for c in body["chunks"]]
-                    with frontend.index_lock:
-                        frontend.pipeline.index.add_chunks_incremental(chunks)
-                    self._send(200, {
-                        "added": len(chunks),
-                        "n_chunks": len(frontend.pipeline.index.chunks)})
-                elif self.path == "/index/delete":
-                    ids = list(body["chunk_ids"])
-                    with frontend.index_lock:
-                        deleted = frontend.pipeline.index.delete_chunks(ids)
-                    self._send(200, {"deleted": deleted})
-                elif self.path == "/index/save":
-                    from domain_rag_system_tpu.persistence import (
-                        save_index,
-                        snapshot_index,
-                    )
-
-                    out_dir = body["dir"]
-                    # index_lock only for the cheap consistent snapshot
-                    # (queries keep flowing during the compressed writes);
-                    # save_lock serializes whole saves so concurrent
-                    # requests can't interleave files in one directory
-                    with frontend.save_lock:
-                        with frontend.index_lock:
-                            snap = snapshot_index(frontend.pipeline.index)
-                        path = save_index(snap, out_dir)
-                    self._send(200, {
-                        "saved": str(path),
-                        "n_chunks": len(snap.chunks)})
                 elif self.path == "/rag":
                     if generator is None:
                         self._send(503, {"error": "no generator configured"})
@@ -361,7 +388,8 @@ def make_handler(frontend: BatchingFrontend, generator=None,
                     out["generation"] = gen.get("metadata", {})
                     self._send(200, out)
                 else:
-                    self._send(404, {"error": f"no route {self.path}"})
+                    self._send(*route_misc(frontend, generator, index_info,
+                                           "POST", self.path, body))
             except (KeyError, ValueError, TypeError) as exc:
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
             except TimeoutError as exc:

@@ -47,6 +47,12 @@ def main() -> None:
                          "hash embedder (fast startup)")
     ap.add_argument("--generator", default="extractive",
                     choices=["template", "extractive", "none"])
+    ap.add_argument("--http", default="native",
+                    choices=["native", "python"],
+                    help="web layer: 'native' = C++ epoll front "
+                         "(keep-alive, pipelining, HTTP framing off the "
+                         "GIL; falls back to python when g++/library is "
+                         "unavailable); 'python' = http.server threads")
     ap.add_argument("--profile", default="tuned",
                     choices=["tuned", "tuned_at_scale", "quality_at_scale",
                              "head_precision"],
@@ -107,9 +113,22 @@ def main() -> None:
     for bucket in dispatch_buckets(cfg.batch_size):
         pipeline.query_batch(["warmup query"] * bucket, **cfg.query_kwargs())
 
-    server = RagServer(pipeline, cfg, generator=generator, host=args.host,
-                       port=args.port, max_wait_ms=args.max_wait_ms,
-                       index_info=info)
+    server = None
+    if args.http == "native":
+        try:
+            from domain_rag_system_tpu.native_http import NativeRagServer
+
+            server = NativeRagServer(pipeline, cfg, generator=generator,
+                                     host=args.host, port=args.port,
+                                     max_wait_ms=args.max_wait_ms,
+                                     index_info=info)
+        except RuntimeError as exc:
+            print(f"native http front unavailable ({exc}); "
+                  f"falling back to the python front", file=sys.stderr)
+    if server is None:
+        server = RagServer(pipeline, cfg, generator=generator, host=args.host,
+                           port=args.port, max_wait_ms=args.max_wait_ms,
+                           index_info=info)
     server.serve_forever()
 
 

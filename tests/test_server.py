@@ -30,8 +30,11 @@ def _get(port, path):
         return json.loads(resp.read())
 
 
-@pytest.fixture(scope="module")
-def server(toy_chunks_module):
+@pytest.fixture(scope="module", params=["python", "native"])
+def server(request, toy_chunks_module):
+    """Every test in this module runs against BOTH HTTP fronts: the
+    http.server-based RagServer and the C++ epoll NativeRagServer
+    (native_http.py) — route-by-route behavioral parity is the contract."""
     embedder = MedicalEmbedder(dim=256)
     hybrid = HybridIndex(dense_index=DenseIndex(embedder, row_block=8),
                          bm25_index=BM25Index())
@@ -39,8 +42,19 @@ def server(toy_chunks_module):
     pipeline = RetrievalPipeline(hybrid)
     cfg = RetrievalConfig(top_k=3, fusion_method="weighted",
                           vector_weight=0.3, bm25_weight=0.7, batch_size=8)
-    srv = RagServer(pipeline, cfg, generator=ExtractiveGenerator(),
-                    port=0, max_wait_ms=25.0)
+    if request.param == "native":
+        from domain_rag_system_tpu.native_http import (
+            NativeRagServer,
+            native_http_available,
+        )
+
+        if not native_http_available():
+            pytest.skip("native http library unavailable")
+        srv = NativeRagServer(pipeline, cfg, generator=ExtractiveGenerator(),
+                              port=0, max_wait_ms=25.0)
+    else:
+        srv = RagServer(pipeline, cfg, generator=ExtractiveGenerator(),
+                        port=0, max_wait_ms=25.0)
     srv.start_background()
     yield srv
     srv.shutdown()
