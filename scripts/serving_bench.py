@@ -183,8 +183,8 @@ def main() -> None:
         "description": f"HTTP serving benchmark ({info['n_chunks']}-chunk "
                        f"index, tuned config, fused in-program encode + "
                        f"dense-band BM25), python vs native epoll front",
-        "client": "GIL-isolated subprocess, persistent http.client "
-                  "connections, 16 threads",
+        "client": f"GIL-isolated subprocess, persistent http.client "
+                  f"connections, {args.clients} threads",
     }
     generator = ExtractiveGenerator()
     for front in args.fronts:
