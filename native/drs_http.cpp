@@ -326,7 +326,12 @@ class HttpServer {
             continue;
           }
           if (events[i].events & EPOLLIN) on_readable(c);
-          if (conns_.count(fd) && (events[i].events & EPOLLOUT))
+          // on_readable may have closed (freed) the connection — and the
+          // fd slot could even be a NEW conn accepted in this same event
+          // batch — so re-resolve through the map, never reuse `c`
+          auto it2 = conns_.find(fd);
+          if (it2 != conns_.end() && it2->second == c &&
+              (events[i].events & EPOLLOUT))
             flush(c);
         }
       }
@@ -354,9 +359,10 @@ class HttpServer {
   }
 
   void on_readable(Conn* c) {
+    const int fd = c->fd;  // survives close_conn freeing c
     char buf[65536];
     for (;;) {
-      ssize_t r = read(c->fd, buf, sizeof(buf));
+      ssize_t r = read(fd, buf, sizeof(buf));
       if (r > 0) {
         c->rbuf.append(buf, static_cast<size_t>(r));
         if (c->rbuf.size() > kMaxHeaderBytes + kMaxBodyBytes) {
@@ -374,7 +380,10 @@ class HttpServer {
     }
     while (parse_one(c)) {
     }
-    if (!conns_.count(c->fd)) return;  // parse_one may have closed it
+    // parse_one→reject→flush may have closed (freed) c: re-resolve by the
+    // SAVED fd before touching it again
+    auto it = conns_.find(fd);
+    if (it == conns_.end() || it->second != c) return;
     if (c->read_closed && c->outstanding == 0 && c->wbuf.empty() &&
         c->ready.empty())
       close_conn(c);
