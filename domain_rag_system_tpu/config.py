@@ -145,9 +145,15 @@ class RetrievalConfig:
         MLM+ICT-initialized encoder at vector_weight 0.15 on top of
         :meth:`tuned_at_scale`. Trades ~2x device cost for the best
         measured at-scale ranking head — on chip at 91,853 chunks:
-        nDCG@10 0.798 / MRR 0.852 vs the default's 0.793 / 0.848
-        (recall@5 0.532 vs 0.538; ``results/scale_bench_6l_fm8.json``,
-        CV grid ``results/cv_tune_6l_at_scale.json``)."""
+        nDCG@10 0.7995 / MRR 0.854 vs the default's 0.793 / 0.848
+        (recall@5 0.534 vs 0.538; ``results/scale_bench_6l_fm4.json``,
+        CV grid ``results/cv_tune_6l_at_scale.json``).
+
+        With the stronger dense arm the deep candidate pool stops paying:
+        the combined CV selection keeps fetch_mult=4 / evidence_chunks=2
+        (``results/cv_tune_6l_fm_at_scale.json``), confirmed on chip
+        better than fm=8 on recall@5/nDCG/MRR
+        (``results/scale_bench_6l_fm{4,8}.json``)."""
         cfg = cls.tuned_at_scale()
         ckpt = Path(__file__).resolve().parent.parent / "checkpoints" / "medrag-pre-6l"
         if not ckpt.exists():
@@ -158,6 +164,8 @@ class RetrievalConfig:
         cfg.encoder_checkpoint = str(ckpt)
         cfg.vector_weight = 0.15
         cfg.bm25_weight = 0.85
+        cfg.fetch_mult = 4
+        cfg.evidence_chunks = 2
         return cfg
 
     @classmethod

@@ -50,10 +50,11 @@ def test_quality_at_scale_profile():
     from domain_rag_system_tpu.config import RetrievalConfig
 
     cfg = RetrievalConfig.quality_at_scale()
-    base = RetrievalConfig.tuned_at_scale()
-    # inherits the at-scale pool depth and BM25 point
-    assert cfg.fetch_mult == base.fetch_mult == 8
-    assert cfg.evidence_chunks == base.evidence_chunks == 3
+    # inherits the at-scale BM25 point but keeps the SHALLOW pool — with
+    # the 6L dense arm the CV selection drops back to fetch_mult=4
+    # (results/cv_tune_6l_fm_at_scale.json, scale_bench_6l_fm{4,8}.json)
+    assert cfg.fetch_mult == 4 and cfg.evidence_chunks == 2
+    assert RetrievalConfig.tuned_at_scale().fetch_mult == 8
     assert cfg.bm25_k1 == 1.5 and cfg.bm25_b == 0.75
     # swaps in the 6L encoder at its CV-selected weight
     assert cfg.encoder_checkpoint and "medrag-pre-6l" in cfg.encoder_checkpoint
