@@ -40,6 +40,9 @@ class RetrievalConfig:
                                           # before grouping to distinct docs
     evidence_chunks: int = 2              # chunks beyond the best that count
                                           # toward a doc's evidence score
+    bm25_type_boost: float = 1.0          # BM25F-style field prior: title
+                                          # chunks' BM25 scores x boost
+                                          # (1.0 = off, bit-identical program)
     reranker: str = "none"                # "none" | "simple" | "crossencoder"
     rerank_top_n: int = 50
     cross_checkpoint: Optional[str] = None  # trained CE for "crossencoder"
@@ -206,6 +209,7 @@ class RetrievalConfig:
             evidence_alpha=self.evidence_alpha,
             evidence_chunks=self.evidence_chunks,
             fetch_mult=self.fetch_mult,
+            bm25_type_boost=self.bm25_type_boost,
             rerank_top_n=self.rerank_top_n,
         )
 

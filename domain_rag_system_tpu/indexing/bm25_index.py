@@ -76,6 +76,7 @@ class BM25Index:
         self.stats: Dict[str, float] = {}
         self._filters: Optional[FilterSet] = None
         self._valid_rows_dev: Optional[jnp.ndarray] = None  # [N_rows] uint8 cache
+        self._title_rows_dev: Optional[jnp.ndarray] = None  # [N_rows] uint8 cache
         self._split_cache = None  # split-overflow arrays (see split_arrays)
 
     # ------------------------------------------------------------------ build
@@ -177,6 +178,7 @@ class BM25Index:
         self.stats = stats
         self._filters = FilterSet(self.chunks)
         self._valid_rows_dev = None  # recomputed lazily (alive set changed)
+        self._title_rows_dev = None  # recomputed lazily (chunk set changed)
         self._split_cache = None     # recomputed lazily (arrays changed)
         self.band_mat = self.band_slot = None
         self._rest_arrays = None
@@ -216,6 +218,21 @@ class BM25Index:
                 mask[:n] = 1
             self._valid_rows_dev = jnp.asarray(mask)
         return self._valid_rows_dev
+
+    def title_rows(self) -> jnp.ndarray:
+        """[N_rows] uint8: 1 where the row is a title-type chunk, 0 for
+        every other chunk / tombstone / mesh-padding row. The fused batch
+        program scales title rows' BM25 scores by ``bm25_type_boost``
+        (BM25F-style field prior — the reference scores all chunk types
+        identically). Cached on device like :meth:`valid_rows`."""
+        if self._title_rows_dev is None:
+            n_rows = int(self.doc_terms.shape[0])
+            mask = np.zeros(n_rows, dtype=np.uint8)
+            for i, chunk in enumerate(self.chunks[:n_rows]):
+                if chunk.chunk_type == "title":
+                    mask[i] = 1
+            self._title_rows_dev = jnp.asarray(mask)
+        return self._title_rows_dev
 
     def split_arrays(self):
         """Split-overflow scoring arrays (``ops.sparse_bm25.split_overflow``)

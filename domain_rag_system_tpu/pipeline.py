@@ -75,7 +75,7 @@ def _device_cosine_rerank(
     "over_k", "fetch_k", "fusion_method",
     "rerank_top_n", "vocab_size", "has_dense", "has_sparse", "use_rerank",
     "use_split", "prf_terms", "prf_docs", "has_qfilter",
-    "enc_module", "encode_orig", "band_k"))
+    "enc_module", "encode_orig", "band_k", "use_type_boost"))
 def _fused_batch_retrieval(
     embeddings,    # [N_pad, d] or [1, 1] placeholder
     valid_mask,    # [N_pad] or [1]
@@ -100,6 +100,8 @@ def _fused_batch_retrieval(
     q_tok=None,       # [B, L] (or [2B, L] with encode_orig) query token ids
     band_mat=None,    # [N, K] dense-band contributions (high-df terms)
     band_slot=None,   # [V+1] term id → band slot (-1 = not banded)
+    type_rows=None,   # [N] uint8 title-chunk rows (BM25F-style prior)
+    type_boost=None,  # traced scalar — title rows' BM25 scores × boost
     *,
     over_k: int,
     fetch_k: int,
@@ -117,6 +119,7 @@ def _fused_batch_retrieval(
     enc_module=None,
     encode_orig: bool = False,
     band_k: int = 0,
+    use_type_boost: bool = False,
 ):
     """The whole query batch as ONE device program.
 
@@ -193,7 +196,19 @@ def _fused_batch_retrieval(
             return bm25_scores(doc_terms, doc_contrib, ids, w,
                                vocab_size=vocab_size)
 
+        if use_type_boost:
+            # BM25F-style field prior: title rows' (non-negative) Okapi
+            # scores scale by the traced boost — applied before masking
+            # and before PRF feedback-doc selection, so the prior shapes
+            # the feedback pool too. Off (static) by default: the
+            # boost-free program stays bit-identical.
+            type_mult = jnp.where(type_rows > 0,
+                                  jnp.asarray(type_boost, jnp.float32),
+                                  1.0)[None, :]
+
         s = sparse_score(q_ids, q_w)
+        if use_type_boost:
+            s = s * type_mult
         # Tombstoned chunks and mesh-padding rows score exactly 0 and would
         # otherwise stay ranked (zero-score ALIVE docs do stay, reference
         # argsort parity) — invalidate them before top-k so they can never
@@ -207,6 +222,8 @@ def _fused_batch_retrieval(
                 fb_docs=prf_docs, fb_terms=prf_terms, alpha=prf_alpha,
                 vocab_size=vocab_size)
             s = sparse_score(q_ids2, q_w2)
+            if use_type_boost:
+                s = s * type_mult
             s = jnp.where(sparse_valid.reshape(1, -1) > 0, s, -1e30)
             if has_qfilter:
                 s = jnp.where(q_filter_s > 0, s, -1e30)
@@ -332,6 +349,7 @@ class RetrievalPipeline:
         evidence_alpha: float = 0.0,
         evidence_chunks: int = 2,
         fetch_mult: int = 4,
+        bm25_type_boost: float = 1.0,
         use_batch_path: bool = True,
     ) -> Dict:
         # All queries — filtered or not — ride the fused batch program with
@@ -348,7 +366,7 @@ class RetrievalPipeline:
                 prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
                 group_by_doc=group_by_doc, evidence_alpha=evidence_alpha,
                 evidence_chunks=evidence_chunks, fetch_mult=fetch_mult,
-                filters=filters,
+                bm25_type_boost=bm25_type_boost, filters=filters,
             )[0]
         # NB: the host orchestration below is the reference-shaped parity
         # path; PRF is a batch-program feature and is intentionally not
@@ -414,6 +432,7 @@ class RetrievalPipeline:
         evidence_alpha: float = 0.0,
         evidence_chunks: int = 2,
         fetch_mult: int = 4,
+        bm25_type_boost: float = 1.0,
         filters=None,
     ) -> List[Dict]:
         """Batched retrieval: heavy stages run once over the whole batch.
@@ -441,7 +460,7 @@ class RetrievalPipeline:
             prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
             group_by_doc=group_by_doc, evidence_alpha=evidence_alpha,
             evidence_chunks=evidence_chunks, fetch_mult=fetch_mult,
-            filters=filters)
+            bm25_type_boost=bm25_type_boost, filters=filters)
         return self.finalize_batch(handle) if handle is not None else []
 
     def query_stream(
@@ -493,6 +512,7 @@ class RetrievalPipeline:
         evidence_alpha: float = 0.0,
         evidence_chunks: int = 2,
         fetch_mult: int = 4,
+        bm25_type_boost: float = 1.0,
         filters=None,
         async_copy: bool = False,
     ) -> Optional[Dict]:
@@ -658,6 +678,12 @@ class RetrievalPipeline:
                 if has_sparse and hasattr(sparse, "band_arrays") else None)
         band_mat, band_slot = band if band is not None else (None, None)
         band_k = int(band_mat.shape[1]) if band_mat is not None else 0
+        # BM25F-style chunk-type prior: only wired into the program when
+        # the boost is active (static flag) — the default program is
+        # bit-identical to the boost-free one
+        use_type_boost = bool(has_sparse and bm25_type_boost != 1.0
+                              and hasattr(sparse, "title_rows"))
+        type_rows = sparse.title_rows() if use_type_boost else None
         with self.timer.stage("dispatch"):
             fused_ids_dev, fused_scores_dev, rerank_dev = _fused_batch_retrieval(
                 dense.embeddings if has_dense else jnp.zeros((1, 1), jnp.float32),
@@ -672,8 +698,9 @@ class RetrievalPipeline:
                 vector_weight, bm25_weight,
                 q_filter_d, q_filter_s,
                 enc_params, q_tok, band_mat, band_slot,
+                type_rows, jnp.float32(bm25_type_boost),
                 enc_module=enc_module, encode_orig=encode_orig,
-                band_k=band_k,
+                band_k=band_k, use_type_boost=use_type_boost,
                 over_k=over_k, fetch_k=fetch_k, fusion_method=fusion_method,
                 rerank_top_n=(self.reranker.top_n if use_device_rerank else 0),
                 vocab_size=len(sparse.vocab) if has_sparse else 0,

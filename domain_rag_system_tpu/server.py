@@ -43,7 +43,7 @@ log = get_logger(__name__)
 _QUERY_KNOBS = frozenset((
     "top_k", "fusion_method", "vector_weight", "bm25_weight", "prf_terms",
     "prf_docs", "prf_alpha", "group_by_doc", "evidence_alpha",
-    "rerank_top_n", "filters",
+    "bm25_type_boost", "rerank_top_n", "filters",
 ))
 
 

@@ -58,10 +58,10 @@ def config_grid(args):
     """The tuned-config neighborhood. evidence_alpha and the fusion weights
     are free (host-side / traced); (prf_terms, prf_docs) pairs compile."""
     grid = []
-    for vw, prf_t, prf_d, prf_a, ev, fm, ec, fus in itertools.product(
+    for vw, prf_t, prf_d, prf_a, ev, fm, ec, fus, tb in itertools.product(
             args.vector_weights, args.prf_terms, args.prf_docs,
             args.prf_alphas, args.evidence_alphas, args.fetch_mults,
-            args.evidence_chunks, args.fusion_methods):
+            args.evidence_chunks, args.fusion_methods, args.type_boosts):
         grid.append({
             "vector_weight": vw,
             "bm25_weight": round(1.0 - vw, 3),
@@ -72,6 +72,7 @@ def config_grid(args):
             "fetch_mult": fm,
             "evidence_chunks": ec,
             "fusion_method": fus,
+            "bm25_type_boost": tb,
         })
     return grid
 
@@ -99,6 +100,9 @@ def main() -> None:
     ap.add_argument("--evidence_chunks", type=int, nargs="+", default=[2],
                     help="chunks beyond the best that count toward a doc's "
                          "evidence score (host-side — no recompile)")
+    ap.add_argument("--type_boosts", type=float, nargs="+", default=[1.0],
+                    help="BM25F-style title-chunk score multipliers "
+                         "(1.0 = off; traced scalar, no recompiles)")
     ap.add_argument("--fusion_methods", nargs="+", default=["weighted"],
                     choices=["weighted", "rrf"],
                     help="fusion branch (compiled program per value)")

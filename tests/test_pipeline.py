@@ -415,3 +415,61 @@ def test_fused_in_program_encode_matches_separate_encode(toy_chunks):
             [r.get("rerank_score", r["score"]) for r in a["results"]],
             [r.get("rerank_score", r["score"]) for r in b["results"]],
             rtol=1e-4)
+
+
+def test_bm25_type_boost_knob():
+    """BM25F-style field prior: bm25_type_boost multiplies title-chunk BM25
+    scores inside the fused program. boost=1.0 must be byte-identical to
+    not passing the knob (the default program is unchanged); boost>1 lifts
+    a title chunk over an abstract chunk that otherwise outscores it."""
+    from domain_rag_system_tpu.config import RetrievalConfig
+    from domain_rag_system_tpu.preprocessing import Chunk
+
+    chunks = [
+        # abstract mentions metformin twice → higher plain BM25 score
+        Chunk(chunk_id="abs", doc_id="d_abs", source="pubmed",
+              chunk_type="abstract",
+              text="metformin dosing and metformin tolerability in adults",
+              metadata={}),
+        Chunk(chunk_id="ttl", doc_id="d_ttl", source="pubmed",
+              chunk_type="title",
+              text="metformin glycemic control",
+              metadata={}),
+        Chunk(chunk_id="other", doc_id="d_o", source="pubmed",
+              chunk_type="abstract",
+              text="aspirin platelet aggregation cardiovascular",
+              metadata={}),
+    ]
+    hybrid = HybridIndex(bm25_index=BM25Index())  # BM25-only: pure effect
+    hybrid.index_chunks(chunks)
+    pipe = RetrievalPipeline(hybrid)
+    q = ["metformin"]
+
+    base = pipe.query_batch(q, top_k=3, fusion_method="weighted",
+                            vector_weight=0.0, bm25_weight=1.0)[0]["results"]
+    noop = pipe.query_batch(q, top_k=3, fusion_method="weighted",
+                            vector_weight=0.0, bm25_weight=1.0,
+                            bm25_type_boost=1.0)[0]["results"]
+    assert [(r["chunk_id"], r["score"]) for r in base] == \
+           [(r["chunk_id"], r["score"]) for r in noop]
+    assert base[0]["chunk_id"] == "abs"  # plain BM25 prefers the abstract
+
+    boosted = pipe.query_batch(q, top_k=3, fusion_method="weighted",
+                               vector_weight=0.0, bm25_weight=1.0,
+                               bm25_type_boost=3.0)[0]["results"]
+    assert boosted[0]["chunk_id"] == "ttl"  # prior lifts the title row
+    # non-title ordering below is untouched
+    assert [r["chunk_id"] for r in boosted][1:] == ["abs", "other"]
+
+    # traced scalar: a second boost value reuses the same compiled program
+    damped = pipe.query_batch(q, top_k=3, fusion_method="weighted",
+                              vector_weight=0.0, bm25_weight=1.0,
+                              bm25_type_boost=0.5)[0]["results"]
+    assert damped[0]["chunk_id"] == "abs"
+    # a halved title score still beats the zero-score 'other' chunk
+    # (Okapi semantics: zero-score alive docs stay ranked, last)
+    assert [r["chunk_id"] for r in damped] == ["abs", "ttl", "other"]
+
+    # config plumbing
+    kw = RetrievalConfig(bm25_type_boost=1.25).query_kwargs()
+    assert kw["bm25_type_boost"] == 1.25
