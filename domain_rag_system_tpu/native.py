@@ -29,20 +29,31 @@ _SOURCES = ("drs_native.cpp", "drs_http.cpp")
 
 
 def _build() -> bool:
+    def compile_srcs(srcs) -> bool:
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 "-o", str(_SO_PATH)] + [str(s) for s in srcs],
+                check=True, capture_output=True, timeout=120,
+            )
+            log.info("built native library → %s",
+                     ", ".join(s.name for s in srcs))
+            return True
+        except Exception as exc:
+            log.warning("native build failed for %s: %s",
+                        [s.name for s in srcs], exc)
+            return False
+
     srcs = [_NATIVE_DIR / s for s in _SOURCES if (_NATIVE_DIR / s).exists()]
     if not srcs:
         return False
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             "-o", str(_SO_PATH)] + [str(s) for s in srcs],
-            check=True, capture_output=True, timeout=120,
-        )
-        log.info("built native library → %s", _SO_PATH)
+    if compile_srcs(srcs):
         return True
-    except Exception as exc:
-        log.warning("native build failed: %s", exc)
-        return False
+    # the HTTP front needs Linux epoll/eventfd; if it won't compile here,
+    # fall back to the tokenizer-only library rather than losing ALL
+    # native acceleration (native_http detects the missing symbols)
+    core = [s for s in srcs if s.name == "drs_native.cpp"]
+    return bool(core) and len(core) < len(srcs) and compile_srcs(core)
 
 
 def _stale() -> bool:

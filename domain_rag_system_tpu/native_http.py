@@ -28,6 +28,7 @@ from __future__ import annotations
 import ctypes
 import json
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional
 
 from domain_rag_system_tpu.config import RetrievalConfig
@@ -128,6 +129,9 @@ class NativeRagServer:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._ids_buf = (ctypes.c_uint64 * cfg.batch_size)()
+        # non-batched routes run off the dispatcher (see _serve_ids)
+        self._misc_pool = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="drs-native-misc")
 
     # ------------------------------------------------------------- lifecycle
 
@@ -147,24 +151,41 @@ class NativeRagServer:
     def shutdown(self) -> None:
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=5)
+            self._thread.join(timeout=30)
+            if self._thread.is_alive():
+                # the dispatcher is wedged inside a device call (remote-TPU
+                # compiles can stall for minutes) — freeing the native
+                # server now would hand its next _respond a dangling
+                # pointer. Leak the handle instead: safe, bounded, loud.
+                log.warning("dispatcher still running after 30s; leaking "
+                            "the native http handle instead of freeing it "
+                            "under a live thread")
+                self._handle = None
+                self.frontend.shutdown()
+                return
         if self._handle:
             self._lib.drs_http_stop(self._handle)
             self._handle = None
+        self._misc_pool.shutdown(wait=False)
         self.frontend.shutdown()
 
     # ------------------------------------------------------------ dispatcher
 
     def _respond(self, req_id: int, code: int, payload: Dict) -> None:
+        handle = self._handle
+        if not handle:  # shut down underneath us — nothing to write to
+            return
         body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
-        self._lib.drs_http_respond(self._handle, req_id, code, body,
-                                   len(body))
+        self._lib.drs_http_respond(handle, req_id, code, body, len(body))
 
     def _dispatch_loop(self) -> None:
         cfg = self.frontend.cfg
         straggler_us = int(self.frontend.max_wait_ms * 1000)
         while not self._stop.is_set():
-            n = self._lib.drs_http_wait(self._handle, cfg.batch_size,
+            handle = self._handle
+            if not handle:  # shutdown leaked the handle out from under us
+                break
+            n = self._lib.drs_http_wait(handle, cfg.batch_size,
                                         100_000, straggler_us, self._ids_buf)
             if n <= 0:
                 continue
@@ -184,9 +205,11 @@ class NativeRagServer:
                 continue
             buf = ctypes.create_string_buffer(int(size))
             self._lib.drs_http_req_copy(self._handle, req_id, buf)
-            method_b, path_b, body_b = buf.raw.split(b"\n", 2)
-            method, path = method_b.decode(), path_b.decode()
             try:
+                # decode INSIDE the per-request try: one non-UTF-8 request
+                # line must 400 alone, not abort the whole batch cycle
+                method_b, path_b, body_b = buf.raw.split(b"\n", 2)
+                method, path = method_b.decode(), path_b.decode()
                 body = json.loads(body_b) if body_b else {}
                 if not isinstance(body, dict):
                     raise ValueError("request body must be a JSON object")
@@ -213,9 +236,14 @@ class NativeRagServer:
                         _QueryItem(req_id, query, filters, is_rag, qtype))
                     group_kwargs[key] = kwargs
                 else:
-                    self._respond(req_id, *route_misc(
-                        self.frontend, self.generator, self.index_info,
-                        method, path, body))
+                    # misc routes (healthz, bulk, index admin) run on a
+                    # small worker pool: a multi-second /index/save or a
+                    # 200-query /query_batch must not park the dispatcher
+                    # and starve interactive /query traffic (the python
+                    # front serves these on connection threads; the locks
+                    # inside route_misc keep mutations serialized)
+                    self._misc_pool.submit(self._serve_misc, req_id,
+                                           method, path, body)
             except (KeyError, ValueError, TypeError) as exc:
                 self._respond(req_id, 400,
                               {"error": f"{type(exc).__name__}: {exc}"})
@@ -227,6 +255,24 @@ class NativeRagServer:
                               {"error": f"{type(exc).__name__}: {exc}"})
         for key, items in groups.items():
             self._serve_group(items, group_kwargs[key])
+
+    def _serve_misc(self, req_id: int, method: str, path: str,
+                    body: Dict) -> None:
+        """Worker-pool execution of a non-batched route (same exception →
+        status mapping as the python front's handler)."""
+        try:
+            self._respond(req_id, *route_misc(
+                self.frontend, self.generator, self.index_info,
+                method, path, body))
+        except (KeyError, ValueError, TypeError) as exc:
+            self._respond(req_id, 400,
+                          {"error": f"{type(exc).__name__}: {exc}"})
+        except TimeoutError as exc:
+            self._respond(req_id, 504, {"error": str(exc)})
+        except Exception as exc:  # pragma: no cover - defensive
+            log.exception("misc route %s failed", path)
+            self._respond(req_id, 500,
+                          {"error": f"{type(exc).__name__}: {exc}"})
 
     def _serve_group(self, items: List[_QueryItem], kwargs: Dict) -> None:
         """One fused-program dispatch for a same-knob batch (mirrors

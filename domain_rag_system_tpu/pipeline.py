@@ -369,8 +369,8 @@ class RetrievalPipeline:
                 bm25_type_boost=bm25_type_boost, filters=filters,
             )[0]
         # NB: the host orchestration below is the reference-shaped parity
-        # path; PRF is a batch-program feature and is intentionally not
-        # applied here (the reference has no PRF either).
+        # path; PRF and bm25_type_boost are batch-program features and are
+        # intentionally not applied here (the reference has neither).
 
         with self.timer.stage("preprocess"):
             if preprocess:

@@ -288,6 +288,11 @@ def route_misc(frontend: BatchingFrontend, generator, index_info,
                              frontend.pipeline.timer.summary().items()},
                          "index": index_info or {}}
         return 404, {"error": f"no route {path}"}
+    if method != "POST":
+        # parity with http.server, which answers 501 for any method the
+        # handler doesn't implement — without this gate a PUT/DELETE would
+        # fall through to the POST routes (including index mutations)
+        return 501, {"error": f"unsupported method {method}"}
     if path == "/query_batch":
         queries = body.pop("queries")
         # a bare string would iterate into per-CHARACTER queries

@@ -69,6 +69,7 @@ struct Conn {
   uint64_t gen = 0;             // guards late responses to a reused fd
   std::string rbuf;             // unparsed input
   bool read_closed = false;     // peer half-closed; flush then close
+  bool rejected = false;        // protocol error: never parse more bytes
   uint64_t next_assign_seq = 0; // per-connection request order
   uint64_t next_send_seq = 0;   // next response that may go on the wire
   std::map<uint64_t, Response> ready;  // completed, not yet writable
@@ -250,10 +251,12 @@ class HttpServer {
   }
 
   void stats(long long* out3) {
+    // open_conns_ is atomic: conns_ belongs to the epoll thread and must
+    // not be read from other threads (unordered_map reads race rehashes)
     std::lock_guard<std::mutex> lk(mu_);
     out3[0] = accepted_;
     out3[1] = requests_;
-    out3[2] = static_cast<long long>(conns_.size());
+    out3[2] = open_conns_.load(std::memory_order_relaxed);
   }
 
   void stop() {
@@ -349,6 +352,7 @@ class HttpServer {
       c->fd = fd;
       c->gen = ++gen_counter_;
       conns_[fd] = c;
+      open_conns_.fetch_add(1, std::memory_order_relaxed);
       epoll_event ev{};
       ev.events = EPOLLIN;
       ev.data.fd = fd;
@@ -360,6 +364,15 @@ class HttpServer {
 
   void on_readable(Conn* c) {
     const int fd = c->fd;  // survives close_conn freeing c
+    if (c->rejected) {
+      // a protocol reject sealed this connection: later bytes must NEVER
+      // be parsed as fresh requests (request smuggling after a reject).
+      // Drain and discard so epoll stops signalling.
+      char sink[4096];
+      while (read(fd, sink, sizeof(sink)) > 0) {
+      }
+      return;
+    }
     char buf[65536];
     for (;;) {
       ssize_t r = read(fd, buf, sizeof(buf));
@@ -378,12 +391,17 @@ class HttpServer {
         return;
       }
     }
-    while (parse_one(c)) {
+    // stop at the first reject: bytes already buffered behind a rejected
+    // request are discarded, not parsed (the reject response closes the
+    // connection anyway). A plain half-close (EOF after a complete
+    // request) still parses — that's a legitimate client pattern.
+    while (!c->rejected && parse_one(c)) {
     }
     // parse_one→reject→flush may have closed (freed) c: re-resolve by the
     // SAVED fd before touching it again
     auto it = conns_.find(fd);
     if (it == conns_.end() || it->second != c) return;
+    if (c->rejected) c->rbuf.clear();
     if (c->read_closed && c->outstanding == 0 && c->wbuf.empty() &&
         c->ready.empty())
       close_conn(c);
@@ -469,6 +487,7 @@ class HttpServer {
     c->ready[c->next_assign_seq++] =
         Response{wire_response(code, body, std::strlen(body), false), true};
     c->rbuf.clear();
+    c->rejected = true;
     c->read_closed = true;
     flush(c);
   }
@@ -532,6 +551,7 @@ class HttpServer {
   void close_conn(Conn* c) {
     epoll_ctl(epfd_, EPOLL_CTL_DEL, c->fd, nullptr);
     conns_.erase(c->fd);
+    open_conns_.fetch_sub(1, std::memory_order_relaxed);
     close(c->fd);
     delete c;
     // pending_ entries for this conn stay; respond() checks gen and drops
@@ -553,6 +573,7 @@ class HttpServer {
   uint64_t next_id_ = 1;
   long long accepted_ = 0;
   long long requests_ = 0;
+  std::atomic<long long> open_conns_{0};
 
   // owned by the epoll thread (except stop())
   std::unordered_map<int, Conn*> conns_;

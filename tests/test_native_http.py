@@ -229,3 +229,79 @@ def test_parser_fuzz_random_bytes_never_wedge(native_server):
         status, body = _recv_response(f)
         assert status == 200
         assert body["results"][0]["chunk_id"] == "c0"
+
+
+def test_bytes_after_reject_are_never_executed(native_server):
+    """Request smuggling guard: once the parser rejects a request, later
+    bytes on that connection must be discarded, not parsed and executed."""
+    before = native_server.frontend.stats()
+    with socket.create_connection(("127.0.0.1", native_server.port)) as s:
+        f = s.makefile("rb")
+        # rejected request immediately followed by a well-formed query
+        s.sendall(b"POST /q HTTP/1.1\r\nTransfer-Encoding: chunked\r\n\r\n"
+                  + _request_bytes("/query", {"query": "aspirin"}))
+        status, _ = _recv_response(f)
+        assert status == 501
+        # connection closes without ever answering the smuggled request
+        assert f.readline() == b""
+    import time
+    time.sleep(0.3)  # give a (wrongly) queued request time to execute
+    after = native_server.frontend.stats()
+    assert after["requests"] == before["requests"]  # nothing dispatched
+
+
+def test_non_post_methods_cannot_hit_post_routes(native_server):
+    """PUT/DELETE against POST-only routes (incl. index mutations) must be
+    rejected with 501, matching http.server's unimplemented-method reply."""
+    for method, path, payload in (
+            ("DELETE", "/index/delete", {"chunk_ids": ["c0"]}),
+            ("PUT", "/index/add", {"chunks": []}),
+            ("PATCH", "/query", {"query": "x"})):
+        with socket.create_connection(
+                ("127.0.0.1", native_server.port)) as s:
+            f = s.makefile("rb")
+            body = json.dumps(payload).encode()
+            s.sendall((f"{method} {path} HTTP/1.1\r\nHost: t\r\n"
+                       f"Content-Length: {len(body)}\r\n\r\n"
+                       ).encode() + body)
+            status, out = _recv_response(f)
+            assert status == 501, (method, path)
+            assert "unsupported method" in out["error"]
+    # the index is untouched
+    with socket.create_connection(("127.0.0.1", native_server.port)) as s:
+        f = s.makefile("rb")
+        s.sendall(_request_bytes("/query", {"query": "aspirin"}))
+        status, body = _recv_response(f)
+        assert status == 200 and body["results"][0]["chunk_id"] == "c0"
+
+
+def test_non_utf8_request_line_fails_alone(native_server):
+    """A non-UTF-8 path must 400 its own request without aborting the
+    dispatch cycle (other batched requests still get answers)."""
+    bad = socket.create_connection(("127.0.0.1", native_server.port))
+    fbad = bad.makefile("rb")
+    good = socket.create_connection(("127.0.0.1", native_server.port))
+    fgood = good.makefile("rb")
+    # send both inside one straggler window so they share a batch
+    bad.sendall(b"POST /caf\xe9 HTTP/1.1\r\nHost: t\r\n"
+                b"Content-Length: 2\r\n\r\n{}")
+    good.sendall(_request_bytes("/query", {"query": "metformin"}))
+    status_g, body_g = _recv_response(fgood)
+    assert status_g == 200
+    assert body_g["results"][0]["chunk_id"] == "c1"
+    status_b, _ = _recv_response(fbad)
+    assert status_b == 400
+    bad.close()
+    good.close()
+
+
+def test_half_close_after_request_still_served(native_server):
+    """A client that sends a request then shutdown(SHUT_WR) (EOF) must
+    still receive its response — half-close is not a reject."""
+    with socket.create_connection(("127.0.0.1", native_server.port)) as s:
+        f = s.makefile("rb")
+        s.sendall(_request_bytes("/query", {"query": "statins"}))
+        s.shutdown(socket.SHUT_WR)
+        status, body = _recv_response(f)
+        assert status == 200
+        assert body["results"][0]["chunk_id"] == "c2"
