@@ -58,6 +58,8 @@ namespace {
 
 constexpr size_t kMaxHeaderBytes = 64 * 1024;
 constexpr size_t kMaxBodyBytes = 32 * 1024 * 1024;
+constexpr int kIdleSweepMs = 10000;      // reaper cadence (epoll timeout)
+constexpr long long kIdleCloseSec = 120; // close conns idle this long
 
 struct Response {
   std::string bytes;   // full wire response
@@ -78,6 +80,7 @@ struct Conn {
   bool close_when_drained = false;
   int outstanding = 0;          // requests parsed but not yet responded
   bool epollout = false;
+  std::chrono::steady_clock::time_point last_activity{};
 };
 
 struct Pending {
@@ -300,16 +303,22 @@ class HttpServer {
 
   void run() {
     std::vector<epoll_event> events(256);
+    auto last_sweep = std::chrono::steady_clock::now();
     for (;;) {
       {
         std::lock_guard<std::mutex> lk(mu_);
         if (stopping_) return;
       }
       int n = epoll_wait(epfd_, events.data(),
-                         static_cast<int>(events.size()), -1);
+                         static_cast<int>(events.size()), kIdleSweepMs);
       if (n < 0) {
         if (errno == EINTR) continue;
         return;
+      }
+      auto now = std::chrono::steady_clock::now();
+      if (now - last_sweep > std::chrono::milliseconds(kIdleSweepMs)) {
+        last_sweep = now;
+        sweep_idle(now);
       }
       for (int i = 0; i < n; ++i) {
         int fd = events[i].data.fd;
@@ -341,6 +350,21 @@ class HttpServer {
     }
   }
 
+  // Reap connections idle past the deadline with nothing in flight: a
+  // slowloris (trickled headers) or an abandoned keep-alive otherwise
+  // pins an fd + buffers forever. Connections with outstanding requests
+  // are exempt — the device may legitimately take long.
+  void sweep_idle(std::chrono::steady_clock::time_point now) {
+    std::vector<Conn*> victims;
+    for (auto& kv : conns_) {
+      Conn* c = kv.second;
+      if (c->outstanding == 0 && c->ready.empty() && c->wbuf.empty() &&
+          now - c->last_activity > std::chrono::seconds(kIdleCloseSec))
+        victims.push_back(c);
+    }
+    for (Conn* c : victims) close_conn(c);
+  }
+
   void accept_all() {
     for (;;) {
       int fd = accept(listen_fd_, nullptr, nullptr);
@@ -351,6 +375,7 @@ class HttpServer {
       auto* c = new Conn();
       c->fd = fd;
       c->gen = ++gen_counter_;
+      c->last_activity = std::chrono::steady_clock::now();
       conns_[fd] = c;
       open_conns_.fetch_add(1, std::memory_order_relaxed);
       epoll_event ev{};
@@ -377,6 +402,7 @@ class HttpServer {
     for (;;) {
       ssize_t r = read(fd, buf, sizeof(buf));
       if (r > 0) {
+        c->last_activity = std::chrono::steady_clock::now();
         c->rbuf.append(buf, static_cast<size_t>(r));
         if (c->rbuf.size() > kMaxHeaderBytes + kMaxBodyBytes) {
           reject(c, 413);
