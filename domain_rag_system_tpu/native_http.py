@@ -37,6 +37,7 @@ from domain_rag_system_tpu.pipeline import RetrievalPipeline
 from domain_rag_system_tpu.server import (
     _QUERY_KNOBS,
     BatchingFrontend,
+    PlainText,
     route_misc,
 )
 from domain_rag_system_tpu.utils import get_logger
@@ -67,7 +68,7 @@ def _bind_http(lib) -> Optional[ctypes.CDLL]:
         lib.drs_http_respond.restype = None
         lib.drs_http_respond.argtypes = [
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int,
-            ctypes.c_char_p, ctypes.c_longlong]
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong]
         lib.drs_http_drop.restype = None
         lib.drs_http_drop.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.drs_http_stats.restype = None
@@ -171,12 +172,17 @@ class NativeRagServer:
 
     # ------------------------------------------------------------ dispatcher
 
-    def _respond(self, req_id: int, code: int, payload: Dict) -> None:
+    def _respond(self, req_id: int, code: int, payload) -> None:
         handle = self._handle
         if not handle:  # shut down underneath us — nothing to write to
             return
-        body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
-        self._lib.drs_http_respond(handle, req_id, code, body, len(body))
+        if isinstance(payload, PlainText):
+            ctype, body = b"text/plain; version=0.0.4", payload.encode()
+        else:
+            ctype = b"application/json"
+            body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+        self._lib.drs_http_respond(handle, req_id, code, ctype, body,
+                                   len(body))
 
     def _dispatch_loop(self) -> None:
         cfg = self.frontend.cfg

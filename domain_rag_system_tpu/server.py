@@ -12,6 +12,7 @@ many users" — batch onto the MXU, don't fork processes).
 
 Endpoints (JSON in/out):
     GET  /healthz      → index + server stats (also the readiness probe)
+    GET  /metrics      → Prometheus text exposition (counters + stage times)
     POST /query        → {"query": str, ...retrieval overrides} → results
     POST /query_batch  → {"queries": [str, ...]} → list of results
     POST /rag          → /query + LLM-free answer generation
@@ -45,6 +46,11 @@ _QUERY_KNOBS = frozenset((
     "prf_docs", "prf_alpha", "group_by_doc", "evidence_alpha",
     "bm25_type_boost", "rerank_top_n", "filters",
 ))
+
+
+class PlainText(str):
+    """Marker for route payloads sent verbatim as text/plain (e.g. the
+    Prometheus /metrics exposition) instead of JSON-encoded."""
 
 
 def dispatch_buckets(batch_size: int):
@@ -287,6 +293,25 @@ def route_misc(frontend: BatchingFrontend, generator, index_info,
                              for k, v in
                              frontend.pipeline.timer.summary().items()},
                          "index": index_info or {}}
+        if path == "/metrics":
+            # Prometheus text exposition (served with JSON content type by
+            # both fronts — scrapers parse the body, not the header)
+            stats = frontend.stats()
+            lines = []
+            for k, v in stats.items():
+                lines.append(f"# TYPE drs_{k} counter"
+                             if k in ("requests", "batches", "errors")
+                             else f"# TYPE drs_{k} gauge")
+                lines.append(f"drs_{k} {v}")
+            for stage, t in frontend.pipeline.timer.summary().items():
+                lines.append(f"# TYPE drs_stage_{stage}_seconds gauge")
+                lines.append(f"drs_stage_{stage}_seconds {t['mean_s']:.6f}")
+            n_chunks = (index_info or {}).get("n_chunks")
+            if n_chunks is None:
+                n_chunks = len(frontend.pipeline.index.chunks)
+            lines.append("# TYPE drs_index_chunks gauge")
+            lines.append(f"drs_index_chunks {n_chunks}")
+            return 200, PlainText("\n".join(lines) + "\n")
         return 404, {"error": f"no route {path}"}
     if method != "POST":
         # parity with http.server, which answers 501 for any method the
@@ -352,10 +377,14 @@ def make_handler(frontend: BatchingFrontend, generator=None,
         def log_message(self, fmt, *args):  # noqa: N802
             log.debug("%s %s", self.address_string(), fmt % args)
 
-        def _send(self, code: int, payload: Dict) -> None:
-            body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+        def _send(self, code: int, payload) -> None:
+            if isinstance(payload, PlainText):
+                ctype, body = "text/plain; version=0.0.4", payload.encode()
+            else:
+                ctype = "application/json"
+                body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

@@ -18,7 +18,7 @@
 //   drs_http_wait(h, max_n, first_wait_us, straggler_us, ids_out) -> n
 //   drs_http_req_size(h, id)           -> bytes of "METHOD\nPATH\nBODY"
 //   drs_http_req_copy(h, id, out)      -> copies the request blob
-//   drs_http_respond(h, id, status, body, len)  (JSON content type)
+//   drs_http_respond(h, id, status, ctype, body, len)
 //   drs_http_drop(h, id)               -> discard without responding
 //   drs_http_stats(h, out3)            -> {accepted, requests, open_conns}
 //   drs_http_stop(h)                   -> shut down + free
@@ -106,15 +106,17 @@ const char* status_text(int code) {
   }
 }
 
-std::string wire_response(int code, const char* body, size_t len,
-                          bool keep_alive) {
+std::string wire_response(int code, const char* ctype, const char* body,
+                          size_t len, bool keep_alive) {
   std::string out;
   out.reserve(len + 128);
   out += "HTTP/1.1 ";
   out += std::to_string(code);
   out += ' ';
   out += status_text(code);
-  out += "\r\nContent-Type: application/json\r\nContent-Length: ";
+  out += "\r\nContent-Type: ";
+  out += (ctype && *ctype) ? ctype : "application/json";
+  out += "\r\nContent-Length: ";
   out += std::to_string(len);
   out += keep_alive ? "\r\nConnection: keep-alive\r\n\r\n"
                     : "\r\nConnection: close\r\n\r\n";
@@ -223,14 +225,15 @@ class HttpServer {
       std::memcpy(out, it->second.blob.data(), it->second.blob.size());
   }
 
-  void respond(uint64_t id, int status, const char* body, long long len) {
+  void respond(uint64_t id, int status, const char* ctype,
+               const char* body, long long len) {
     {
       std::lock_guard<std::mutex> lk(mu_);
       auto it = pending_.find(id);
       if (it == pending_.end()) return;
       Pending& p = it->second;
       outbox_.push_back(Out{p.fd, p.gen, p.seq,
-                            wire_response(status, body,
+                            wire_response(status, ctype, body,
                                           static_cast<size_t>(len),
                                           p.keep_alive),
                             !p.keep_alive});
@@ -247,7 +250,8 @@ class HttpServer {
       // an empty 500 keeps the per-connection response order intact
       Pending& p = it->second;
       outbox_.push_back(Out{p.fd, p.gen, p.seq,
-                            wire_response(500, "{}", 2, false), true});
+                            wire_response(500, nullptr, "{}", 2, false),
+                            true});
       pending_.erase(it);
     }
     wake();
@@ -511,7 +515,8 @@ class HttpServer {
   void reject(Conn* c, int code) {
     const char* body = "{\"error\": \"malformed request\"}";
     c->ready[c->next_assign_seq++] =
-        Response{wire_response(code, body, std::strlen(body), false), true};
+        Response{wire_response(code, nullptr, body, std::strlen(body),
+                               false), true};
     c->rbuf.clear();
     c->rejected = true;
     c->read_closed = true;
@@ -634,9 +639,9 @@ void drs_http_req_copy(void* h, uint64_t id, char* out) {
   static_cast<HttpServer*>(h)->req_copy(id, out);
 }
 
-void drs_http_respond(void* h, uint64_t id, int status, const char* body,
-                      long long len) {
-  static_cast<HttpServer*>(h)->respond(id, status, body, len);
+void drs_http_respond(void* h, uint64_t id, int status, const char* ctype,
+                      const char* body, long long len) {
+  static_cast<HttpServer*>(h)->respond(id, status, ctype, body, len);
 }
 
 void drs_http_drop(void* h, uint64_t id) {

@@ -33,8 +33,8 @@ long long drs_http_wait(void* h, long long max_n, long long first_wait_us,
                         long long straggler_us, uint64_t* ids_out);
 long long drs_http_req_size(void* h, uint64_t id);
 void drs_http_req_copy(void* h, uint64_t id, char* out);
-void drs_http_respond(void* h, uint64_t id, int status, const char* body,
-                      long long len);
+void drs_http_respond(void* h, uint64_t id, int status, const char* ctype,
+                      const char* body, long long len);
 void drs_http_stats(void* h, long long* out3);
 void drs_http_stop(void* h);
 }
@@ -96,7 +96,7 @@ int main() {
         std::string blob(static_cast<size_t>(sz), '\0');
         drs_http_req_copy(h, ids[i], blob.data());
         std::string body = "{\"ok\": true}";
-        drs_http_respond(h, ids[i], 200, body.data(),
+        drs_http_respond(h, ids[i], 200, nullptr, body.data(),
                          static_cast<long long>(body.size()));
       }
     }

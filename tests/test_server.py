@@ -295,3 +295,21 @@ def test_bulk_query_filters_align_after_split(server):
     # the filtered query still returns only matching chunk types
     assert all(r["chunk_type"] == "abstract"
                for r in outs[8]["results"])
+
+
+def test_metrics_endpoint_prometheus_format(server):
+    """GET /metrics serves a Prometheus text exposition with request
+    counters, per-stage timings and the index size — on BOTH fronts."""
+    # exercise at least one query first so stage timings exist
+    _post(server.port, "/query", {"query": "aspirin"})
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/metrics", timeout=30) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    lines = dict(l.split(" ", 1) for l in text.strip().splitlines()
+                 if not l.startswith("#"))
+    assert int(lines["drs_requests"]) >= 1
+    assert int(lines["drs_batches"]) >= 1
+    assert int(lines["drs_index_chunks"]) >= 6
+    assert float(lines["drs_stage_retrieve_seconds"]) > 0
+    assert "# TYPE drs_requests counter" in text
