@@ -47,18 +47,28 @@ def _build() -> bool:
     srcs = [_NATIVE_DIR / s for s in _SOURCES if (_NATIVE_DIR / s).exists()]
     if not srcs:
         return False
+    marker = _SO_PATH.with_suffix(".so.partial")
     if compile_srcs(srcs):
+        marker.unlink(missing_ok=True)
         return True
     # the HTTP front needs Linux epoll/eventfd; if it won't compile here,
     # fall back to the tokenizer-only library rather than losing ALL
-    # native acceleration (native_http detects the missing symbols)
+    # native acceleration (native_http detects the missing symbols). The
+    # marker makes _stale() retry the FULL build next process start, so a
+    # transient g++ failure can't lock the degraded library in forever.
     core = [s for s in srcs if s.name == "drs_native.cpp"]
-    return bool(core) and len(core) < len(srcs) and compile_srcs(core)
+    if core and len(core) < len(srcs) and compile_srcs(core):
+        marker.touch()
+        return True
+    return False
 
 
 def _stale() -> bool:
-    """True when the library is missing or older than any of its sources."""
+    """True when the library is missing, older than any of its sources,
+    or a partial (tokenizer-only fallback) build that should be retried."""
     if not _SO_PATH.exists():
+        return True
+    if _SO_PATH.with_suffix(".so.partial").exists():
         return True
     lib_mtime = _SO_PATH.stat().st_mtime
     return any((_NATIVE_DIR / s).exists()

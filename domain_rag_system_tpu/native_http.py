@@ -87,6 +87,17 @@ def native_http_available() -> bool:
     return _bind_http(get_lib()) is not None
 
 
+def _error_payload(exc: Exception):
+    """Exception → (status, payload), matching the python front's handler
+    (KeyError/ValueError/TypeError → 400, TimeoutError → 504, else 500)."""
+    if isinstance(exc, (KeyError, ValueError, TypeError)):
+        return 400, {"error": f"{type(exc).__name__}: {exc}"}
+    if isinstance(exc, TimeoutError):
+        return 504, {"error": str(exc)}
+    log.exception("request failed")
+    return 500, {"error": f"{type(exc).__name__}: {exc}"}
+
+
 class _QueryItem:
     __slots__ = ("req_id", "query", "filters", "is_rag", "qtype")
 
@@ -162,12 +173,15 @@ class NativeRagServer:
                             "the native http handle instead of freeing it "
                             "under a live thread")
                 self._handle = None
+                self._misc_pool.shutdown(wait=False)
                 self.frontend.shutdown()
                 return
+        # drain misc workers BEFORE freeing the native server: a worker
+        # mid-_respond would otherwise call into a destroyed HttpServer
+        self._misc_pool.shutdown(wait=True)
         if self._handle:
             self._lib.drs_http_stop(self._handle)
             self._handle = None
-        self._misc_pool.shutdown(wait=False)
         self.frontend.shutdown()
 
     # ------------------------------------------------------------ dispatcher
@@ -241,44 +255,36 @@ class NativeRagServer:
                     groups.setdefault(key, []).append(
                         _QueryItem(req_id, query, filters, is_rag, qtype))
                     group_kwargs[key] = kwargs
+                elif path in ("/index/add", "/index/delete"):
+                    # index MUTATIONS run inline, before this cycle's query
+                    # dispatch: a client that pipelines add-then-query must
+                    # see its own write (responses are already ordered by
+                    # the C++ side; execution order must match)
+                    self._serve_misc(req_id, method, path, body)
                 else:
-                    # misc routes (healthz, bulk, index admin) run on a
-                    # small worker pool: a multi-second /index/save or a
-                    # 200-query /query_batch must not park the dispatcher
-                    # and starve interactive /query traffic (the python
-                    # front serves these on connection threads; the locks
-                    # inside route_misc keep mutations serialized)
+                    # slow READ-ONLY routes (a multi-second /index/save
+                    # snapshot, a 200-query /query_batch) run on a small
+                    # worker pool so they never park the dispatcher and
+                    # starve interactive /query traffic (the python front
+                    # serves these on connection threads; the locks inside
+                    # route_misc keep them consistent)
                     self._misc_pool.submit(self._serve_misc, req_id,
                                            method, path, body)
-            except (KeyError, ValueError, TypeError) as exc:
-                self._respond(req_id, 400,
-                              {"error": f"{type(exc).__name__}: {exc}"})
-            except TimeoutError as exc:
-                self._respond(req_id, 504, {"error": str(exc)})
-            except Exception as exc:  # pragma: no cover - defensive
-                log.exception("request failed")
-                self._respond(req_id, 500,
-                              {"error": f"{type(exc).__name__}: {exc}"})
+            except Exception as exc:
+                self._respond(req_id, *_error_payload(exc))
         for key, items in groups.items():
             self._serve_group(items, group_kwargs[key])
 
     def _serve_misc(self, req_id: int, method: str, path: str,
                     body: Dict) -> None:
-        """Worker-pool execution of a non-batched route (same exception →
-        status mapping as the python front's handler)."""
+        """Non-batched route execution (same exception → status mapping
+        as the python front's handler, via _error_payload)."""
         try:
             self._respond(req_id, *route_misc(
                 self.frontend, self.generator, self.index_info,
                 method, path, body))
-        except (KeyError, ValueError, TypeError) as exc:
-            self._respond(req_id, 400,
-                          {"error": f"{type(exc).__name__}: {exc}"})
-        except TimeoutError as exc:
-            self._respond(req_id, 504, {"error": str(exc)})
-        except Exception as exc:  # pragma: no cover - defensive
-            log.exception("misc route %s failed", path)
-            self._respond(req_id, 500,
-                          {"error": f"{type(exc).__name__}: {exc}"})
+        except Exception as exc:
+            self._respond(req_id, *_error_payload(exc))
 
     def _serve_group(self, items: List[_QueryItem], kwargs: Dict) -> None:
         """One fused-program dispatch for a same-knob batch (mirrors

@@ -294,8 +294,8 @@ def route_misc(frontend: BatchingFrontend, generator, index_info,
                              frontend.pipeline.timer.summary().items()},
                          "index": index_info or {}}
         if path == "/metrics":
-            # Prometheus text exposition (served with JSON content type by
-            # both fronts — scrapers parse the body, not the header)
+            # Prometheus text exposition; the PlainText marker makes both
+            # fronts send it with text/plain (version 0.0.4)
             stats = frontend.stats()
             lines = []
             for k, v in stats.items():

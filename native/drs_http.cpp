@@ -319,11 +319,6 @@ class HttpServer {
         if (errno == EINTR) continue;
         return;
       }
-      auto now = std::chrono::steady_clock::now();
-      if (now - last_sweep > std::chrono::milliseconds(kIdleSweepMs)) {
-        last_sweep = now;
-        sweep_idle(now);
-      }
       for (int i = 0; i < n; ++i) {
         int fd = events[i].data.fd;
         if (fd == listen_fd_) {
@@ -351,18 +346,28 @@ class HttpServer {
             flush(c);
         }
       }
+      // sweep AFTER handling this wakeup's events: a request that arrived
+      // exactly at the idle deadline must refresh last_activity first,
+      // not be reaped with its bytes already in the kernel buffer
+      auto now = std::chrono::steady_clock::now();
+      if (now - last_sweep > std::chrono::milliseconds(kIdleSweepMs)) {
+        last_sweep = now;
+        sweep_idle(now);
+      }
     }
   }
 
-  // Reap connections idle past the deadline with nothing in flight: a
-  // slowloris (trickled headers) or an abandoned keep-alive otherwise
-  // pins an fd + buffers forever. Connections with outstanding requests
-  // are exempt — the device may legitimately take long.
+  // Reap connections with no progress past the deadline: a slowloris
+  // (trickled headers), an abandoned keep-alive, or a client that never
+  // reads its response (stalled wbuf) otherwise pins an fd + buffers
+  // forever. last_activity advances on reads AND successful writes; only
+  // connections with a request in flight (outstanding > 0) are exempt —
+  // the device may legitimately take long.
   void sweep_idle(std::chrono::steady_clock::time_point now) {
     std::vector<Conn*> victims;
     for (auto& kv : conns_) {
       Conn* c = kv.second;
-      if (c->outstanding == 0 && c->ready.empty() && c->wbuf.empty() &&
+      if (c->outstanding == 0 &&
           now - c->last_activity > std::chrono::seconds(kIdleCloseSec))
         victims.push_back(c);
     }
@@ -396,9 +401,15 @@ class HttpServer {
     if (c->rejected) {
       // a protocol reject sealed this connection: later bytes must NEVER
       // be parsed as fresh requests (request smuggling after a reject).
-      // Drain and discard so epoll stops signalling.
+      // Drain and discard; on EOF drop EPOLLIN so the level-triggered
+      // readable state can't spin the loop while responses drain.
       char sink[4096];
-      while (read(fd, sink, sizeof(sink)) > 0) {
+      ssize_t r;
+      while ((r = read(fd, sink, sizeof(sink))) > 0) {
+      }
+      if (r == 0 && !c->read_closed) {
+        c->read_closed = true;
+        update_interest(c);
       }
       return;
     }
@@ -414,6 +425,7 @@ class HttpServer {
         }
       } else if (r == 0) {
         c->read_closed = true;
+        update_interest(c);  // EOF is level-triggered: stop watching reads
         break;
       } else {
         if (errno == EAGAIN || errno == EWOULDBLOCK) break;
@@ -553,6 +565,7 @@ class HttpServer {
       ssize_t w = write(c->fd, c->wbuf.data() + c->woff,
                         c->wbuf.size() - c->woff);
       if (w > 0) {
+        c->last_activity = std::chrono::steady_clock::now();
         c->woff += static_cast<size_t>(w);
       } else if (w < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
         set_epollout(c, true);
@@ -573,8 +586,16 @@ class HttpServer {
   void set_epollout(Conn* c, bool on) {
     if (c->epollout == on) return;
     c->epollout = on;
+    update_interest(c);
+  }
+
+  // EPOLLIN only while the read side is live: after EOF or a reject the
+  // fd stays level-triggered readable forever, and re-arming it would
+  // spin the event loop at 100% CPU until the connection can close.
+  void update_interest(Conn* c) {
     epoll_event ev{};
-    ev.events = EPOLLIN | (on ? EPOLLOUT : 0u);
+    ev.events = (c->read_closed ? 0u : EPOLLIN) |
+                (c->epollout ? EPOLLOUT : 0u);
     ev.data.fd = c->fd;
     epoll_ctl(epfd_, EPOLL_CTL_MOD, c->fd, &ev);
   }

@@ -305,3 +305,27 @@ def test_half_close_after_request_still_served(native_server):
         status, body = _recv_response(f)
         assert status == 200
         assert body["results"][0]["chunk_id"] == "c2"
+
+
+def test_pipelined_mutation_then_query_sees_the_write(native_server):
+    """A client that pipelines /index/add followed by /query on one
+    connection must see its own write: mutations execute inline, BEFORE
+    the same cycle's batched query dispatch."""
+    chunk = {"chunk_id": "c_pipe", "doc_id": "d_pipe", "source": "pubmed",
+             "chunk_type": "abstract",
+             "text": "warfarin anticoagulation requires INR monitoring",
+             "metadata": {}}
+    with socket.create_connection(("127.0.0.1", native_server.port)) as s:
+        f = s.makefile("rb")
+        s.sendall(_request_bytes("/index/add", {"chunks": [chunk]})
+                  + _request_bytes("/query",
+                                   {"query": "warfarin INR monitoring"}))
+        status1, body1 = _recv_response(f)
+        status2, body2 = _recv_response(f)
+        assert status1 == 200 and body1["added"] == 1
+        assert status2 == 200
+        assert body2["results"][0]["chunk_id"] == "c_pipe"
+        # clean up for other tests
+        s.sendall(_request_bytes("/index/delete", {"chunk_ids": ["c_pipe"]}))
+        status3, body3 = _recv_response(f)
+        assert status3 == 200 and body3["deleted"] == 1
