@@ -240,7 +240,15 @@ class DocumentChunker:
                 chunks.append(
                     self._make_piece(doc, section_type, len(chunks), " ".join(current))
                 )
-                if self.overlap > 0 and len(current) > 1:
+                # One-sentence overlap carry — but ONLY when the carried
+                # sentence still fits alongside the incoming one: the carry
+                # is a REPEAT of already-emitted text, and keeping it
+                # unconditionally produced chunks up to carried+sentence
+                # chars (measured 651 > 512 on synthetic input; 37/3,513
+                # recovered-corpus chunks violated the ≤max contract).
+                if (self.overlap > 0 and len(current) > 1
+                        and len(current[-1]) + 1 + len(sentence)
+                        <= self.max_chunk_size):
                     current = [current[-1]]
                     current_len = len(current[0])
                 else:

@@ -44,7 +44,8 @@ log = get_logger(__name__)
 _QUERY_KNOBS = frozenset((
     "top_k", "fusion_method", "vector_weight", "bm25_weight", "prf_terms",
     "prf_docs", "prf_alpha", "group_by_doc", "evidence_alpha",
-    "bm25_type_boost", "rerank_top_n", "filters",
+    "evidence_chunks", "fetch_mult", "bm25_type_boost", "rerank_top_n",
+    "filters",
 ))
 
 
@@ -84,9 +85,13 @@ class BatchingFrontend:
     """Collects concurrent single-query requests into device-sized batches.
 
     Requests with identical retrieval kwargs are batched together; a
-    request with different knobs forms its own batch (knobs are static
-    arguments of the fused program — mixing them in one dispatch is
-    impossible by construction).
+    request with different knobs forms its own batch (knobs select a
+    distinct fused program — mixing them in one dispatch is impossible by
+    construction). Per-request ``filters`` are NOT part of the batch key:
+    they ride the same dispatch as [B, N] mask rows (a filterless request
+    in a mixed batch just gets an all-ones row), which is why
+    :meth:`warm_dispatch_buckets` compiles the filtered program variant
+    too — ``has_qfilter`` is a static argument.
     """
 
     def __init__(self, pipeline: RetrievalPipeline, cfg: RetrievalConfig,
@@ -153,9 +158,18 @@ class BatchingFrontend:
         for bucket in self.batch_buckets:
             with self.index_lock:
                 self.pipeline.query_batch([sample_query] * bucket, **kwargs)
+            # the FILTERED program variant is a separate compile
+            # (has_qfilter is static): without this, the first /query
+            # carrying "filters" stalls every client behind a fresh XLA
+            # compile under index_lock
+            with self.index_lock:
+                self.pipeline.query_batch(
+                    [sample_query] * bucket,
+                    filters=[{"source": "pubmed"}] + [None] * (bucket - 1),
+                    **kwargs)
         wall = _time.monotonic() - t0
-        log.info("warmed %d dispatch buckets in %.1fs", len(self.batch_buckets),
-                 wall)
+        log.info("warmed %d dispatch buckets (plus filtered variants) "
+                 "in %.1fs", len(self.batch_buckets), wall)
         return wall
 
     def bulk_query(self, queries: Sequence[str], filters=None,

@@ -39,13 +39,17 @@ def build_embedder(cfg: RetrievalConfig) -> MedicalEmbedder:
 
 
 def _embedding_cache_key(chunks: Sequence[Chunk], cfg: RetrievalConfig) -> str:
-    """Content key for the corpus-embedding cache: encoder identity + an
-    md5 over every chunk id and text (any corpus or checkpoint change
-    invalidates)."""
+    """Content key for the corpus-embedding cache: encoder identity +
+    dense dtype + an md5 over every chunk id and text (any corpus,
+    checkpoint or dtype change invalidates). The cached array holds the
+    DEVICE rows (already cast to the index dtype), so a bf16-built cache
+    must never satisfy an explicit float32 build — bf16 rounding flips
+    near-tie rankings (PERFORMANCE.md band-precision note)."""
     import hashlib
 
     h = hashlib.md5()
     h.update(str(cfg.encoder_checkpoint or f"hash{cfg.embedding_dim}").encode())
+    h.update(str(cfg.dense_dtype).encode())
     for c in chunks:
         h.update(c.chunk_id.encode())
         h.update(c.text.encode("utf-8", "ignore"))

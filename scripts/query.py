@@ -36,8 +36,19 @@ def build_pipeline(args) -> RetrievalPipeline:
         normalizer.load_drug_mapping(str(mapping))
     preprocessor = QueryPreprocessor(medical_normalizer=normalizer)
 
+    # resolution mirrors query_kwargs_from_args: explicit flag > --tuned
+    # profile (reranker='none' — the committed operating point) > the
+    # reference-parity default 'simple'
+    kind = args.reranker_kind
+    if kind is None:
+        if getattr(args, "tuned", False):
+            from domain_rag_system_tpu.config import RetrievalConfig
+
+            kind = RetrievalConfig.tuned().reranker
+        else:
+            kind = "simple"
     reranker = build_reranker(
-        kind=args.reranker_kind,
+        kind=kind,
         top_n=(args.rerank_top_n if args.rerank_top_n is not None
                else _REFERENCE_DEFAULTS["rerank_top_n"]),
         cross_model=args.cross_model,
@@ -59,8 +70,10 @@ def add_query_flags(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--bm25_weight", type=float, default=None)
     ap.add_argument("--filters", type=json.loads, default=None,
                     help='JSON object, e.g. \'{"source": "pubmed"}\'')
-    ap.add_argument("--reranker_kind", default="simple",
-                    choices=["none", "simple", "crossencoder"])
+    ap.add_argument("--reranker_kind", default=None,
+                    choices=["none", "simple", "crossencoder"],
+                    help="default: 'simple' (reference parity), or the "
+                         "tuned profile's choice under --tuned")
     ap.add_argument("--rerank_top_n", type=int, default=None)
     ap.add_argument("--cross_model", default="cross-encoder/ms-marco-MiniLM-L-6-v2")
     # Quality knobs beyond the reference's flag surface (defaults = off,

@@ -72,7 +72,7 @@ def main() -> None:
                     help="software-pipelined executor: dispatch of batch "
                          "i+1 overlaps finalization of batch i")
     ap.add_argument("--passes", type=int, default=3,
-                    help="timed passes; the fastest is reported (tunnel "
+                    help="timed passes; the median is reported (tunnel "
                          "dispatch jitter)")
     ap.add_argument("--profile", default="tuned_at_scale",
                     choices=["tuned", "tuned_at_scale", "quality_at_scale"],

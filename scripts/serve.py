@@ -104,15 +104,10 @@ def main() -> None:
                  "extractive": ExtractiveGenerator(),
                  "none": None}[args.generator]
 
-    # Warm every dispatch bucket BEFORE binding the port: the collector
-    # only emits these batch shapes, so no client ever pays a compile —
-    # and until the port opens, probes get a clean (retryable) refusal
-    # instead of hanging in an unserved listen backlog.
-    from domain_rag_system_tpu.server import dispatch_buckets
-
-    for bucket in dispatch_buckets(cfg.batch_size):
-        pipeline.query_batch(["warmup query"] * bucket, **cfg.query_kwargs())
-
+    # prewarm=True compiles every dispatch-bucket shape (including the
+    # filtered-program variants) BEFORE binding the port: no client ever
+    # pays an XLA compile, and until the port opens probes get a clean
+    # (retryable) refusal instead of hanging in an unserved backlog.
     server = None
     if args.http == "native":
         try:
@@ -121,14 +116,14 @@ def main() -> None:
             server = NativeRagServer(pipeline, cfg, generator=generator,
                                      host=args.host, port=args.port,
                                      max_wait_ms=args.max_wait_ms,
-                                     index_info=info)
+                                     index_info=info, prewarm=True)
         except RuntimeError as exc:
             print(f"native http front unavailable ({exc}); "
                   f"falling back to the python front", file=sys.stderr)
     if server is None:
         server = RagServer(pipeline, cfg, generator=generator, host=args.host,
                            port=args.port, max_wait_ms=args.max_wait_ms,
-                           index_info=info)
+                           index_info=info, prewarm=True)
     server.serve_forever()
 
 

@@ -366,3 +366,26 @@ def test_sentence_split_ignores_unicode_whitespace_starts():
     # "sentence start" char (a real mid-sentence continuation)
     assert len(split_sentences(
         "The dose was 5 mg.  per day it was increased.")) == 1
+
+
+def test_overlap_carry_cannot_overflow_max_chunk_size():
+    """The one-sentence overlap carry must be DROPPED when it no longer
+    fits alongside the incoming sentence: carried(250) + incoming(400)
+    used to emit a 651-char chunk (cap 512). The carry is repeated text,
+    so dropping it loses nothing."""
+    from domain_rag_system_tpu.preprocessing import DocumentChunker
+    from domain_rag_system_tpu.preprocessing.documents import Document
+
+    def sent(ch, n):
+        base = "A" + ch * 3 + " "
+        return (base * (n // 5 + 2))[: n - 1].rstrip() + "."
+
+    doc = Document(doc_id="d", source="pubmed", title="t",
+                   content=" ".join([sent("a", 200), sent("b", 250),
+                                     sent("c", 400)]),
+                   metadata={})
+    chunker = DocumentChunker()
+    chunks = chunker.chunk_documents([doc])
+    assert all(len(c.text) <= chunker.max_chunk_size for c in chunks)
+    # the 400-char sentence still lands in a chunk of its own
+    assert any("Accc" in c.text for c in chunks)
