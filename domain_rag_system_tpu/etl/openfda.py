@@ -185,6 +185,12 @@ def build_openfda_queries(
             lower_names.append((i, name, name.lower()))
 
     def docs_with_name(lname: str) -> List[str]:
+        # Substring match on the first line: the recovered 80-doc corpus
+        # reuses generic product names verbatim ("topical analgesic" x9),
+        # where every same-named doc IS correct ground truth. The only
+        # strict-containment pair ("...menthol" ⊂ "...menthol 6 camphor 2")
+        # is also semantically correct for the shorter name's query;
+        # audited 2026-08-17 — re-audit if the corpus grows.
         out = []
         for d in corpus:
             first_line = d["text"].split("\n", 1)[0].lower()
