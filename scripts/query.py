@@ -36,19 +36,8 @@ def build_pipeline(args) -> RetrievalPipeline:
         normalizer.load_drug_mapping(str(mapping))
     preprocessor = QueryPreprocessor(medical_normalizer=normalizer)
 
-    # resolution mirrors query_kwargs_from_args: explicit flag > --tuned
-    # profile (reranker='none' — the committed operating point) > the
-    # reference-parity default 'simple'
-    kind = args.reranker_kind
-    if kind is None:
-        if getattr(args, "tuned", False):
-            from domain_rag_system_tpu.config import RetrievalConfig
-
-            kind = RetrievalConfig.tuned().reranker
-        else:
-            kind = "simple"
     reranker = build_reranker(
-        kind=kind,
+        kind=resolve_reranker_kind(args),
         top_n=(args.rerank_top_n if args.rerank_top_n is not None
                else _REFERENCE_DEFAULTS["rerank_top_n"]),
         cross_model=args.cross_model,
@@ -56,6 +45,18 @@ def build_pipeline(args) -> RetrievalPipeline:
     )
     return RetrievalPipeline(hybrid, query_preprocessor=preprocessor,
                              reranker=reranker)
+
+
+def resolve_reranker_kind(args) -> str:
+    """Explicit --reranker_kind > --tuned profile (reranker='none', the
+    committed operating point) > the reference-parity default 'simple'."""
+    if args.reranker_kind is not None:
+        return args.reranker_kind
+    if getattr(args, "tuned", False):
+        from domain_rag_system_tpu.config import RetrievalConfig
+
+        return RetrievalConfig.tuned().reranker
+    return "simple"
 
 
 def add_query_flags(ap: argparse.ArgumentParser) -> None:

@@ -71,3 +71,23 @@ def test_head_precision_profile():
     assert cfg.reranker == "crossencoder"
     assert cfg.rerank_top_n == 20 and cfg.rerank_blend == 0.5
     assert cfg.cross_checkpoint and "medrag-cross4" in cfg.cross_checkpoint
+
+
+def test_tuned_applies_profile_reranker():
+    """--tuned must apply the tuned profile's reranker ('none'), not the
+    reference-parity default 'simple'; an explicit --reranker_kind wins."""
+    import argparse
+
+    from query import add_query_flags, resolve_reranker_kind
+
+    def parse(argv):
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--query")
+        add_query_flags(ap)
+        return ap.parse_args(argv)
+
+    assert resolve_reranker_kind(parse(["--query", "x"])) == "simple"
+    assert resolve_reranker_kind(parse(["--query", "x", "--tuned"])) == "none"
+    assert resolve_reranker_kind(
+        parse(["--query", "x", "--tuned", "--reranker_kind", "simple"])
+    ) == "simple"
