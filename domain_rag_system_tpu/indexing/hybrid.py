@@ -38,6 +38,7 @@ class HybridIndex:
         self.dense_index = dense_index
         self.bm25_index = bm25_index
         self.chunks: List[Chunk] = []
+        self._doc_group_dev = None  # lazy [N_rows] row→doc-code device map
 
     # ------------------------------------------------------------------ build
 
@@ -53,7 +54,30 @@ class HybridIndex:
             self.bm25_index.index_chunks(self.chunks)
         else:
             log.warning("no BM25 index configured")
+        self._doc_group_dev = None
         log.info("hybrid index built over %d chunks", len(self.chunks))
+
+    def doc_group_rows(self) -> jnp.ndarray:
+        """[N_rows] int32 DEVICE map: global chunk row → integer doc code
+        (-1 for rows past the live chunk list, e.g. mesh padding). Cached;
+        invalidated by every chunk-set mutation. The fused batch program
+        uses it for device-side doc grouping — the host previously walked
+        ``batch × fetch_k`` Python dict lookups per batch to group chunks
+        into documents."""
+        if self._doc_group_dev is None:
+            n_rows = len(self.chunks)
+            for sub in (self.dense_index, self.bm25_index):
+                arr = getattr(sub, "embeddings", None)
+                if arr is None:
+                    arr = getattr(sub, "doc_terms", None)
+                if arr is not None:
+                    n_rows = max(n_rows, int(arr.shape[0]))
+            codes = np.full(n_rows, -1, dtype=np.int32)
+            doc_code: Dict[str, int] = {}
+            for i, chunk in enumerate(self.chunks):
+                codes[i] = doc_code.setdefault(chunk.doc_id, len(doc_code))
+            self._doc_group_dev = jnp.asarray(codes)
+        return self._doc_group_dev
 
     def add_chunks_incremental(self, chunks: Sequence[Chunk]) -> None:
         """Upsert chunks into both live sub-indexes (no full rebuild).
@@ -78,6 +102,7 @@ class HybridIndex:
             self.dense_index.add_chunks(chunks)
         if self.bm25_index is not None:
             self.bm25_index.add_chunks(chunks)
+        self._doc_group_dev = None
 
     def delete_chunks(self, chunk_ids: Sequence[str]) -> int:
         """Tombstone chunks in both sub-indexes; returns count removed."""

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from domain_rag_system_tpu.indexing import HybridIndex
-from domain_rag_system_tpu.ops.dense_topk import cosine_topk, lax_topk
+from domain_rag_system_tpu.ops.dense_topk import NEG_INF, cosine_topk, lax_topk
 from domain_rag_system_tpu.ops.fusion import rrf_fuse_device, weighted_fuse_device
 from domain_rag_system_tpu.ops.prf import bm25_prf_expand
 from domain_rag_system_tpu.ops.sparse_bm25 import bm25_scores, bm25_scores_split
@@ -43,6 +43,29 @@ def _SB_PLACEHOLDER():
             jnp.zeros(0, jnp.int32),
             jnp.full((0, 8), -1, jnp.int32),
             jnp.zeros((0, 8), jnp.float32))
+
+
+# Cached per-shape placeholder/constant device arrays: every eager array
+# creation in dispatch_batch costs a separate device dispatch (~1 ms each
+# on the remote-TPU transport), repeated for EVERY batch otherwise.
+@functools.lru_cache(maxsize=64)
+def _ones_u8(shape):
+    return jnp.ones(shape, jnp.uint8)
+
+
+@functools.lru_cache(maxsize=64)
+def _zeros_f32(shape):
+    return jnp.zeros(shape, jnp.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _full_i32(shape, value):
+    return jnp.full(shape, value, jnp.int32)
+
+
+@functools.lru_cache(maxsize=64)
+def _scalar_f32(value):
+    return jnp.float32(value)
 
 
 @functools.partial(jax.jit, static_argnames=("top_n",))
@@ -71,11 +94,54 @@ def _device_cosine_rerank(
     return jnp.where(in_pool, scores, -1e30)
 
 
+def _device_doc_group(
+    fused_ids: jax.Array,      # [B, C] int32 fused chunk rows, -1 padded
+    fused_scores: jax.Array,   # [B, C] f32 fusion scores
+    doc_group: jax.Array,      # [N_rows] int32 row → doc code, -1 padding
+    evidence_alpha,            # traced scalar
+    group_topk: int,
+    evidence_chunks: int,
+) -> tuple:
+    """MaxP + evidence-aggregation doc grouping as [C]×[C] mask algebra.
+
+    Mirrors the host grouped path in :meth:`RetrievalPipeline.finalize_batch`
+    (and `_group_first_per_doc`): the first fused slot of each document is
+    its representative chunk; the next ``evidence_chunks`` same-doc slots
+    add ``evidence_alpha × score`` of evidence; documents rank by
+    (doc_score desc, first-slot asc). C = fetch_k ≤ a few hundred, so the
+    [B, C, C] compares are negligible next to corpus scoring.
+    """
+    b, c = fused_ids.shape
+    gids = jnp.where(fused_ids >= 0,
+                     jnp.take(doc_group, jnp.maximum(fused_ids, 0)), -1)
+    valid = gids >= 0
+    eq = (gids[:, :, None] == gids[:, None, :]) & valid[:, :, None]  # [B,C,C]
+    earlier = jnp.tril(jnp.ones((c, c), dtype=bool), k=-1)
+    dup_count = jnp.sum(eq & earlier[None], axis=2)          # [B, C]
+    is_first = valid & (dup_count == 0)
+    # first occurrence slot of each slot's doc (argmax finds first True)
+    first_slot = jnp.argmax(eq, axis=2)                      # [B, C]
+    evid_mask = valid & (dup_count >= 1) & (dup_count <= evidence_chunks)
+    contrib = jnp.where(evid_mask, fused_scores, 0.0)
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, c))
+    evid = jnp.zeros_like(fused_scores).at[rows, first_slot].add(contrib)
+    alpha = jnp.asarray(evidence_alpha, jnp.float32)
+    doc_score = fused_scores + alpha * evid
+    key = jnp.where(is_first, doc_score, NEG_INF)
+    k = min(group_topk, c)
+    top_vals, top_slots = lax_topk(key, k)
+    ok = top_vals > NEG_INF / 2
+    g_ids = jnp.where(ok, jnp.take_along_axis(fused_ids, top_slots, axis=1), -1)
+    g_chunk = jnp.take_along_axis(fused_scores, top_slots, axis=1)
+    return g_ids, g_chunk, jnp.where(ok, top_vals, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "over_k", "fetch_k", "fusion_method",
     "rerank_top_n", "vocab_size", "has_dense", "has_sparse", "use_rerank",
     "use_split", "prf_terms", "prf_docs", "has_qfilter",
-    "enc_module", "encode_orig", "band_k", "use_type_boost"))
+    "enc_module", "encode_orig", "band_k", "use_type_boost",
+    "group_topk", "evidence_chunks"))
 def _fused_batch_retrieval(
     embeddings,    # [N_pad, d] or [1, 1] placeholder
     valid_mask,    # [N_pad] or [1]
@@ -102,6 +168,8 @@ def _fused_batch_retrieval(
     band_slot=None,   # [V+1] term id → band slot (-1 = not banded)
     type_rows=None,   # [N] uint8 title-chunk rows (BM25F-style prior)
     type_boost=None,  # traced scalar — title rows' BM25 scores × boost
+    doc_group=None,   # [N_rows] int32 chunk row → doc code (-1 = padding)
+    evidence_alpha=None,  # traced scalar — evidence aggregation weight
     *,
     over_k: int,
     fetch_k: int,
@@ -120,6 +188,8 @@ def _fused_batch_retrieval(
     encode_orig: bool = False,
     band_k: int = 0,
     use_type_boost: bool = False,
+    group_topk: int = 0,
+    evidence_chunks: int = 2,
 ):
     """The whole query batch as ONE device program.
 
@@ -248,6 +318,24 @@ def _fused_batch_retrieval(
             row_scale=row_scale if has_scale else None)
     else:
         rerank_scores = jnp.zeros_like(fused_scores)
+
+    if group_topk > 0:
+        # Device-side doc grouping (the production no-rerank path): the
+        # host previously walked 50 queries × fetch_k slots of Python dict
+        # lookups per batch (~13 ms — larger than the device program).
+        # Semantics of finalize_batch's grouped path / _group_first_per_doc:
+        # first occurrence per doc keeps its chunk + fusion score; the next
+        # `evidence_chunks` same-doc slots contribute `evidence_alpha ×
+        # score` of evidence; docs rank by (doc_score desc, first-slot asc
+        # — lax.top_k ties break toward the lower index, matching the
+        # host's (score, pos) sort). One f32 ordering caveat: evidence sums
+        # here accumulate in f32 scatter order while the host sums Python
+        # floats — bit-equality holds unless doc scores tie at f32
+        # resolution (equality-tested on real corpora).
+        g_ids, g_chunk_scores, g_doc_scores = _device_doc_group(
+            fused_ids, fused_scores, doc_group, evidence_alpha,
+            group_topk, evidence_chunks)
+        return g_ids, g_chunk_scores, g_doc_scores
     return fused_ids, fused_scores, rerank_scores
 
 
@@ -467,33 +555,59 @@ class RetrievalPipeline:
         self,
         queries: Sequence[str],
         batch_size: int = 50,
+        max_inflight: int = 8,
         **kwargs,
     ) -> List[Dict]:
         """Software-pipelined batched retrieval over a long query list.
 
         JAX dispatch is asynchronous: :meth:`dispatch_batch` returns as soon
-        as the fused program is enqueued. Streaming dispatches batch ``i+1``
-        (host featurization: normalizer scans, BM25/WordPiece query
-        encoding) while the device still executes batch ``i``, then
-        finalizes batch ``i`` — whose results are ready or nearly ready.
-        Host and device work overlap instead of alternating; at production
-        index sizes (where the device program is a comparable share of
-        batch time) this is a straight throughput win with bit-identical
-        results.
+        as the fused program is enqueued. Streaming dispatches up to
+        ``max_inflight`` batches back-to-back, then finalizes the whole
+        window with ONE grouped device sync. Two effects stack:
+
+        * host featurization (normalizer scans, BM25/WordPiece query
+          encoding) overlaps device execution instead of alternating;
+        * the per-sync cost is amortized ``max_inflight``× — measured on
+          the remote-TPU transport, a client sync (``device_get`` /
+          ``block_until_ready``) costs ~25-30 ms REGARDLESS of how little
+          data moves, while the fused program itself executes in single-
+          digit milliseconds. One sync per window instead of per batch is
+          worth more than every kernel optimization combined at this
+          index size.
+
+        Results are bit-identical to :meth:`query_batch` either way.
+        Window memory is trivial (each handle holds [B, fetch_k] id/score
+        rows — a few hundred KB at production shapes).
         """
         queries = list(queries)
         if not queries:
             return []
+        max_inflight = max(int(max_inflight), 1)
         outputs: List[Dict] = []
-        pending = None
+        window: List[Dict] = []
         for start in range(0, len(queries), batch_size):
             handle = self.dispatch_batch(
                 queries[start:start + batch_size], async_copy=True, **kwargs)
-            if pending is not None:
-                outputs.extend(self.finalize_batch(pending))
-            pending = handle
-        if pending is not None:
-            outputs.extend(self.finalize_batch(pending))
+            if handle is not None:
+                window.append(handle)
+            if len(window) >= max_inflight:
+                outputs.extend(self._finalize_window(window))
+                window = []
+        if window:
+            outputs.extend(self._finalize_window(window))
+        return outputs
+
+    def _finalize_window(self, window: List[Dict]) -> List[Dict]:
+        """Materialize a window of dispatched batches with ONE device sync."""
+        with self.timer.stage("retrieve"):
+            pulled = jax.device_get(tuple(
+                (h["fused_ids_dev"], h["fused_scores_dev"], h["rerank_dev"])
+                for h in window))
+        outputs: List[Dict] = []
+        for handle, host_arrays in zip(window, pulled):
+            handle = dict(handle)
+            handle["_host_results"] = host_arrays
+            outputs.extend(self.finalize_batch(handle))
         return outputs
 
     def dispatch_batch(
@@ -613,7 +727,7 @@ class RetrievalPipeline:
                 texts = (list(search_queries) + list(queries)
                          if encode_orig else list(search_queries))
                 q_tok = jnp.asarray(dense.embedder.tokenize_ids(texts))
-                q_emb = q_orig_emb = jnp.zeros((b, 1), jnp.float32)
+                q_emb = q_orig_emb = _zeros_f32((b, 1))
             elif has_dense:
                 q_dtype = (jnp.float32 if dense.embeddings.dtype == jnp.int8
                            else dense.embeddings.dtype)
@@ -634,7 +748,7 @@ class RetrievalPipeline:
                               else enc(list(queries)))
             else:
                 encode_orig = False
-                q_emb = q_orig_emb = jnp.zeros((b, 1), jnp.float32)
+                q_emb = q_orig_emb = _zeros_f32((b, 1))
             if has_sparse:
                 q_enc = [sparse.encode_query(q) for q in search_queries]
                 # ONE packed upload for (ids, weights): each separate
@@ -646,10 +760,10 @@ class RetrievalPipeline:
                 q_packed = jnp.asarray(packed)          # [B, 2, L] int32
                 q_ids, q_w = q_packed, None
             else:
-                q_ids = jnp.full((b, 1), -2, jnp.int32)
-                q_w = jnp.zeros((b, 1), jnp.float32)
+                q_ids = _full_i32((b, 1), -2)
+                q_w = _zeros_f32((b, 1))
 
-        q_filter_d = q_filter_s = jnp.ones((1, 1), jnp.uint8)
+        q_filter_d = q_filter_s = _ones_u8((1, 1))
         if has_qfilter:
             def mask_rows(filter_set, n_rows: int, n_chunks: int):
                 rows = np.zeros((b, n_rows), np.uint8)
@@ -684,23 +798,35 @@ class RetrievalPipeline:
         use_type_boost = bool(has_sparse and bm25_type_boost != 1.0
                               and hasattr(sparse, "title_rows"))
         type_rows = sparse.title_rows() if use_type_boost else None
+        # Device-side doc grouping (production no-rerank path): MaxP +
+        # evidence aggregation runs inside the fused program and only the
+        # final [B, top_k] (chunk row, chunk score, doc score) reach the
+        # host — the per-slot Python grouping walk cost more than the
+        # device program itself at fetch_mult=8.
+        use_device_group = (group_by_doc and self.reranker is None
+                            and (has_dense or has_sparse))
+        doc_group = (self.index.doc_group_rows() if use_device_group
+                     else None)
         with self.timer.stage("dispatch"):
             fused_ids_dev, fused_scores_dev, rerank_dev = _fused_batch_retrieval(
-                dense.embeddings if has_dense else jnp.zeros((1, 1), jnp.float32),
-                dense.valid_rows() if has_dense else jnp.ones(1, jnp.uint8),
+                dense.embeddings if has_dense else _zeros_f32((1, 1)),
+                dense.valid_rows() if has_dense else _ones_u8((1,)),
                 sparse.doc_terms if has_sparse else jnp.full((1, 1), -1, jnp.int32),
-                sparse.doc_contrib if has_sparse else jnp.zeros((1, 1), jnp.float32),
+                sparse.doc_contrib if has_sparse else _zeros_f32((1, 1)),
                 *split,
-                sparse.valid_rows() if has_sparse else jnp.ones(1, jnp.uint8),
+                sparse.valid_rows() if has_sparse else _ones_u8((1,)),
                 q_emb, q_ids, q_w, q_orig_emb,
                 (dense.row_scale if has_dense and dense.row_scale is not None
                  else jnp.zeros((), jnp.float32)),
                 vector_weight, bm25_weight,
                 q_filter_d, q_filter_s,
                 enc_params, q_tok, band_mat, band_slot,
-                type_rows, jnp.float32(bm25_type_boost),
+                type_rows, _scalar_f32(float(bm25_type_boost)),
+                doc_group, float(evidence_alpha) if use_device_group else None,
                 enc_module=enc_module, encode_orig=encode_orig,
                 band_k=band_k, use_type_boost=use_type_boost,
+                group_topk=(top_k if use_device_group else 0),
+                evidence_chunks=int(evidence_chunks),
                 over_k=over_k, fetch_k=fetch_k, fusion_method=fusion_method,
                 rerank_top_n=(self.reranker.top_n if use_device_rerank else 0),
                 vocab_size=len(sparse.vocab) if has_sparse else 0,
@@ -729,6 +855,7 @@ class RetrievalPipeline:
             "fused_scores_dev": fused_scores_dev,
             "rerank_dev": rerank_dev,
             "use_device_rerank": use_device_rerank,
+            "device_grouped": use_device_group,
             "fusion_method": fusion_method,
             "keep": keep,
             "top_k": top_k,
@@ -751,16 +878,55 @@ class RetrievalPipeline:
         evidence_alpha = handle["evidence_alpha"]
         evidence_chunks = handle["evidence_chunks"]
 
-        with self.timer.stage("retrieve"):
-            # one consolidated device→host pull (each separate np.asarray
-            # costs a tunnel round trip — measurable at B=1)
-            fused_ids_np, fused_scores_np, rerank_np = jax.device_get(
-                (handle["fused_ids_dev"], handle["fused_scores_dev"],
-                 handle["rerank_dev"]))
-            fused = [(fused_ids_np[i], fused_scores_np[i]) for i in range(b)]
-            device_rerank_scores = rerank_np if use_device_rerank else None
-
+        if "_host_results" in handle:
+            # window path (`_finalize_window`): arrays already pulled with
+            # one grouped sync for the whole window
+            fused_ids_np, fused_scores_np, rerank_np = handle["_host_results"]
+        else:
+            with self.timer.stage("retrieve"):
+                # one consolidated device→host pull (each separate
+                # np.asarray costs a full client sync — ~25-30 ms on the
+                # remote-TPU transport regardless of payload size)
+                fused_ids_np, fused_scores_np, rerank_np = jax.device_get(
+                    (handle["fused_ids_dev"], handle["fused_scores_dev"],
+                     handle["rerank_dev"]))
         n_chunks = len(self.index.chunks)
+
+        if handle.get("device_grouped"):
+            # Grouping ran on device: the three pulled arrays are
+            # [B, top_k] (chunk row, chunk fusion score, doc score) —
+            # materialize exactly the surviving rows.
+            chunks_list = self.index.chunks
+            outputs = []
+            for qi in range(b):
+                results = []
+                for idx, c_score, d_score in zip(
+                        fused_ids_np[qi], fused_scores_np[qi], rerank_np[qi]):
+                    if idx < 0 or idx >= n_chunks:
+                        continue
+                    chunk = chunks_list[int(idx)]
+                    results.append({
+                        "chunk_id": chunk.chunk_id,
+                        "doc_id": chunk.doc_id,
+                        "source": chunk.source,
+                        "chunk_type": chunk.chunk_type,
+                        "text": chunk.text,
+                        "metadata": chunk.metadata,
+                        "score": float(c_score),
+                        "fusion_method": fusion_method,
+                        "doc_score": float(d_score),
+                    })
+                outputs.append({
+                    "query": queries[qi],
+                    "preprocessed": pres[qi],
+                    "search_query": search_queries[qi],
+                    "num_results": len(results),
+                    "results": results,
+                })
+            return outputs
+
+        fused = [(fused_ids_np[i], fused_scores_np[i]) for i in range(b)]
+        device_rerank_scores = rerank_np if use_device_rerank else None
 
         if self.reranker is None and group_by_doc:
             # Hot production path (tuned config: reranker="none",

@@ -241,6 +241,24 @@ def test_query_stream_empty_and_single(pipeline):
     assert len(out) == 1 and out[0]["num_results"] > 0
 
 
+def test_query_stream_window_sizes_identical(pipeline):
+    """Grouped-sync windows (one device pull per max_inflight batches) are
+    bit-identical across window sizes — including a window boundary mid-
+    stream (7 queries / batch 2 / window 2 → windows of 2, 2 batches + tail)."""
+    queries = [f"aspirin heart {i}" for i in range(4)] + \
+              [f"diabetes insulin {i}" for i in range(3)]
+    kwargs = dict(top_k=3, fusion_method="weighted", vector_weight=0.3,
+                  bm25_weight=0.7, prf_terms=5, group_by_doc=True)
+    base = pipeline.query_batch(queries, **kwargs)
+    for inflight in (1, 2, 100):
+        streamed = pipeline.query_stream(queries, batch_size=2,
+                                         max_inflight=inflight, **kwargs)
+        assert len(streamed) == len(base)
+        for sb, st in zip(base, streamed):
+            assert [r["chunk_id"] for r in sb["results"]] == \
+                   [r["chunk_id"] for r in st["results"]]
+
+
 def test_evidence_aggregation_grouping():
     """evidence_alpha > 0: a doc with two strong chunks outranks a doc whose
     single chunk scores marginally higher; alpha=0 keeps MaxP order."""
@@ -317,11 +335,12 @@ def test_fetch_mult_and_evidence_chunks_knobs():
     assert kw["fetch_mult"] == 8 and kw["evidence_chunks"] == 3
 
 
-def test_fast_grouping_path_matches_general_path(toy_chunks):
-    """The no-reranker + group_by_doc finalize groups on (idx, score) arrays
-    before materializing dicts; it must produce byte-identical results to
-    the general materialize-then-_group_first_per_doc path (driven here via
-    a passthrough reranker on the SAME dispatch handle)."""
+def test_device_grouping_matches_general_host_path(toy_chunks):
+    """The device-side doc grouping (no-reranker + group_by_doc: MaxP +
+    evidence aggregation inside the fused program) must rank and score
+    documents identically to the general host path (materialize every
+    fused slot, then `_group_first_per_doc`), driven here via a
+    passthrough reranker over the same fused pool."""
     emb = MedicalEmbedder(dim=256)
     hybrid = HybridIndex(dense_index=DenseIndex(emb, row_block=8),
                          bm25_index=BM25Index())
@@ -329,10 +348,11 @@ def test_fast_grouping_path_matches_general_path(toy_chunks):
     pipe = RetrievalPipeline(hybrid)
 
     queries = ["aspirin pain fever", "diabetes insulin glucose"]
-    handle = pipe.dispatch_batch(queries, top_k=3, fusion_method="weighted",
-                                 vector_weight=0.4, bm25_weight=0.6,
-                                 group_by_doc=True, evidence_alpha=0.7,
-                                 evidence_chunks=2, fetch_mult=4)
+    kwargs = dict(top_k=3, fusion_method="weighted", vector_weight=0.4,
+                  bm25_weight=0.6, group_by_doc=True, evidence_alpha=0.7,
+                  evidence_chunks=2, fetch_mult=4)
+    handle = pipe.dispatch_batch(queries, **kwargs)
+    assert handle["device_grouped"]
     fast = pipe.finalize_batch(handle)
 
     class _Passthrough:
@@ -343,7 +363,11 @@ def test_fast_grouping_path_matches_general_path(toy_chunks):
 
     pipe.reranker = _Passthrough()
     try:
-        general = pipe.finalize_batch(handle)
+        # rerank_top_n=3 keeps fetch_k identical to the device-group run
+        # (group_by_doc lifts both to top_k*fetch_mult)
+        handle_g = pipe.dispatch_batch(queries, rerank_top_n=3, **kwargs)
+        assert not handle_g["device_grouped"]
+        general = pipe.finalize_batch(handle_g)
     finally:
         pipe.reranker = None
 
