@@ -90,12 +90,20 @@ def main() -> None:
     docs = DataLoader(pubmed_path=str(corpus_path)).load_pubmed()
     chunks = DocumentChunker().chunk_documents(docs)
     extra = synthetic_chunks(max(REFERENCE_N_CHUNKS - len(chunks), 0))
-    # scale-aware operating point: BM25 k1/b differ at 26x the index size
-    # (5-fold CV at scale, results/cv_tune_at_scale.json)
-    cfg_big = RetrievalConfig.tuned_at_scale()
+    # scale-aware operating point: the stacked dual-encoder dense arm +
+    # the at-scale BM25 point (5-fold CV: results/cv_tune_at_scale.json,
+    # results/stack_sweep_at_scale.json; on-chip confirm
+    # results/scale_bench_stack.json — 1,397 q/s, nDCG@10 0.8127, within
+    # ~2% of the single-encoder profile's throughput because the fused
+    # program overlaps the extra encoder forward)
+    try:
+        cfg_big = RetrievalConfig.quality_at_scale()
+    except FileNotFoundError:  # encoder checkpoints absent: degrade, log
+        cfg_big = RetrievalConfig.tuned_at_scale()
     kwargs_big = cfg_big.query_kwargs()
-    pipeline_big, info_big = build_pipeline(cfg_big, chunks=chunks,
-                                            extra_chunks=extra)
+    pipeline_big, info_big = build_pipeline(
+        cfg_big, chunks=chunks, extra_chunks=extra,
+        embedding_cache_dir=str(ROOT / "data" / "embcache"))
     if cfg_big.mine_terms:
         pipeline_big.preprocessor.normalizer.build_drug_mapping_from_data(docs)
     pipeline_big.query_batch(

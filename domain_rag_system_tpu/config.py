@@ -54,6 +54,11 @@ class RetrievalConfig:
     bm25_k1: float = 1.5                  # reference defaults (bm25_indexer.py:29)
     bm25_b: float = 0.75
     encoder_checkpoint: Optional[str] = None  # None = lexical-hash embedder
+    encoder_stack: Optional[tuple] = None # ((checkpoint, weight), ...) —
+                                          # stacked multi-encoder dense arm:
+                                          # index rows are concat_i(w_i·e_i),
+                                          # dense score = Σ w_i²·cos_i
+                                          # (overrides encoder_checkpoint)
     embedding_dim: int = 2048             # hash embedder dim
     dense_dtype: str = "float32"          # "float32" | "bfloat16" | "int8"
     mine_terms: bool = False              # corpus-mined abbreviations + drug map
@@ -144,31 +149,32 @@ class RetrievalConfig:
 
     @classmethod
     def quality_at_scale(cls) -> "RetrievalConfig":
-        """The quality-leaning production-scale profile: the 6L/384
-        MLM+ICT-initialized encoder at vector_weight 0.15 on top of
-        :meth:`tuned_at_scale`. Trades ~2x device cost for the best
-        measured at-scale ranking head — on chip at 91,853 chunks:
-        nDCG@10 0.7995 / MRR 0.854 vs the default's 0.793 / 0.848
-        (recall@5 0.534 vs 0.538; ``results/scale_bench_6l_fm4.json``,
-        CV grid ``results/cv_tune_6l_at_scale.json``).
+        """The quality-leaning production-scale profile: the STACKED dense
+        arm (contrastive 4L/256 ``medrag-sem`` + MLM+ICT-pretrained 6L/384
+        ``medrag-pre-6l``, equal weights) at vector_weight 0.2 on top of
+        :meth:`tuned_at_scale`. The index stores ``concat(e_sem, e_6l)``
+        rows so the ensemble is still ONE [N, 640] matmul
+        (models/stacked_embedder.py).
 
-        With the stronger dense arm the deep candidate pool stops paying:
-        the combined CV selection keeps fetch_mult=4 / evidence_chunks=2
-        (``results/cv_tune_6l_fm_at_scale.json``), confirmed on chip
-        better than fm=8 on recall@5/nDCG/MRR
-        (``results/scale_bench_6l_fm{4,8}.json``)."""
+        Selected by the 5-fold-CV ratio x vector_weight sweep at 91,853
+        chunks (``results/stack_sweep_at_scale.json``): every fold chose
+        ratio=1.0 / vw=0.2; out-of-fold recall@5 0.5522 / nDCG@10 0.8130
+        vs 0.5365 / 0.7925 for the best single-encoder point in the same
+        grid — the two decorrelated training recipes' errors partially
+        cancel. Earlier single-6L grids (``results/cv_tune_6l_*.json``,
+        ``scale_bench_6l_fm{4,8}.json``) are superseded by the stack."""
         cfg = cls.tuned_at_scale()
-        ckpt = Path(__file__).resolve().parent.parent / "checkpoints" / "medrag-pre-6l"
-        if not ckpt.exists():
+        root = Path(__file__).resolve().parent.parent / "checkpoints"
+        sem, pre = root / "medrag-sem", root / "medrag-pre-6l"
+        if not (sem.exists() and pre.exists()):
             raise FileNotFoundError(
-                f"quality_at_scale profile needs the 6L encoder at {ckpt} — "
-                f"train it with scripts/pretrain_encoder.py + "
+                f"quality_at_scale needs both encoders ({sem}, {pre}) — "
+                f"train them with scripts/pretrain_encoder.py + "
                 f"scripts/train_encoder.py or use tuned_at_scale()")
-        cfg.encoder_checkpoint = str(ckpt)
-        cfg.vector_weight = 0.15
-        cfg.bm25_weight = 0.85
-        cfg.fetch_mult = 4
-        cfg.evidence_chunks = 2
+        cfg.encoder_checkpoint = None
+        cfg.encoder_stack = ((str(sem), 1.0), (str(pre), 1.0))
+        cfg.vector_weight = 0.2
+        cfg.bm25_weight = 0.8
         return cfg
 
     @classmethod

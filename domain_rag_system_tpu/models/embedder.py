@@ -49,17 +49,35 @@ class MedicalEmbedder:
         dim: int = 2048,
         batch_size: int = 32,
         max_length: int = 512,
+        stack=None,  # [(checkpoint, weight), ...] → stacked multi-encoder
     ):
         self.model_name = model_name
         self.batch_size = batch_size
         self.max_length = max_length
         self.checkpoint_path = checkpoint_path  # recorded in index bundles
+        self.stack = list(stack) if stack else None
 
         if backend is None:
-            backend = "bert" if (checkpoint_path or model_name in KNOWN_BERT_MODELS) else "hash"
+            backend = ("stacked" if stack
+                       else "bert" if (checkpoint_path
+                                       or model_name in KNOWN_BERT_MODELS)
+                       else "hash")
 
         self._impl = None
-        if backend == "bert":
+        if backend == "stacked":
+            try:
+                from domain_rag_system_tpu.models.stacked_embedder import (
+                    StackedBertEmbedder,
+                )
+
+                self._impl = StackedBertEmbedder(stack, batch_size=batch_size)
+                self.model_name = self._impl.model_name
+            except Exception as exc:  # degradation, reference-style
+                log.warning(
+                    "stacked backend unavailable (%s) — degrading to "
+                    "lexical-hash embedder", exc,
+                )
+        elif backend == "bert":
             try:
                 from domain_rag_system_tpu.models.bert_embedder import BertEmbedder
 

@@ -29,6 +29,10 @@ log = get_logger(__name__)
 
 
 def build_embedder(cfg: RetrievalConfig) -> MedicalEmbedder:
+    if getattr(cfg, "encoder_stack", None):
+        return MedicalEmbedder(backend="stacked",
+                               stack=list(cfg.encoder_stack),
+                               batch_size=128)
     if cfg.encoder_checkpoint:
         # batch 128: corpus encode costs dispatches through the remote
         # tunnel (~0.8 s each), so fewer, larger batches win
@@ -49,6 +53,7 @@ def _embedding_cache_key(chunks: Sequence[Chunk], cfg: RetrievalConfig) -> str:
 
     h = hashlib.md5()
     h.update(str(cfg.encoder_checkpoint or f"hash{cfg.embedding_dim}").encode())
+    h.update(str(getattr(cfg, "encoder_stack", None)).encode())
     h.update(str(cfg.dense_dtype).encode())
     for c in chunks:
         h.update(c.chunk_id.encode())
@@ -104,7 +109,8 @@ def build_pipeline(
     )
     precomputed = None
     cache_path = None
-    if embedding_cache_dir and not cfg.encoder_checkpoint:
+    if embedding_cache_dir and not (cfg.encoder_checkpoint
+                                    or getattr(cfg, "encoder_stack", None)):
         # hash/keyword embedders may fit a vocabulary during corpus encode
         # (needed again at query time) and encode cheaply anyway — cache
         # only the expensive BERT path

@@ -50,15 +50,16 @@ def test_quality_at_scale_profile():
     from domain_rag_system_tpu.config import RetrievalConfig
 
     cfg = RetrievalConfig.quality_at_scale()
-    # inherits the at-scale BM25 point but keeps the SHALLOW pool — with
-    # the 6L dense arm the CV selection drops back to fetch_mult=4
-    # (results/cv_tune_6l_fm_at_scale.json, scale_bench_6l_fm{4,8}.json)
-    assert cfg.fetch_mult == 4 and cfg.evidence_chunks == 2
-    assert RetrievalConfig.tuned_at_scale().fetch_mult == 8
+    # inherits the at-scale operating point (deep pool, standard BM25)
+    assert cfg.fetch_mult == 8 and cfg.evidence_chunks == 3
     assert cfg.bm25_k1 == 1.5 and cfg.bm25_b == 0.75
-    # swaps in the 6L encoder at its CV-selected weight
-    assert cfg.encoder_checkpoint and "medrag-pre-6l" in cfg.encoder_checkpoint
-    assert cfg.vector_weight == 0.15 and cfg.bm25_weight == 0.85
+    # swaps in the STACKED dense arm at its CV-selected knobs
+    # (results/stack_sweep_at_scale.json: every fold chose ratio=1/vw=0.2)
+    assert cfg.encoder_checkpoint is None
+    (ck_a, w_a), (ck_b, w_b) = cfg.encoder_stack
+    assert "medrag-sem" in ck_a and "medrag-pre-6l" in ck_b
+    assert w_a == w_b == 1.0
+    assert cfg.vector_weight == 0.2 and cfg.bm25_weight == 0.8
 
 
 def test_head_precision_profile():
