@@ -130,6 +130,13 @@ def save_index(hybrid: HybridIndex, out_dir, extra_manifest: Optional[Dict] = No
         ckpt = getattr(dense.embedder, "checkpoint_path", None)
         if ckpt and not embedder_state:
             manifest["dense"]["encoder_checkpoint"] = str(ckpt)
+        # Stacked multi-encoder indexes record the full (checkpoint, weight)
+        # stack — load_index must rebuild the SAME concatenated query
+        # encoder or dense scores are garbage.
+        stack = getattr(dense.embedder, "stack", None)
+        if stack and not embedder_state:
+            manifest["dense"]["encoder_stack"] = [
+                [str(p), float(w)] for p, w in stack]
 
     bm25 = hybrid.bm25_index
     if bm25 is not None and bm25.doc_terms is not None:
@@ -173,9 +180,27 @@ def load_index(bundle_dir) -> HybridIndex:
         emb_state = {k.removeprefix("embedder_"): data[k]
                      for k in data.files if k.startswith("embedder_")}
         ckpt = manifest["dense"].get("encoder_checkpoint")
+        stack = manifest["dense"].get("encoder_stack")
         if emb_state:
             embedder = MedicalEmbedder(dim=int(emb_state["meta"][0]))
             embedder._impl = LexicalHashEmbedder.from_state_arrays(emb_state)
+        elif stack:
+            # Stacked bundle: every sub-encoder checkpoint must exist.
+            missing = [p for p, _ in stack if not Path(p).exists()]
+            if missing:
+                raise FileNotFoundError(
+                    f"index bundle was built with a stacked encoder whose "
+                    f"checkpoints {missing} no longer exist — restore them "
+                    f"or rebuild the index")
+            embedder = MedicalEmbedder(backend="stacked",
+                                       stack=[(p, w) for p, w in stack],
+                                       batch_size=128)
+            if embedder.backend_name != "StackedBertEmbedder":
+                # the facade degrades to lexical-hash on load failure —
+                # for a bundle that is a silent mismatch; fail loudly
+                raise RuntimeError(
+                    "stacked encoder reconstruction failed for bundle "
+                    f"{bundle_dir!r} — see log for the degradation cause")
         elif ckpt:
             # Bundle was built with a learned encoder: queries MUST be
             # embedded by the same checkpoint or dense scores are garbage.

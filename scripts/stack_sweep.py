@@ -76,6 +76,11 @@ def main() -> None:
     ap.add_argument("--profile", default="tuned_at_scale")
     ap.add_argument("--stack_a", default="checkpoints/medrag-sem")
     ap.add_argument("--stack_b", default="checkpoints/medrag-pre-6l")
+    ap.add_argument("--stack_c", default=None,
+                    help="optional third encoder: holds (a, b) at "
+                         "--rb and sweeps the C ratio over --ratios")
+    ap.add_argument("--rb", type=float, default=1.0,
+                    help="fixed (w_b/w_a)^2 when --stack_c sweeps")
     ap.add_argument("--ratios", default="0,0.25,0.5,1,2,4")
     ap.add_argument("--vw_grid", default="0.1,0.15,0.2,0.25")
     ap.add_argument("--cache_dir", default="data/embcache")
@@ -113,12 +118,14 @@ def main() -> None:
     cache_dir = Path(args.cache_dir)
 
     # per-encoder corpus matrices (cached once; ratios reuse them)
-    st = StackedBertEmbedder([(args.stack_a, 1.0), (args.stack_b, 1.0)],
-                             batch_size=128)
-    name_a = Path(args.stack_a).name
-    name_b = Path(args.stack_b).name
-    e_a = cached_embeddings(cache_dir, name_a, key, st.parts[0], chunks)
-    e_b = cached_embeddings(cache_dir, name_b, key, st.parts[1], chunks)
+    ckpts = [args.stack_a, args.stack_b]
+    if args.stack_c:
+        ckpts.append(args.stack_c)
+    st = StackedBertEmbedder([(c, 1.0) for c in ckpts], batch_size=128)
+    mats = [cached_embeddings(cache_dir, Path(c).name, key, p, chunks)
+            for c, p in zip(ckpts, st.parts)]
+    e_a, e_b = mats[0], mats[1]
+    e_c = mats[2] if args.stack_c else None
 
     # facade for query-time encode; the program path is disabled so ratio
     # changes never recompile (weights apply eagerly in encode_device)
@@ -146,9 +153,16 @@ def main() -> None:
     runs = []
     t0 = time.time()
     for ri, r in enumerate(ratios):
-        wa, wb = 1.0, float(np.sqrt(r))
-        st.stack = [(args.stack_a, wa), (args.stack_b, wb)]
-        concat = np.concatenate([wa * e_a, wb * e_b], axis=1)
+        if args.stack_c:
+            # hold (a, b) at the fixed --rb point; the swept ratio is C's
+            wa, wb, wc = 1.0, float(np.sqrt(args.rb)), float(np.sqrt(r))
+            st.stack = [(args.stack_a, wa), (args.stack_b, wb),
+                        (args.stack_c, wc)]
+            concat = np.concatenate([wa * e_a, wb * e_b, wc * e_c], axis=1)
+        else:
+            wa, wb = 1.0, float(np.sqrt(r))
+            st.stack = [(args.stack_a, wa), (args.stack_b, wb)]
+            concat = np.concatenate([wa * e_a, wb * e_b], axis=1)
         dense = DenseIndex(facade, dtype=cfg.dense_dtype)
         dense.index_chunks(chunks, precomputed=concat)
         hybrid = HybridIndex(dense_index=dense, bm25_index=bm25)
@@ -204,7 +218,8 @@ def main() -> None:
                             "selection_metric": "recall@5 + ndcg@10",
                             "seed": args.seed},
         "n_chunks": len(chunks),
-        "stack": [args.stack_a, args.stack_b],
+        "stack": ckpts,
+        "rb": args.rb if args.stack_c else None,
         "profile": args.profile,
         "grid_elapsed_s": round(elapsed, 1),
         "out_of_fold": {

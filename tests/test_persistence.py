@@ -221,3 +221,56 @@ def test_embedding_cache_roundtrip(tmp_path, toy_chunks):
         text=toy_chunks[0].text + " mutated", metadata={})
     build_pipeline(cfg, chunks=mutated, embedding_cache_dir=str(cache))
     assert len(list(cache.glob("emb_*.npz"))) == 2
+
+
+def test_bundle_records_and_restores_stacked_encoder(tmp_path, toy_chunks):
+    """A bundle built with the STACKED multi-encoder dense arm must
+    restore the same concatenated query encoder (the shipping
+    quality_at_scale profile): without the manifest record, load_index
+    silently degraded to the hash embedder."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from domain_rag_system_tpu.indexing import DenseIndex, HybridIndex
+    from domain_rag_system_tpu.models import MedicalEmbedder
+    from domain_rag_system_tpu.models.bert import BertConfig, SentenceEncoder
+    from domain_rag_system_tpu.persistence.checkpoints import (
+        save_encoder_checkpoint,
+    )
+    from domain_rag_system_tpu.tokenization import train_wordpiece
+
+    texts = [c.text for c in toy_chunks]
+    ckpts = []
+    for seed, hidden in ((0, 32), (1, 48)):
+        tokenizer = train_wordpiece(texts * 2, vocab_size=200)
+        config = BertConfig.tiny(vocab_size=len(tokenizer), hidden_size=hidden,
+                                 dropout_rate=0.0)
+        module = SentenceEncoder(config)
+        params = module.init(jax.random.PRNGKey(seed),
+                             jnp.zeros((1, 8), jnp.int32),
+                             jnp.ones((1, 8), jnp.int32))
+        ckpt_dir = tmp_path / f"enc{seed}"
+        save_encoder_checkpoint(str(ckpt_dir), config, params["params"],
+                                tokenizer)
+        ckpts.append(str(ckpt_dir))
+
+    stack = [(ckpts[0], 1.0), (ckpts[1], 0.5)]
+    embedder = MedicalEmbedder(backend="stacked", stack=stack)
+    assert embedder.backend_name == "StackedBertEmbedder"
+    hybrid = HybridIndex(dense_index=DenseIndex(embedder, row_block=8))
+    hybrid.index_chunks(toy_chunks)
+    save_index(hybrid, tmp_path / "idx")
+
+    loaded = load_index(tmp_path / "idx")
+    assert loaded.dense_index.embedder.backend_name == "StackedBertEmbedder"
+    q = "aspirin for pain"
+    np.testing.assert_allclose(
+        np.asarray(embedder.encode([q])),
+        np.asarray(loaded.dense_index.embedder.encode([q])), atol=1e-5)
+
+    # a missing sub-encoder checkpoint must fail loudly
+    import shutil
+    shutil.rmtree(ckpts[1])
+    with pytest.raises(FileNotFoundError, match="stacked"):
+        load_index(tmp_path / "idx")
