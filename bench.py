@@ -90,12 +90,12 @@ def main() -> None:
     docs = DataLoader(pubmed_path=str(corpus_path)).load_pubmed()
     chunks = DocumentChunker().chunk_documents(docs)
     extra = synthetic_chunks(max(REFERENCE_N_CHUNKS - len(chunks), 0))
-    # scale-aware operating point: the stacked dual-encoder dense arm +
+    # scale-aware operating point: the stacked TRIPLE-encoder dense arm +
     # the at-scale BM25 point (5-fold CV: results/cv_tune_at_scale.json,
-    # results/stack_sweep_at_scale.json; on-chip confirm
-    # results/scale_bench_stack.json — 1,397 q/s, nDCG@10 0.8127, within
-    # ~2% of the single-encoder profile's throughput because the fused
-    # program overlaps the extra encoder forward)
+    # results/stack_sweep_at_scale.json, results/stack3_pre_at_scale.json;
+    # on-chip confirm results/scale_bench_stack3.json — 1,414 q/s at
+    # recall@5 0.5599 / nDCG@10 0.8156, same throughput as one encoder
+    # because the fused program overlaps the extra forwards)
     try:
         cfg_big = RetrievalConfig.quality_at_scale()
     except FileNotFoundError:  # encoder checkpoints absent: degrade, log

@@ -150,29 +150,37 @@ class RetrievalConfig:
     @classmethod
     def quality_at_scale(cls) -> "RetrievalConfig":
         """The quality-leaning production-scale profile: the STACKED dense
-        arm (contrastive 4L/256 ``medrag-sem`` + MLM+ICT-pretrained 6L/384
-        ``medrag-pre-6l``, equal weights) at vector_weight 0.2 on top of
-        :meth:`tuned_at_scale`. The index stores ``concat(e_sem, e_6l)``
-        rows so the ensemble is still ONE [N, 640] matmul
-        (models/stacked_embedder.py).
+        arm — contrastive 4L/256 ``medrag-sem`` + MLM+ICT-pretrained
+        6L/384 ``medrag-pre-6l`` + MLM+ICT-pretrained 4L/256
+        ``medrag-pre``, equal weights — at vector_weight 0.2 on top of
+        :meth:`tuned_at_scale`. The index stores
+        ``concat(e_sem, e_6l, e_pre)`` rows so the three-encoder ensemble
+        is still ONE [N, 896] matmul (models/stacked_embedder.py).
 
-        Selected by the 5-fold-CV ratio x vector_weight sweep at 91,853
-        chunks (``results/stack_sweep_at_scale.json``): every fold chose
-        ratio=1.0 / vw=0.2; out-of-fold recall@5 0.5522 / nDCG@10 0.8130
-        vs 0.5365 / 0.7925 for the best single-encoder point in the same
-        grid — the two decorrelated training recipes' errors partially
-        cancel. Earlier single-6L grids (``results/cv_tune_6l_*.json``,
-        ``scale_bench_6l_fm{4,8}.json``) are superseded by the stack."""
+        Selected by 5-fold-CV weight sweeps at 91,853 chunks: the 2-stack
+        grid chose sem+6l at ratio 1.0 / vw 0.2 in every fold (oof
+        recall@5 0.5522 / nDCG@10 0.8130 vs 0.5365 / 0.7925 single-encoder,
+        ``results/stack_sweep_at_scale.json``); adding ``medrag-pre`` as a
+        third arm was again unanimous at equal weight (oof 0.5599 / 0.8156,
+        ``results/stack3_pre_at_scale.json``), while ``medrag-kw`` as
+        third arm was weaker (0.5519/0.8140) and a joint (rb, rc) grid
+        found only a noisy plateau around equal weights
+        (``results/stack3_{kw,joint}_at_scale.json``) — so the committed
+        point is the simple unanimous one. Decorrelated training recipes'
+        errors partially cancel; earlier single-6L grids
+        (``results/cv_tune_6l_*.json``) are superseded."""
         cfg = cls.tuned_at_scale()
         root = Path(__file__).resolve().parent.parent / "checkpoints"
-        sem, pre = root / "medrag-sem", root / "medrag-pre-6l"
-        if not (sem.exists() and pre.exists()):
+        stack = [root / "medrag-sem", root / "medrag-pre-6l",
+                 root / "medrag-pre"]
+        missing = [str(p) for p in stack if not p.exists()]
+        if missing:
             raise FileNotFoundError(
-                f"quality_at_scale needs both encoders ({sem}, {pre}) — "
+                f"quality_at_scale needs the stacked encoders ({missing}) — "
                 f"train them with scripts/pretrain_encoder.py + "
                 f"scripts/train_encoder.py or use tuned_at_scale()")
         cfg.encoder_checkpoint = None
-        cfg.encoder_stack = ((str(sem), 1.0), (str(pre), 1.0))
+        cfg.encoder_stack = tuple((str(p), 1.0) for p in stack)
         cfg.vector_weight = 0.2
         cfg.bm25_weight = 0.8
         return cfg

@@ -74,13 +74,17 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--n_chunks", type=int, default=91853)
     ap.add_argument("--profile", default="tuned_at_scale")
-    ap.add_argument("--stack_a", default="checkpoints/medrag-sem")
+    ap.add_argument("--stack_a", default="checkpoints/medrag-sem",
+                    help="base arm; a comma list is ONE fixed equal-weight "
+                         "multi-encoder block (e.g. the adopted 3-stack), "
+                         "letting --stack_b sweep a candidate 4th arm")
     ap.add_argument("--stack_b", default="checkpoints/medrag-pre-6l")
     ap.add_argument("--stack_c", default=None,
                     help="optional third encoder: holds (a, b) at "
                          "--rb and sweeps the C ratio over --ratios")
-    ap.add_argument("--rb", type=float, default=1.0,
-                    help="fixed (w_b/w_a)^2 when --stack_c sweeps")
+    ap.add_argument("--rb", default="1.0",
+                    help="(w_b/w_a)^2 when --stack_c sweeps — a comma "
+                         "list sweeps the joint (rb, rc) grid")
     ap.add_argument("--ratios", default="0,0.25,0.5,1,2,4")
     ap.add_argument("--vw_grid", default="0.1,0.15,0.2,0.25")
     ap.add_argument("--cache_dir", default="data/embcache")
@@ -148,19 +152,26 @@ def main() -> None:
 
     ratios = [float(r) for r in args.ratios.split(",")]
     vws = [float(v) for v in args.vw_grid.split(",")]
+    rbs = [float(r) for r in str(args.rb).split(",")]
     base_kw = cfg.query_kwargs()
+
+    # weight-combination grid: 2-stack sweeps (rb,) pairs; 3-stack sweeps
+    # the joint (rb, rc) grid (rb collapses to one value by default)
+    if args.stack_c:
+        combos = [(rb, rc) for rb in rbs for rc in ratios]
+    else:
+        combos = [(r, None) for r in ratios]
 
     runs = []
     t0 = time.time()
-    for ri, r in enumerate(ratios):
+    for ri, (rb, rc) in enumerate(combos):
         if args.stack_c:
-            # hold (a, b) at the fixed --rb point; the swept ratio is C's
-            wa, wb, wc = 1.0, float(np.sqrt(args.rb)), float(np.sqrt(r))
+            wa, wb, wc = 1.0, float(np.sqrt(rb)), float(np.sqrt(rc))
             st.stack = [(args.stack_a, wa), (args.stack_b, wb),
                         (args.stack_c, wc)]
             concat = np.concatenate([wa * e_a, wb * e_b, wc * e_c], axis=1)
         else:
-            wa, wb = 1.0, float(np.sqrt(r))
+            wa, wb = 1.0, float(np.sqrt(rb))
             st.stack = [(args.stack_a, wa), (args.stack_b, wb)]
             concat = np.concatenate([wa * e_a, wb * e_b], axis=1)
         dense = DenseIndex(facade, dtype=cfg.dense_dtype)
@@ -172,18 +183,22 @@ def main() -> None:
             kw = dict(base_kw)
             kw["vector_weight"] = vw
             kw["bm25_weight"] = 1.0 - vw
+            tag = (f"rb={rb} rc={rc}" if args.stack_c else f"r={rb}")
             res = run_retrieval_evaluation(
                 pipeline, queries, batch_size=cfg.batch_size, stream=True,
-                dataset=f"stack r={r} vw={vw}", warmup=(ri == 0), **kw)
+                dataset=f"stack {tag} vw={vw}", warmup=(ri == 0), **kw)
             per_q = [{"recall@5": p["metrics"]["recall@5"],
                       "ndcg@10": p["metrics"]["ndcg@10"]}
                      for p in res["per_query"]]
-            knobs = {"ratio": r, "vector_weight": vw}
+            if args.stack_c:
+                knobs = {"rb": rb, "ratio": rc, "vector_weight": vw}
+            else:
+                knobs = {"ratio": rb, "vector_weight": vw}
             runs.append({"knobs": knobs, "per_query": per_q,
                          "overall": {k: res["overall"][k]
                                      for k in ("recall@5", "ndcg@10",
                                                "mrr", "recall")}})
-            print(f"  r={r} vw={vw} -> r@5={res['overall']['recall@5']:.4f} "
+            print(f"  {tag} vw={vw} -> r@5={res['overall']['recall@5']:.4f} "
                   f"ndcg@10={res['overall']['ndcg@10']:.4f} "
                   f"mrr={res['overall']['mrr']:.4f}")
     elapsed = time.time() - t0

@@ -54,11 +54,13 @@ def test_quality_at_scale_profile():
     assert cfg.fetch_mult == 8 and cfg.evidence_chunks == 3
     assert cfg.bm25_k1 == 1.5 and cfg.bm25_b == 0.75
     # swaps in the STACKED dense arm at its CV-selected knobs
-    # (results/stack_sweep_at_scale.json: every fold chose ratio=1/vw=0.2)
+    # (results/stack_sweep_at_scale.json + stack3_pre_at_scale.json:
+    # every fold chose equal weights / vw=0.2)
     assert cfg.encoder_checkpoint is None
-    (ck_a, w_a), (ck_b, w_b) = cfg.encoder_stack
+    (ck_a, w_a), (ck_b, w_b), (ck_c, w_c) = cfg.encoder_stack
     assert "medrag-sem" in ck_a and "medrag-pre-6l" in ck_b
-    assert w_a == w_b == 1.0
+    assert ck_c.endswith("medrag-pre")
+    assert w_a == w_b == w_c == 1.0
     assert cfg.vector_weight == 0.2 and cfg.bm25_weight == 0.8
 
 
