@@ -121,15 +121,19 @@ def main() -> None:
     key = corpus_key(chunks)
     cache_dir = Path(args.cache_dir)
 
-    # per-encoder corpus matrices (cached once; ratios reuse them)
-    ckpts = [args.stack_a, args.stack_b]
+    # per-encoder corpus matrices (cached once; ratios reuse them).
+    # stack_a may be a comma list: ONE fixed equal-weight base block.
+    base_ckpts = args.stack_a.split(",")
+    ckpts = base_ckpts + [args.stack_b]
     if args.stack_c:
         ckpts.append(args.stack_c)
     st = StackedBertEmbedder([(c, 1.0) for c in ckpts], batch_size=128)
     mats = [cached_embeddings(cache_dir, Path(c).name, key, p, chunks)
             for c, p in zip(ckpts, st.parts)]
-    e_a, e_b = mats[0], mats[1]
-    e_c = mats[2] if args.stack_c else None
+    nb = len(base_ckpts)
+    e_a = np.concatenate(mats[:nb], axis=1) if nb > 1 else mats[0]
+    e_b = mats[nb]
+    e_c = mats[nb + 1] if args.stack_c else None
 
     # facade for query-time encode; the program path is disabled so ratio
     # changes never recompile (weights apply eagerly in encode_device)
@@ -165,15 +169,15 @@ def main() -> None:
     runs = []
     t0 = time.time()
     for ri, (rb, rc) in enumerate(combos):
+        base = [(c, 1.0) for c in base_ckpts]
         if args.stack_c:
-            wa, wb, wc = 1.0, float(np.sqrt(rb)), float(np.sqrt(rc))
-            st.stack = [(args.stack_a, wa), (args.stack_b, wb),
-                        (args.stack_c, wc)]
-            concat = np.concatenate([wa * e_a, wb * e_b, wc * e_c], axis=1)
+            wb, wc = float(np.sqrt(rb)), float(np.sqrt(rc))
+            st.stack = base + [(args.stack_b, wb), (args.stack_c, wc)]
+            concat = np.concatenate([e_a, wb * e_b, wc * e_c], axis=1)
         else:
-            wa, wb = 1.0, float(np.sqrt(rb))
-            st.stack = [(args.stack_a, wa), (args.stack_b, wb)]
-            concat = np.concatenate([wa * e_a, wb * e_b], axis=1)
+            wb = float(np.sqrt(rb))
+            st.stack = base + [(args.stack_b, wb)]
+            concat = np.concatenate([e_a, wb * e_b], axis=1)
         dense = DenseIndex(facade, dtype=cfg.dense_dtype)
         dense.index_chunks(chunks, precomputed=concat)
         hybrid = HybridIndex(dense_index=dense, bm25_index=bm25)
