@@ -19,6 +19,7 @@ Usage:
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -128,22 +129,27 @@ def main() -> None:
                 raw_t, raw_c, v, k)
             base_t, base_c, ovf_r, ovf_t, ovf_c = split_overflow(rest_t, rest_c)
             dev = [jnp.asarray(a) for a in (base_t, base_c, ovf_r, ovf_t, ovf_c)]
-            band_dev = jnp.asarray(band_mat)
-            slot_dev = jnp.asarray(slot_of)
+            band_dev = jax.device_put(band_mat)
+            slot_dev = jax.device_put(slot_of)
 
-            @jax.jit
-            def banded_round(qi, qw):
-                q_dense, qw_rest = banded_query_split(slot_dev, qi, qw, k)
-                return band_scores(band_dev, q_dense), qw_rest
+            # band arrays ride as ARGUMENTS (closure capture would embed
+            # the [N, K] matrix as a compile-request constant — HTTP 413
+            # through the remote-compile tunnel at K >= 1024)
+            @functools.partial(jax.jit, static_argnames=("kb",))
+            def banded_round(band, slot, qi, qw, kb):
+                q_dense, qw_rest = banded_query_split(slot, qi, qw, kb)
+                return band_scores(band, q_dense), qw_rest
 
-            def full_round(qi, qw):
-                s_band, qw_rest = banded_round(qi, qw)
+            def full_round(band, slot, qi, qw):
+                s_band, qw_rest = banded_round(band, slot, qi, qw, kb=k)
                 return s_band + bm25_scores_split(*dev, qi, qw_rest,
                                                   vocab_size=v)
 
-            band_ms = timeit(lambda qi, qw: banded_round(qi, qw)[0],
-                             q_ids_d, q_w_d, reps=args.reps)
-            total_ms = timeit(full_round, q_ids_d, q_w_d, reps=args.reps)
+            band_ms = timeit(
+                lambda bd, sl, qi, qw: banded_round(bd, sl, qi, qw, kb=k)[0],
+                band_dev, slot_dev, q_ids_d, q_w_d, reps=args.reps)
+            total_ms = timeit(full_round, band_dev, slot_dev,
+                              q_ids_d, q_w_d, reps=args.reps)
             rows.append({"k": k, "coverage": round(cov, 4),
                          "rest_width": int(base_t.shape[1]),
                          "band_ms": round(band_ms, 3),
