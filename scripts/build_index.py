@@ -44,6 +44,12 @@ def main() -> None:
                     help="lexical-hash | HF model name (needs local checkpoint)")
     ap.add_argument("--embedding_dim", type=int, default=2048,
                     help="dimension for the lexical-hash embedder")
+    ap.add_argument("--stack", default=None,
+                    help="stacked multi-encoder dense arm: comma list of "
+                         "checkpoint[:weight] entries (one [N, Σd] index "
+                         "scoring a weighted ensemble of encoder cosines — "
+                         "the quality_at_scale profile's arm); overrides "
+                         "--checkpoint")
     ap.add_argument("--checkpoint", default=None,
                     help="trained encoder checkpoint dir (overrides "
                          "--embedding_model)")
@@ -61,7 +67,16 @@ def main() -> None:
     chunks = load_chunks(args.chunks_path)
     print(f"Loaded {len(chunks)} chunks from {args.chunks_path}")
 
-    if args.checkpoint:
+    if args.stack:
+        stack = []
+        for entry in args.stack.split(","):
+            ckpt, _, w = entry.partition(":")
+            stack.append((ckpt, float(w) if w else 1.0))
+        embedder = MedicalEmbedder(backend="stacked", stack=stack,
+                                   batch_size=args.batch_size)
+        if embedder.backend_name != "StackedBertEmbedder":
+            raise SystemExit(f"stacked encoder failed to load: {args.stack}")
+    elif args.checkpoint:
         embedder = MedicalEmbedder(model_name=args.embedding_model,
                                    backend="bert",
                                    checkpoint_path=args.checkpoint,
