@@ -152,7 +152,8 @@ def main() -> None:
             "qps_all_passes": [round(p["overall"]["queries_per_second"], 1)
                                for p in passes],
         },
-        "encoder": info["encoder"],
+        "encoder": info_big["encoder"],
+        "encoder_small_corpus": info["encoder"],
         "config": {k: v for k, v in cfg_big.to_dict().items()
                    if k in ("fusion_method", "vector_weight", "bm25_weight",
                             "prf_terms", "group_by_doc", "bm25_k1", "bm25_b",

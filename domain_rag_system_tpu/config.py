@@ -157,33 +157,71 @@ class RetrievalConfig:
         ``concat(e_sem, e_6l, e_pre)`` rows so the three-encoder ensemble
         is still ONE [N, 896] matmul (models/stacked_embedder.py).
 
-        Selected by 5-fold-CV weight sweeps at 91,853 chunks: the 2-stack
-        grid chose sem+6l at ratio 1.0 / vw 0.2 in every fold (oof
-        recall@5 0.5522 / nDCG@10 0.8130 vs 0.5365 / 0.7925 single-encoder,
-        ``results/stack_sweep_at_scale.json``); adding ``medrag-pre`` as a
-        third arm was again unanimous at equal weight (oof 0.5599 / 0.8156,
-        ``results/stack3_pre_at_scale.json``), while ``medrag-kw`` as
-        third arm was weaker (0.5519/0.8140) and a joint (rb, rc) grid
-        found only a noisy plateau around equal weights
-        (``results/stack3_{kw,joint}_at_scale.json``) — so the committed
-        point is the simple unanimous one. Decorrelated training recipes'
-        errors partially cancel; earlier single-6L grids
-        (``results/cv_tune_6l_*.json``) are superseded."""
+        Selected by greedy 5-fold-CV forward selection at 91,853 chunks
+        (each arm swept against the previously adopted stack; out-of-fold
+        recall@5 / nDCG@10 at each step):
+
+            medrag-sem alone            0.5365 / 0.7925
+            + medrag-pre-6l             0.5522 / 0.8130  (unanimous, vw 0.2)
+            + medrag-pre                0.5599 / 0.8156  (unanimous, vw 0.2)
+            + medrag-pre-6l-b (seed 7)  0.5611 / 0.8208  (4/5 folds, vw 0.25)
+
+        (``results/stack_sweep_at_scale.json``, ``stack3_pre_at_scale
+        .json``, ``stack4_pre6lb_at_scale.json``.) Rejected arms:
+        ``medrag-kw`` (weaker than pre as third arm, 0.5519/0.8140) and
+        the kw 4th arm (recall@5 regression); a joint weight grid found
+        only a noisy plateau around equal weights
+        (``stack3_{kw,joint}_at_scale.json``). Decorrelated training
+        recipes' (and seeds') errors partially cancel, with shrinking
+        marginal gains (+0.021 → +0.003 nDCG per arm); earlier single-6L
+        grids (``results/cv_tune_6l_*.json``) are superseded.
+
+        THIS profile stops at three arms — the measured Pareto point
+        (1,414 q/s, no throughput cost vs one encoder). The CV-winning
+        4-arm point ships as :meth:`quality_max_at_scale`: +0.010 nDCG
+        for ~26% q/s (``results/scale_bench_stack{3,4}.json``)."""
         cfg = cls.tuned_at_scale()
-        root = Path(__file__).resolve().parent.parent / "checkpoints"
-        stack = [root / "medrag-sem", root / "medrag-pre-6l",
-                 root / "medrag-pre"]
-        missing = [str(p) for p in stack if not p.exists()]
-        if missing:
-            raise FileNotFoundError(
-                f"quality_at_scale needs the stacked encoders ({missing}) — "
-                f"train them with scripts/pretrain_encoder.py + "
-                f"scripts/train_encoder.py or use tuned_at_scale()")
         cfg.encoder_checkpoint = None
-        cfg.encoder_stack = tuple((str(p), 1.0) for p in stack)
+        cfg.encoder_stack = cls._stack(
+            "medrag-sem", "medrag-pre-6l", "medrag-pre")
         cfg.vector_weight = 0.2
         cfg.bm25_weight = 0.8
         return cfg
+
+    @classmethod
+    def quality_max_at_scale(cls) -> "RetrievalConfig":
+        """The quality-MAX production-scale profile: the 4-arm stack
+        (``quality_at_scale``'s three encoders + the seed-7 6L sibling
+        ``medrag-pre-6l-b``) at vector_weight 0.25. Best measured at-scale
+        ranking — on chip at 91,853 chunks: recall@5 0.5616 / nDCG@10
+        **0.8253** / MRR 0.870, CV out-of-fold 0.5611/0.8208 with 4/5
+        folds selecting this point (``results/stack4_pre6lb_at_scale
+        .json``). Costs real throughput: ~1,040 q/s median vs the 3-stack
+        profile's 1,414 (the [N, 1280] dense matmul plus two extra
+        forwards exceed the grouped-sync overlap budget —
+        ``results/scale_bench_stack4.json``). Pick this profile when
+        ranking quality outranks serving cost."""
+        cfg = cls.quality_at_scale()
+        cfg.encoder_stack = cls._stack(
+            "medrag-sem", "medrag-pre-6l", "medrag-pre", "medrag-pre-6l-b")
+        cfg.vector_weight = 0.25
+        cfg.bm25_weight = 0.75
+        return cfg
+
+    @staticmethod
+    def _stack(*names: str) -> tuple:
+        """((checkpoint_path, 1.0), ...) for repo checkpoints, verified
+        present — an explicitly requested stacked profile must fail
+        loudly, not degrade."""
+        root = Path(__file__).resolve().parent.parent / "checkpoints"
+        paths = [root / n for n in names]
+        missing = [str(p) for p in paths if not p.exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"stacked profile needs encoder checkpoints {missing} — "
+                f"train them with scripts/pretrain_encoder.py + "
+                f"scripts/train_encoder.py or use tuned_at_scale()")
+        return tuple((str(p), 1.0) for p in paths)
 
     @classmethod
     def head_precision(cls) -> "RetrievalConfig":

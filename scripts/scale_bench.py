@@ -75,7 +75,8 @@ def main() -> None:
                     help="timed passes; the median is reported (tunnel "
                          "dispatch jitter)")
     ap.add_argument("--profile", default="tuned_at_scale",
-                    choices=["tuned", "tuned_at_scale", "quality_at_scale"],
+                    choices=["tuned", "tuned_at_scale", "quality_at_scale",
+                             "quality_max_at_scale"],
                     help="base config before CLI overrides; use 'tuned' to "
                          "confirm small-corpus operating points on chip")
     ap.add_argument("--all_corpora", action="store_true",

@@ -55,13 +55,15 @@ def main() -> None:
                          "unavailable); 'python' = http.server threads")
     ap.add_argument("--profile", default="tuned",
                     choices=["tuned", "tuned_at_scale", "quality_at_scale",
-                             "head_precision"],
+                             "quality_max_at_scale", "head_precision"],
                     help="tuned = best recall/nDCG at ~1000 q/s (small "
                          "index); tuned_at_scale = the 91k-chunk operating "
                          "point (deeper candidate pool); quality_at_scale = "
-                         "6L encoder for the best at-scale nDCG/MRR at ~2x "
-                         "device cost; head_precision = cross-encoder "
-                         "rerank for the best MRR/hit@1 at ~70 q/s")
+                         "3-encoder stacked dense arm, best at-scale "
+                         "quality at full throughput; quality_max_at_scale "
+                         "= 4-encoder stack, +0.010 nDCG for ~26% q/s; "
+                         "head_precision = cross-encoder rerank for the "
+                         "best MRR/hit@1 at ~70 q/s")
     args = ap.parse_args()
 
     from domain_rag_system_tpu.config import RetrievalConfig

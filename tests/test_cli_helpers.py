@@ -53,15 +53,18 @@ def test_quality_at_scale_profile():
     # inherits the at-scale operating point (deep pool, standard BM25)
     assert cfg.fetch_mult == 8 and cfg.evidence_chunks == 3
     assert cfg.bm25_k1 == 1.5 and cfg.bm25_b == 0.75
-    # swaps in the STACKED dense arm at its CV-selected knobs
-    # (results/stack_sweep_at_scale.json + stack3_pre_at_scale.json:
-    # every fold chose equal weights / vw=0.2)
+    # swaps in the STACKED dense arm at its CV-selected knobs (greedy
+    # forward selection, results/stack*_at_scale.json)
     assert cfg.encoder_checkpoint is None
-    (ck_a, w_a), (ck_b, w_b), (ck_c, w_c) = cfg.encoder_stack
-    assert "medrag-sem" in ck_a and "medrag-pre-6l" in ck_b
-    assert ck_c.endswith("medrag-pre")
-    assert w_a == w_b == w_c == 1.0
+    names = [Path(ck).name for ck, _ in cfg.encoder_stack]
+    assert names == ["medrag-sem", "medrag-pre-6l", "medrag-pre"]
+    assert all(w == 1.0 for _, w in cfg.encoder_stack)
     assert cfg.vector_weight == 0.2 and cfg.bm25_weight == 0.8
+    # the quality-max profile adds the seed-7 6L arm at vw 0.25
+    qmax = RetrievalConfig.quality_max_at_scale()
+    assert [Path(ck).name for ck, _ in qmax.encoder_stack] == [
+        "medrag-sem", "medrag-pre-6l", "medrag-pre", "medrag-pre-6l-b"]
+    assert qmax.vector_weight == 0.25
 
 
 def test_head_precision_profile():
