@@ -208,6 +208,25 @@ class RetrievalConfig:
         cfg.bm25_weight = 0.75
         return cfg
 
+    @classmethod
+    def quality_small(cls) -> "RetrievalConfig":
+        """The quality-leaning SMALL-corpus profile: :meth:`tuned` with the
+        4-arm encoder stack at vector_weight 0.1. The earlier 2-stack small
+        sweep was a wash (``results/stack_sweep_small.json``), but with the
+        full stack the CV flips: 4/5 folds select ratio=1.0 / vw=0.1 —
+        in-sample recall@5 0.5746 / nDCG@10 0.8440 / MRR 0.882 vs the
+        tuned single-encoder point's 0.5716 / 0.8377 / 0.8786, out-of-fold
+        nDCG 0.8441 vs 0.833 at equal recall@5
+        (``results/stack4_small.json``). ``tuned()`` remains the committed
+        headline (single encoder, fastest small-corpus point)."""
+        cfg = cls.tuned()
+        cfg.encoder_checkpoint = None
+        cfg.encoder_stack = cls._stack(
+            "medrag-sem", "medrag-pre-6l", "medrag-pre", "medrag-pre-6l-b")
+        cfg.vector_weight = 0.1
+        cfg.bm25_weight = 0.9
+        return cfg
+
     @staticmethod
     def _stack(*names: str) -> tuple:
         """((checkpoint_path, 1.0), ...) for repo checkpoints, verified

@@ -76,7 +76,7 @@ def main() -> None:
                          "dispatch jitter)")
     ap.add_argument("--profile", default="tuned_at_scale",
                     choices=["tuned", "tuned_at_scale", "quality_at_scale",
-                             "quality_max_at_scale"],
+                             "quality_max_at_scale", "quality_small"],
                     help="base config before CLI overrides; use 'tuned' to "
                          "confirm small-corpus operating points on chip")
     ap.add_argument("--all_corpora", action="store_true",
