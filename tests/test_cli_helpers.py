@@ -65,6 +65,11 @@ def test_quality_at_scale_profile():
     assert [Path(ck).name for ck, _ in qmax.encoder_stack] == [
         "medrag-sem", "medrag-pre-6l", "medrag-pre", "medrag-pre-6l-b"]
     assert qmax.vector_weight == 0.25
+    # the small-corpus quality profile: tuned base + the 4-arm stack at
+    # its CV-selected vw 0.1 (results/stack4_small.json)
+    qs = RetrievalConfig.quality_small()
+    assert qs.bm25_k1 == RetrievalConfig.tuned().bm25_k1
+    assert len(qs.encoder_stack) == 4 and qs.vector_weight == 0.1
 
 
 def test_head_precision_profile():
