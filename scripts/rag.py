@@ -50,7 +50,7 @@ def run_answer_evaluation(args) -> None:
     from domain_rag_system_tpu.evaluation.runners import load_queries
     from domain_rag_system_tpu.serving import build_pipeline as build_serving
 
-    cfg = RetrievalConfig.tuned()
+    cfg = getattr(RetrievalConfig, getattr(args, "profile", None) or "tuned")()
     pipeline, info = build_serving(
         cfg, corpus_kwargs={"pubmed_path": args.eval_corpus})
     queries = load_queries(args.evaluate)
@@ -110,6 +110,11 @@ def main() -> None:
     ap.add_argument("--eval_corpus",
                     default="data/recovered/BioASQ/corpus_subset.json")
     ap.add_argument("--eval_output", default="results/answer_eval.json")
+    ap.add_argument("--profile", default=None,
+                    choices=["tuned", "quality_small", "tuned_at_scale",
+                             "quality_at_scale", "quality_max_at_scale"],
+                    help="retrieval operating point for --evaluate "
+                         "(default: tuned)")
     args = ap.parse_args()
 
     if args.evaluate:
