@@ -191,21 +191,28 @@ class RetrievalConfig:
     @classmethod
     def quality_max_at_scale(cls) -> "RetrievalConfig":
         """The quality-MAX production-scale profile: the 4-arm stack
-        (``quality_at_scale``'s three encoders + the seed-7 6L sibling
-        ``medrag-pre-6l-b``) at vector_weight 0.25. Best measured at-scale
-        ranking — on chip at 91,853 chunks: recall@5 0.5616 / nDCG@10
-        **0.8253** / MRR 0.870, CV out-of-fold 0.5611/0.8208 with 4/5
-        folds selecting this point (``results/stack4_pre6lb_at_scale
-        .json``). Costs real throughput: ~1,040 q/s median vs the 3-stack
-        profile's 1,414 (the [N, 1280] dense matmul plus two extra
-        forwards exceed the grouped-sync overlap budget —
-        ``results/scale_bench_stack4.json``). Pick this profile when
-        ranking quality outranks serving cost."""
+        (``quality_at_scale``'s three encoders + the 8L/512 long-pretrain
+        encoder ``medrag-pre-8l`` at weight ratio 2) at vector_weight 0.3.
+
+        ``medrag-pre-8l`` (6k MLM + 2k ICT steps, then contrastive
+        fine-tune) is the strongest single dense arm — dense-only recall@5
+        **0.4553** / MRR 0.796 (``results/encoder_campaign_pre8l.json``),
+        finally clearing the 0.45 bar VERDICT round-2 item 1 set. In the
+        stack every fold selects ratio=2.0 / vw=0.3 — CV out-of-fold
+        recall@5 **0.5622** / nDCG@10 **0.8291**
+        (``results/stack4_pre8l{,_vw}_at_scale.json``; slimmer variants
+        sem+8l and sem+6l+8l are worse — the weak arms still add). Costs
+        throughput vs the 3-stack profile (the [N, 1408] matmul + the 8L
+        forward exceed the grouped-sync overlap budget). Pick this when
+        ranking quality outranks serving cost. The earlier 4-arm point
+        (seed-7 6L sibling, nDCG 0.8253 — ``stack4_pre6lb_at_scale.json``)
+        is superseded."""
         cfg = cls.quality_at_scale()
         cfg.encoder_stack = cls._stack(
-            "medrag-sem", "medrag-pre-6l", "medrag-pre", "medrag-pre-6l-b")
-        cfg.vector_weight = 0.25
-        cfg.bm25_weight = 0.75
+            "medrag-sem", "medrag-pre-6l", "medrag-pre",
+            ("medrag-pre-8l", 2.0 ** 0.5))
+        cfg.vector_weight = 0.3
+        cfg.bm25_weight = 0.7
         return cfg
 
     @classmethod
@@ -228,19 +235,22 @@ class RetrievalConfig:
         return cfg
 
     @staticmethod
-    def _stack(*names: str) -> tuple:
-        """((checkpoint_path, 1.0), ...) for repo checkpoints, verified
+    def _stack(*names) -> tuple:
+        """((checkpoint_path, weight), ...) for repo checkpoints, verified
         present — an explicitly requested stacked profile must fail
-        loudly, not degrade."""
+        loudly, not degrade. Entries are names (weight 1.0) or
+        (name, weight) pairs."""
         root = Path(__file__).resolve().parent.parent / "checkpoints"
-        paths = [root / n for n in names]
-        missing = [str(p) for p in paths if not p.exists()]
+        entries = [(n, 1.0) if isinstance(n, str) else (n[0], float(n[1]))
+                   for n in names]
+        paths = [(root / n, w) for n, w in entries]
+        missing = [str(p) for p, _ in paths if not p.exists()]
         if missing:
             raise FileNotFoundError(
                 f"stacked profile needs encoder checkpoints {missing} — "
                 f"train them with scripts/pretrain_encoder.py + "
                 f"scripts/train_encoder.py or use tuned_at_scale()")
-        return tuple((str(p), 1.0) for p in paths)
+        return tuple((str(p), w) for p, w in paths)
 
     @classmethod
     def head_precision(cls) -> "RetrievalConfig":
