@@ -71,6 +71,8 @@ def listwise_distill_loss(
     teacher_scores: jax.Array,  # [B·G] tuned-stack fused scores (-inf = pad)
     group_size: int,
     temperature: float = 1.0,
+    gt_slots: Optional[jax.Array] = None,  # [B] source-chunk slot, -1 = none
+    gt_weight: float = 0.0,
 ) -> Tuple[jax.Array, Dict]:
     """KL(teacher ‖ student) over candidate lists — ranking distillation.
 
@@ -80,6 +82,13 @@ def listwise_distill_loss(
     ``temperature``; the CE's softmax must match. Padding slots carry
     ``-inf`` teacher scores and are excluded from both distributions.
     Reported accuracy = how often the CE's argmax equals the teacher's.
+
+    ``gt_slots``/``gt_weight`` add supervision the teacher DOESN'T have:
+    for ICT pseudo-queries the source chunk is known ground truth by
+    construction, so a softmax cross-entropy term pushes it to the top of
+    the group even when the fusion teacher ranks it lower — the one signal
+    that can let the student exceed its teacher (groups with no source
+    chunk in the candidate pool carry slot -1 and contribute 0).
     """
     s = logits.reshape(-1, group_size)
     t = teacher_scores.reshape(-1, group_size)
@@ -101,7 +110,19 @@ def listwise_distill_loss(
     loss = jnp.mean(kl)
     accuracy = jnp.mean(jnp.argmax(s_logits, axis=1)
                         == jnp.argmax(t_logits, axis=1))
-    return loss, {"loss": loss, "accuracy": accuracy}
+    metrics = {"loss": loss, "accuracy": accuracy}
+    if gt_slots is not None and gt_weight > 0.0:
+        has_gt = gt_slots >= 0
+        safe = jnp.maximum(gt_slots, 0)
+        ce = optax.softmax_cross_entropy_with_integer_labels(s_logits, safe)
+        n_gt = jnp.maximum(has_gt.sum(), 1)
+        gt_loss = jnp.where(has_gt, ce, 0.0).sum() / n_gt
+        loss = loss + gt_weight * gt_loss
+        gt_acc = (jnp.where(has_gt, jnp.argmax(s_logits, axis=1) == safe,
+                            False).sum() / n_gt)
+        metrics = {"loss": loss, "accuracy": accuracy,
+                   "gt_loss": gt_loss, "gt_accuracy": gt_acc}
+    return loss, metrics
 
 
 def make_cross_train_step(
@@ -110,11 +131,13 @@ def make_cross_train_step(
     group_size: int = 0,
     distill: bool = False,
     temperature: float = 1.0,
+    gt_weight: float = 0.0,
 ) -> Callable:
-    """``distill`` → listwise KL against ``batch['teacher']`` scores;
-    else ``group_size > 0`` → grouped softmax ranking loss (batches laid
-    out as [pos, neg...] groups); else pointwise BCE on
-    ``batch['labels']``."""
+    """``distill`` → listwise KL against ``batch['teacher']`` scores
+    (plus a ground-truth softmax term on ``batch['gt']`` slots when
+    ``gt_weight > 0``); else ``group_size > 0`` → grouped softmax ranking
+    loss (batches laid out as [pos, neg...] groups); else pointwise BCE
+    on ``batch['labels']``."""
 
     def train_step(params, opt_state, batch):
         def loss_fn(p):
@@ -122,7 +145,9 @@ def make_cross_train_step(
                                   batch["types"], deterministic=True)
             if distill:
                 return listwise_distill_loss(logits, batch["teacher"],
-                                             group_size, temperature)
+                                             group_size, temperature,
+                                             gt_slots=batch.get("gt"),
+                                             gt_weight=gt_weight)
             if group_size > 0:
                 return grouped_softmax_loss(logits, group_size)
             return bce_loss(logits, batch["labels"])
@@ -149,10 +174,12 @@ class CrossEncoderTrainer:
         group_size: int = 0,
         distill: bool = False,
         temperature: float = 1.0,
+        gt_weight: float = 0.0,
     ):
         self.group_size = group_size
         self.distill = distill
         self.temperature = temperature
+        self.gt_weight = gt_weight
         self.config = config
         self.mesh = mesh
         self.module = CrossEncoder(config)
@@ -189,7 +216,7 @@ class CrossEncoderTrainer:
             self._step_fn = jax.jit(
                 make_cross_train_step(self.module, self.optimizer,
                                       self.group_size, self.distill,
-                                      self.temperature))
+                                      self.temperature, self.gt_weight))
         history = []
         for i, batch in enumerate(batches):
             if self.mesh is not None:

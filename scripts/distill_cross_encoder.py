@@ -58,6 +58,38 @@ def build_pseudo_queries(corpus, max_queries, seed=0):
     return out
 
 
+def build_chunk_ict_queries(chunks, max_queries, seed=0, remove_prob=0.9):
+    """Chunk-sourced ICT pseudo-queries with KNOWN ground truth.
+
+    Returns (query, gt_chunk_id, train_text) triples: the sampled sentence
+    is the query, the chunk it came from is relevant BY CONSTRUCTION (the
+    one supervision signal the fusion teacher doesn't have), and
+    ``train_text`` is the chunk text with the sentence removed with
+    probability ``remove_prob`` (ORQA's trick) so the CE can't reduce the
+    ground-truth objective to a substring match."""
+    from domain_rag_system_tpu.preprocessing import split_sentences
+
+    rng = np.random.default_rng(seed)
+    triples = []
+    order = rng.permutation(len(chunks))
+    for ci in order:
+        chunk = chunks[int(ci)]
+        sentences = [s for s in split_sentences(chunk.text)
+                     if len(s.strip()) >= 30]
+        if len(sentences) < 2:
+            continue
+        i = int(rng.integers(len(sentences)))
+        query = sentences[i].strip()
+        if rng.random() < remove_prob:
+            train_text = " ".join(s for j, s in enumerate(sentences) if j != i)
+        else:
+            train_text = chunk.text
+        triples.append((query, chunk.chunk_id, train_text))
+        if len(triples) >= max_queries:
+            break
+    return triples
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--corpus", default="data/recovered/BioASQ/corpus_subset.json")
@@ -75,6 +107,18 @@ def main() -> None:
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--seq_len", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--profile", default="tuned",
+                    choices=["tuned", "quality_small"],
+                    help="teacher pipeline config (quality_small = the "
+                         "4-arm stacked profile, the strongest "
+                         "small-corpus ranking)")
+    ap.add_argument("--gt_weight", type=float, default=0.0,
+                    help="weight of the ground-truth softmax term on "
+                         "chunk-ICT queries (the signal that can push the "
+                         "student past its teacher)")
+    ap.add_argument("--gt_frac", type=float, default=0.5,
+                    help="fraction of pseudo-queries that are chunk-ICT "
+                         "(known ground truth); the rest are teacher-only")
     args = ap.parse_args()
 
     from domain_rag_system_tpu.config import RetrievalConfig
@@ -87,32 +131,53 @@ def main() -> None:
     from domain_rag_system_tpu.training.cross_encoder import CrossEncoderTrainer
 
     root = Path(__file__).resolve().parent.parent
-    cfg = RetrievalConfig.tuned()
+    cfg = getattr(RetrievalConfig, args.profile)()
     corpus = json.load(open(root / args.corpus))
     docs = DataLoader(pubmed_path=str(root / args.corpus)).load_pubmed()
     chunks = DocumentChunker().chunk_documents(docs)
     pipeline, _ = build_pipeline(cfg, chunks=chunks)
 
-    queries = build_pseudo_queries(corpus, args.n_queries, seed=args.seed)
-    print(f"{len(queries)} pseudo-queries")
+    n_gt = int(args.n_queries * args.gt_frac) if args.gt_weight > 0 else 0
+    gt_triples = build_chunk_ict_queries(chunks, n_gt, seed=args.seed)
+    plain = build_pseudo_queries(corpus, args.n_queries - len(gt_triples),
+                                 seed=args.seed)
+    # (query, gt_chunk_id | None, train_text | None)
+    all_queries = ([(q, cid, text) for q, cid, text in gt_triples]
+                   + [(q, None, None) for q in plain])
+    rng0 = np.random.default_rng(args.seed)
+    rng0.shuffle(all_queries)
+    print(f"{len(all_queries)} pseudo-queries "
+          f"({len(gt_triples)} with chunk ground truth)")
 
     # ---- teacher rankings (batched tuned retrieval, chunk-level) ---------
     kw = cfg.query_kwargs()
     kw.update(top_k=args.group_size, group_by_doc=False, evidence_alpha=0.0)
     kw.pop("rerank_top_n", None)
-    teacher = []  # (query, [texts], [scores])
+    teacher = []  # (query, [texts], [scores], gt_slot)
     B = cfg.batch_size
-    for start in range(0, len(queries), B):
-        batch = queries[start:start + B]
-        outs = pipeline.query_batch(batch, rerank_top_n=0, **kw)
-        for q, out in zip(batch, outs):
+    for start in range(0, len(all_queries), B):
+        batch = all_queries[start:start + B]
+        outs = pipeline.query_batch([q for q, _, _ in batch],
+                                    rerank_top_n=0, **kw)
+        for (q, gt_cid, train_text), out in zip(batch, outs):
             texts = [r["text"] for r in out["results"]]
             scores = [r["score"] for r in out["results"]]
+            gt_slot = -1
+            if gt_cid is not None:
+                for slot, r in enumerate(out["results"]):
+                    if r["chunk_id"] == gt_cid:
+                        gt_slot = slot
+                        # ORQA: train on the sentence-removed variant so
+                        # the gt objective can't be a substring match
+                        texts[slot] = train_text
+                        break
             if len(texts) >= 2:
-                teacher.append((q, texts, scores))
+                teacher.append((q, texts, scores, gt_slot))
         if (start // B) % 10 == 0:
-            print(f"  teacher {start + len(batch)}/{len(queries)}")
-    print(f"{len(teacher)} teacher lists")
+            print(f"  teacher {start + len(batch)}/{len(all_queries)}")
+    n_hit = sum(1 for t in teacher if t[3] >= 0)
+    print(f"{len(teacher)} teacher lists "
+          f"({n_hit} with the gt chunk in the candidate pool)")
 
     # ---- CE training ------------------------------------------------------
     config, init_params, tokenizer = load_encoder_checkpoint(args.init_from)
@@ -123,7 +188,7 @@ def main() -> None:
         config, learning_rate=args.lr, seed=args.seed,
         warmup_steps=max(args.steps // 10, 10), total_steps=args.steps,
         group_size=args.group_size, distill=True,
-        temperature=args.temperature)
+        temperature=args.temperature, gt_weight=args.gt_weight)
     trainer.init_state(seq_len=seq_len, init_params=init_params)
 
     def batches():
@@ -133,24 +198,29 @@ def main() -> None:
             sel = rng.permutation(len(teacher))
             for start in range(0, len(sel) - args.batch_groups + 1,
                                args.batch_groups):
-                qs, ps, ts = [], [], []
+                qs, ps, ts, gts = [], [], [], []
                 for i in sel[start:start + args.batch_groups]:
-                    q, texts, scores = teacher[i]
+                    q, texts, scores, gt_slot = teacher[i]
                     texts = texts[:G]
                     scores = scores[:G]
                     pad = G - len(texts)
                     qs.extend([q] * G)
                     ps.extend(texts + [""] * pad)
                     ts.extend(scores + [float("-inf")] * pad)
+                    gts.append(gt_slot if gt_slot < len(texts) else -1)
                 ids, mask, types = tokenizer.encode_batch(
                     qs, ps, max_length=seq_len)
                 yield {"ids": ids, "mask": mask, "types": types,
-                       "teacher": np.asarray(ts, np.float32)}
+                       "teacher": np.asarray(ts, np.float32),
+                       "gt": np.asarray(gts, np.int32)}
 
     history = trainer.train(itertools.islice(batches(), args.steps),
                             log_every=25)
-    print(f"final: loss={history[-1]['loss']:.4f} "
-          f"teacher-argmax-acc={history[-1]['accuracy']:.3f}")
+    final = history[-1]
+    print(f"final: loss={final['loss']:.4f} "
+          f"teacher-argmax-acc={final['accuracy']:.3f}"
+          + (f" gt-acc={final['gt_accuracy']:.3f}"
+             if "gt_accuracy" in final else ""))
     save_encoder_checkpoint(args.out, config, trainer.state.params, tokenizer)
     print(f"checkpoint -> {args.out}")
 

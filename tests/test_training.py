@@ -275,3 +275,42 @@ def test_listwise_distill_loss_semantics():
     loss2, m2 = listwise_distill_loss(bad.reshape(-1), teacher, g)
     assert float(loss2) > 0.5
     assert float(m2["accuracy"]) == 0.0
+
+
+def test_listwise_distill_gt_term():
+    """The ground-truth softmax term: groups with gt slot -1 contribute 0;
+    a student whose argmax hits the gt slot scores gt_accuracy 1 and a
+    lower gt_loss than one that misses it; gt_weight=0 is the plain KL."""
+    import jax.numpy as jnp
+
+    from domain_rag_system_tpu.training.cross_encoder import (
+        listwise_distill_loss,
+    )
+
+    g = 4
+    teacher = jnp.asarray([3.0, 2.0, 1.0, 0.0,
+                           1.0, 5.0, 2.0, 0.5], jnp.float32)
+    student = jnp.asarray([0.0, 4.0, 0.0, 0.0,   # argmax slot 1
+                           0.0, 4.0, 0.0, 0.0], jnp.float32)
+    gt = jnp.asarray([1, -1], jnp.int32)  # group 0 gt=slot1, group 1 none
+
+    base, _ = listwise_distill_loss(student, teacher, g)
+    with_gt, m = listwise_distill_loss(student, teacher, g,
+                                       gt_slots=gt, gt_weight=1.0)
+    assert float(m["gt_accuracy"]) == 1.0
+    # gt term is the CE of hitting slot 1 in group 0 only
+    assert float(with_gt) > float(base)
+
+    # student argmax at the WRONG slot: gt_loss larger, gt_accuracy 0
+    miss = jnp.asarray([4.0, 0.0, 0.0, 0.0,
+                        0.0, 4.0, 0.0, 0.0], jnp.float32)
+    _, m_miss = listwise_distill_loss(miss, teacher, g,
+                                      gt_slots=gt, gt_weight=1.0)
+    assert float(m_miss["gt_accuracy"]) == 0.0
+    assert float(m_miss["gt_loss"]) > float(m["gt_loss"])
+
+    # gt_weight=0 (or no slots) falls back to the plain KL value
+    same, m0 = listwise_distill_loss(student, teacher, g,
+                                     gt_slots=gt, gt_weight=0.0)
+    assert float(same) == float(base)
+    assert "gt_loss" not in m0
