@@ -41,6 +41,12 @@ class BertConfig:
     # "auto": Pallas flash-attention kernel on TPU when shapes allow
     # (seq multiple of 128), else the einsum path; "einsum"/"flash" force.
     attention_impl: str = "auto"
+    # Pre-LN residual blocks (norm INSIDE the residual branch, + final
+    # norm after the stack). Original-BERT post-LN stops training past
+    # ~8 layers at this scale (measured: 10L/12L MLM plateaus at unigram
+    # loss ~4.1 while 8L reaches masked-acc 0.8); pre-LN keeps the
+    # residual path identity-clean so depth trains.
+    pre_ln: bool = False
 
     @property
     def compute_dtype(self):
@@ -146,10 +152,24 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden, attention_mask, deterministic: bool):
         c = self.config
+        norm = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=c.layer_norm_eps, name=name, dtype=c.compute_dtype)
+
+        if c.pre_ln:
+            attn = BertSelfAttention(c, name="attention")(
+                norm("attention_norm")(hidden), attention_mask, deterministic)
+            hidden = hidden + attn
+            mlp = nn.Dense(c.intermediate_size, name="intermediate",
+                           dtype=c.compute_dtype)(norm("mlp_norm")(hidden))
+            mlp = nn.gelu(mlp, approximate=False)
+            mlp = nn.Dense(c.hidden_size, name="mlp_output",
+                           dtype=c.compute_dtype)(mlp)
+            mlp = nn.Dropout(c.dropout_rate)(mlp, deterministic=deterministic)
+            return hidden + mlp
+
         attn = BertSelfAttention(c, name="attention")(
             hidden, attention_mask, deterministic)
-        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_norm",
-                              dtype=c.compute_dtype)(hidden + attn)
+        hidden = norm("attention_norm")(hidden + attn)
 
         mlp = nn.Dense(c.intermediate_size, name="intermediate",
                        dtype=c.compute_dtype)(hidden)
@@ -157,8 +177,7 @@ class BertLayer(nn.Module):
         mlp = nn.Dense(c.hidden_size, name="mlp_output",
                        dtype=c.compute_dtype)(mlp)
         mlp = nn.Dropout(c.dropout_rate)(mlp, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="mlp_norm",
-                            dtype=c.compute_dtype)(hidden + mlp)
+        return norm("mlp_norm")(hidden + mlp)
 
 
 class BertEncoder(nn.Module):
@@ -177,6 +196,9 @@ class BertEncoder(nn.Module):
         layer_cls = nn.remat(BertLayer) if c.remat else BertLayer
         for i in range(c.num_layers):
             x = layer_cls(c, name=f"layer_{i}")(x, attention_mask, deterministic)
+        if c.pre_ln:  # pre-LN stacks need one final norm after the residuals
+            x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="final_norm",
+                             dtype=c.compute_dtype)(x)
         return x
 
 

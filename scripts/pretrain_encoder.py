@@ -116,6 +116,9 @@ def main() -> None:
     ap.add_argument("--ict_batch", type=int, default=256)
     ap.add_argument("--ict_lr", type=float, default=2e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pre_ln", action="store_true",
+                    help="pre-LN residual blocks — required past ~8 layers "
+                         "(post-LN 10L/12L MLM plateaus at unigram loss)")
     ap.add_argument("--skip_ict", action="store_true",
                     help="save the pure-MLM checkpoint (ablation)")
     args = ap.parse_args()
@@ -135,6 +138,7 @@ def main() -> None:
         num_layers=args.layers, num_heads=args.heads,
         intermediate_size=args.hidden * 4, dropout_rate=0.1,
         max_position_embeddings=args.seq_len, dtype="bfloat16",
+        pre_ln=args.pre_ln,
     )
 
     # ---- stage 1: MLM -----------------------------------------------------

@@ -128,6 +128,43 @@ def test_sentence_encoder_shapes_and_norm():
                                rtol=1e-5)
 
 
+def test_pre_ln_encoder_forward_and_roundtrip(tmp_path):
+    """pre_ln=True: same param tree as post-LN plus the stack's final_norm,
+    normalized output, and the flag survives a checkpoint round-trip (the
+    depth-trainability fix — post-LN stops training past ~8 layers)."""
+    from domain_rag_system_tpu.persistence.checkpoints import (
+        load_encoder_checkpoint,
+        save_encoder_checkpoint,
+    )
+    from domain_rag_system_tpu.tokenization import train_wordpiece
+
+    config = BertConfig.tiny(dropout_rate=0.0, pre_ln=True)
+    module = SentenceEncoder(config)
+    ids = jnp.zeros((2, 16), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    params = module.init(jax.random.PRNGKey(0), ids, mask)
+    emb = module.apply(params, ids, mask)
+    assert emb.shape == (2, config.hidden_size)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0,
+                               rtol=1e-5)
+
+    layer0 = params["params"]["bert"]["layer_0"]
+    assert {"attention_norm", "mlp_norm"} <= set(layer0)  # names stable
+    assert "final_norm" in params["params"]["bert"]
+
+    post = SentenceEncoder(BertConfig.tiny(dropout_rate=0.0))
+    post_params = post.init(jax.random.PRNGKey(0), ids, mask)
+    assert "final_norm" not in post_params["params"]["bert"]
+
+    tok = train_wordpiece(["alpha beta gamma delta"] * 4, vocab_size=64)
+    save_encoder_checkpoint(tmp_path / "ck", config, params["params"], tok)
+    loaded_config, loaded, _ = load_encoder_checkpoint(tmp_path / "ck")
+    assert loaded_config.pre_ln is True
+    emb2 = module.apply({"params": loaded}, ids, mask)
+    np.testing.assert_allclose(np.asarray(emb2), np.asarray(emb), rtol=2e-3,
+                               atol=2e-3)
+
+
 def test_bert_embedder_wrapper_end_to_end():
     from domain_rag_system_tpu.models.bert_embedder import BertEmbedder
 
