@@ -53,9 +53,14 @@ def main() -> None:
     ap.add_argument("--blends", type=float, nargs="+", default=[0.5, 0.7, 0.8, 0.9])
     ap.add_argument("--top_ns", type=int, nargs="+", default=[10, 20, 50])
     ap.add_argument("--output", default=None)
+    ap.add_argument("--profile", default="tuned",
+                    choices=["tuned", "quality_small"],
+                    help="pipeline profile the sweep (and its no-rerank "
+                         "baseline) runs on — compare the CE against the "
+                         "stack that would actually serve with it")
     args = ap.parse_args()
 
-    cfg = RetrievalConfig.tuned()
+    cfg = getattr(RetrievalConfig, args.profile)()
     pipeline, info = build_pipeline(
         cfg, corpus_kwargs={"pubmed_path": args.corpus})
     queries = load_queries(args.queries)

@@ -122,16 +122,30 @@ def main() -> None:
     cache_dir = Path(args.cache_dir)
 
     # per-encoder corpus matrices (cached once; ratios reuse them).
-    # stack_a may be a comma list: ONE fixed equal-weight base block.
-    base_ckpts = args.stack_a.split(",")
-    ckpts = base_ckpts + [args.stack_b]
+    # stack_a may be a comma list: ONE fixed base block. Each entry is
+    # "path" (weight 1.0) or "path:w" — so an adopted UNEQUAL-weight stack
+    # (e.g. quality_max's 8L arm at sqrt(2)) can be the base a candidate
+    # arm sweeps against.
+    def parse_entry(s):
+        if ":" in s:
+            p, _, w = s.rpartition(":")
+            try:
+                return p, float(w)
+            except ValueError:
+                pass
+        return s, 1.0
+
+    base_ckpts = [parse_entry(c) for c in args.stack_a.split(",")]
+    ckpts = [p for p, _ in base_ckpts] + [args.stack_b]
     if args.stack_c:
         ckpts.append(args.stack_c)
     st = StackedBertEmbedder([(c, 1.0) for c in ckpts], batch_size=128)
     mats = [cached_embeddings(cache_dir, Path(c).name, key, p, chunks)
             for c, p in zip(ckpts, st.parts)]
     nb = len(base_ckpts)
-    e_a = np.concatenate(mats[:nb], axis=1) if nb > 1 else mats[0]
+    e_a = (np.concatenate([w * m for (_, w), m in zip(base_ckpts, mats[:nb])],
+                          axis=1)
+           if nb > 1 else base_ckpts[0][1] * mats[0])
     e_b = mats[nb]
     e_c = mats[nb + 1] if args.stack_c else None
 
@@ -169,7 +183,7 @@ def main() -> None:
     runs = []
     t0 = time.time()
     for ri, (rb, rc) in enumerate(combos):
-        base = [(c, 1.0) for c in base_ckpts]
+        base = list(base_ckpts)
         if args.stack_c:
             wb, wc = float(np.sqrt(rb)), float(np.sqrt(rc))
             st.stack = base + [(args.stack_b, wb), (args.stack_c, wc)]
