@@ -129,6 +129,12 @@ def generate_report(
             "overall": results["overall"],
             "by_type": results.get("by_type", {}),
         }
+        if results.get("cached"):
+            # Section reused from an earlier run's file — possibly a
+            # different config/checkpoint than this report's environment
+            # block (scripts/evaluate.py reuse paths set the marker).
+            report[name]["cached"] = True
+            report[name]["cached_from"] = results.get("cached_from", "")
         report["baseline_comparison"][name] = compare_with_baseline(
             results["overall"], baseline_overall(name, reference_results)
         )

@@ -168,7 +168,13 @@ def main() -> None:
         out_path = results_dir / f"{name}_retrieval_results.json"
         if out_path.exists() and not args.force:
             print(f"[{name}] reusing existing {out_path}")
-            all_results[name] = json.load(open(out_path))
+            with open(out_path, "r", encoding="utf-8") as f:
+                section = json.load(f)
+            # Same marker as the not-selected-this-run reuse below: the
+            # file may predate this run's config/checkpoint.
+            section["cached"] = True
+            section["cached_from"] = str(out_path)
+            all_results[name] = section
             continue
         import dataclasses as _dc
 
