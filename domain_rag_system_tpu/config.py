@@ -191,28 +191,32 @@ class RetrievalConfig:
     @classmethod
     def quality_max_at_scale(cls) -> "RetrievalConfig":
         """The quality-MAX production-scale profile: the 4-arm stack
-        (``quality_at_scale``'s three encoders + the 8L/512 long-pretrain
-        encoder ``medrag-pre-8l`` at weight ratio 2) at vector_weight 0.3.
+        (``quality_at_scale``'s three encoders + the 8L/768 wide
+        long-pretrain encoder ``medrag-pre-8lw`` at weight ratio 4) at
+        vector_weight 0.35.
 
-        ``medrag-pre-8l`` (6k MLM + 2k ICT steps, then contrastive
-        fine-tune) is the strongest single dense arm — dense-only recall@5
-        **0.4553** / MRR 0.796 (``results/encoder_campaign_pre8l.json``),
-        finally clearing the 0.45 bar VERDICT round-2 item 1 set. In the
-        stack every fold selects ratio=2.0 / vw=0.3 — CV out-of-fold
-        recall@5 **0.5622** / nDCG@10 **0.8291**
-        (``results/stack4_pre8l{,_vw}_at_scale.json``; slimmer variants
-        sem+8l and sem+6l+8l are worse — the weak arms still add). Costs
-        throughput vs the 3-stack profile (the [N, 1408] matmul + the 8L
-        forward exceed the grouped-sync overlap budget). Pick this when
-        ranking quality outranks serving cost. The earlier 4-arm point
-        (seed-7 6L sibling, nDCG 0.8253 — ``stack4_pre6lb_at_scale.json``)
-        is superseded."""
+        ``medrag-pre-8lw`` (6k MLM + 3k ICT steps at hidden 768, then
+        contrastive fine-tune) is the strongest single dense arm —
+        dense-only recall@5 **0.4778** / nDCG@10 0.7625 / MRR 0.8348
+        (``results/encoder_campaign_pre8lw.json``), clearing the 0.45 bar
+        VERDICT round-2 item 1 set with room. In the stack the ratio-4 /
+        vw-0.35 point is the 5-fold majority — CV out-of-fold recall@5
+        **0.5704** / nDCG@10 **0.8381**
+        (``results/stack4_pre8lw{,_ext}_at_scale.json``). A 5-arm probe
+        keeping the superseded 8L/512 arm as well is a wash (0.5632 /
+        0.8400 — ``stack5_pre8lw_at_scale.json``), so the swap ships.
+        Costs throughput vs the 3-stack profile (the [N, 1664] matmul +
+        the 8L/768 forward exceed the grouped-sync overlap budget). Pick
+        this when ranking quality outranks serving cost. Earlier 4-arm
+        points (``medrag-pre-8l`` ratio 2: 0.5622/0.8291,
+        ``stack4_pre8l_at_scale.json``; seed-7 6L sibling: nDCG 0.8253,
+        ``stack4_pre6lb_at_scale.json``) are superseded."""
         cfg = cls.quality_at_scale()
         cfg.encoder_stack = cls._stack(
             "medrag-sem", "medrag-pre-6l", "medrag-pre",
-            ("medrag-pre-8l", 2.0 ** 0.5))
-        cfg.vector_weight = 0.3
-        cfg.bm25_weight = 0.7
+            ("medrag-pre-8lw", 2.0))
+        cfg.vector_weight = 0.35
+        cfg.bm25_weight = 0.65
         return cfg
 
     @classmethod

@@ -62,13 +62,13 @@ def test_quality_at_scale_profile():
     assert names == ["medrag-sem", "medrag-pre-6l", "medrag-pre"]
     assert all(w == 1.0 for _, w in cfg.encoder_stack)
     assert cfg.vector_weight == 0.2 and cfg.bm25_weight == 0.8
-    # the quality-max profile adds the 8L long-pretrain arm at weight
-    # ratio 2 (w = sqrt(2)), vw 0.3 (results/stack4_pre8l_at_scale.json)
+    # the quality-max profile adds the 8L/768 wide long-pretrain arm at
+    # weight ratio 4 (w = 2), vw 0.35 (results/stack4_pre8lw_at_scale.json)
     qmax = RetrievalConfig.quality_max_at_scale()
     assert [Path(ck).name for ck, _ in qmax.encoder_stack] == [
-        "medrag-sem", "medrag-pre-6l", "medrag-pre", "medrag-pre-8l"]
-    assert qmax.encoder_stack[-1][1] == pytest.approx(2.0 ** 0.5)
-    assert qmax.vector_weight == 0.3
+        "medrag-sem", "medrag-pre-6l", "medrag-pre", "medrag-pre-8lw"]
+    assert qmax.encoder_stack[-1][1] == pytest.approx(2.0)
+    assert qmax.vector_weight == 0.35
     # the small-corpus quality profile: tuned base + the 4-arm stack at
     # its CV-selected vw 0.1 (results/stack4_small.json)
     qs = RetrievalConfig.quality_small()
