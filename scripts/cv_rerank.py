@@ -144,16 +144,26 @@ def build_groups(q, pool, gt_chunk_texts, rng, group_size, max_pos):
     return groups
 
 
-def train_fold_ce(groups, init, steps, lr, group_size, batch_groups,
+def train_fold_ce(groups, init, eval_steps, lr, group_size, batch_groups,
                   seq_len, seed):
-    """Fine-tune a CE on [query, pos, neg...] groups; returns the model."""
+    """Fine-tune a CE on [query, pos, neg...] groups.
+
+    Yields a ``CrossEncoderModel`` snapshot at each step count in
+    ``eval_steps`` (ascending) — the snapshots drive inner-validation
+    early stopping: a CE fine-tuned on ~120 labeled queries memorizes
+    them within ~150 steps (train accuracy 1.0) while held-out quality
+    degrades, so the step count is a hyperparameter that MUST be selected
+    on queries the fine-tune never saw (first full-run finding:
+    train-fold selection alone picked memorized snapshots and lost to
+    no-rerank on every fold)."""
     from domain_rag_system_tpu.models.bert_embedder import CrossEncoderModel
     from domain_rag_system_tpu.training.cross_encoder import CrossEncoderTrainer
 
     config, init_params, tokenizer = init
+    total = max(eval_steps)
     trainer = CrossEncoderTrainer(
         config, learning_rate=lr, seed=seed,
-        warmup_steps=max(steps // 10, 5), total_steps=steps,
+        warmup_steps=max(total // 10, 5), total_steps=total,
         group_size=group_size)
     trainer.init_state(seq_len=seq_len, init_params=init_params)
 
@@ -172,10 +182,85 @@ def train_fold_ce(groups, init, steps, lr, group_size, batch_groups,
                     qs, ps, max_length=seq_len)
                 yield {"ids": ids, "mask": mask, "types": types}
 
-    history = trainer.train(itertools.islice(batches(), steps), log_every=50)
-    model = CrossEncoderModel(config=config, params=trainer.state.params,
-                              tokenizer=tokenizer, max_length=seq_len)
-    return model, history[-1]
+    stream = batches()
+    done = 0
+    for s in sorted(eval_steps):
+        trainer.train(itertools.islice(stream, s - done), log_every=0)
+        done = s
+        model = CrossEncoderModel(config=config, params=trainer.state.params,
+                                  tokenizer=tokenizer, max_length=seq_len)
+        yield s, model
+
+
+def build_anchor_groups(q, pool, group_size):
+    """One distillation group per real query: the tuned stack's top-G
+    chunk candidates with their fused scores as the KL teacher, plus the
+    first gt-document slot (if retrieved) for the supervised softmax term.
+
+    The KL anchor is the overfitting counter-measure the pure supervised
+    path lacks: the student cannot drift far from the (strong) fusion
+    ranking, so the 120 labeled queries only NUDGE slots, not rebuild the
+    ranking function (cf. training/cross_encoder.listwise_distill_loss)."""
+    from domain_rag_system_tpu.evaluation.runners import (
+        retrieved_doc_ids, strip_source_prefix)
+
+    gt = set(strip_source_prefix(str(d)) for d in q.get("documents", []))
+    cand = pool[:group_size]
+    if len(cand) < 2:
+        return None
+    docs = retrieved_doc_ids(cand)
+    gt_slot = next((i for i, d in enumerate(docs) if d in gt), -1)
+    return (q["body"], [r["text"] for r in cand],
+            [float(r["score"]) for r in cand], gt_slot)
+
+
+def train_fold_ce_anchor(groups, init, eval_steps, lr, group_size,
+                         batch_groups, seq_len, seed, temperature,
+                         gt_weight):
+    """Distill-anchored fine-tune over (query, texts, teacher, gt) groups;
+    yields CrossEncoderModel snapshots at each eval step count."""
+    from domain_rag_system_tpu.models.bert_embedder import CrossEncoderModel
+    from domain_rag_system_tpu.training.cross_encoder import CrossEncoderTrainer
+
+    config, init_params, tokenizer = init
+    total = max(eval_steps)
+    trainer = CrossEncoderTrainer(
+        config, learning_rate=lr, seed=seed,
+        warmup_steps=max(total // 10, 5), total_steps=total,
+        group_size=group_size, distill=True, temperature=temperature,
+        gt_weight=gt_weight)
+    trainer.init_state(seq_len=seq_len, init_params=init_params)
+
+    def batches():
+        rng = np.random.default_rng(seed)
+        G = group_size
+        while True:
+            order = rng.permutation(len(groups))
+            for start in range(0, len(order) - batch_groups + 1,
+                               batch_groups):
+                qs, ps, ts, gts = [], [], [], []
+                for gi in order[start:start + batch_groups]:
+                    qtext, texts, scores, gt_slot = groups[gi]
+                    texts, scores = texts[:G], scores[:G]
+                    pad = G - len(texts)
+                    qs.extend([qtext] * G)
+                    ps.extend(texts + [""] * pad)
+                    ts.extend(scores + [float("-inf")] * pad)
+                    gts.append(gt_slot if gt_slot < len(texts) else -1)
+                ids, mask, types = tokenizer.encode_batch(
+                    qs, ps, max_length=seq_len)
+                yield {"ids": ids, "mask": mask, "types": types,
+                       "teacher": np.asarray(ts, np.float32),
+                       "gt": np.asarray(gts, np.int32)}
+
+    stream = batches()
+    done = 0
+    for s in sorted(eval_steps):
+        trainer.train(itertools.islice(stream, s - done), log_every=0)
+        done = s
+        model = CrossEncoderModel(config=config, params=trainer.state.params,
+                                  tokenizer=tokenizer, max_length=seq_len)
+        yield s, model
 
 
 def main() -> None:
@@ -193,18 +278,41 @@ def main() -> None:
     ap.add_argument("--pool", type=int, default=60,
                     help="chunk candidates fetched per query (= tuned "
                          "fetch_k top_k*fetch_mult)")
-    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--eval_steps", type=int, nargs="+",
+                    default=[25, 50, 100, 200, 400],
+                    help="snapshot step counts; the winning count is "
+                         "selected on the inner-validation split")
+    ap.add_argument("--inner_frac", type=float, default=0.25,
+                    help="fraction of each fold's TRAIN queries held out "
+                         "as inner validation for (steps, blend, top_n) "
+                         "selection — the fine-tune memorizes its training "
+                         "queries, so selection needs unseen ones")
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--group_size", type=int, default=8)
     ap.add_argument("--batch_groups", type=int, default=8)
     ap.add_argument("--max_pos", type=int, default=4)
     ap.add_argument("--seq_len", type=int, default=128)
     ap.add_argument("--blends", type=float, nargs="+",
-                    default=[0.5, 0.7, 0.85])
+                    default=[0.5, 0.7, 0.85, 0.95])
     ap.add_argument("--top_ns", type=int, nargs="+", default=[20, 40, 60])
     ap.add_argument("--output", default="results/cv_rerank_oof.json")
     ap.add_argument("--embedding_cache", default=None,
                     help="corpus-embedding cache dir (see cv_tune.py)")
+    ap.add_argument("--anchor", action="store_true",
+                    help="distill-anchored mode: listwise KL to the fused "
+                         "teacher + gt softmax on real train queries, "
+                         "mixed with corpus ICT groups (the pure "
+                         "supervised path memorizes 120 queries)")
+    ap.add_argument("--gt_weight", type=float, default=0.5)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--n_ict", type=int, default=800,
+                    help="corpus ICT regularization groups in anchor mode")
+    ap.add_argument("--anchor_group", type=int, default=12,
+                    help="candidates per distill group in anchor mode")
+    ap.add_argument("--gate", default="both", choices=["both", "sum"],
+                    help="inner-val gate for enabling the CE: 'both' "
+                         "requires recall@5 AND ndcg@10 to beat the "
+                         "no-rerank inner baseline")
     ap.add_argument("--final_out", default=None,
                     help="also train a deployment CE on ALL queries with "
                          "the modal fold hyperparameters and save here")
@@ -268,83 +376,160 @@ def main() -> None:
     init = load_encoder_checkpoint(root / args.init_from)
     seq_len = min(args.seq_len, init[0].max_position_embeddings)
 
+    ict_groups = []
+    if args.anchor and args.n_ict > 0:
+        # corpus-only ICT regularization groups (shared across folds —
+        # they touch no evaluation query): sampled sentence as query, its
+        # source chunk as known-relevant, tuned top-G fused candidates as
+        # the KL teacher (same recipe the distill checkpoint was built
+        # with, scripts/distill_cross_encoder.py)
+        from distill_cross_encoder import build_chunk_ict_queries
+
+        triples = build_chunk_ict_queries(chunks, args.n_ict,
+                                          seed=args.seed)
+        ikw = cfg.query_kwargs()
+        ikw.update(top_k=args.anchor_group, group_by_doc=False,
+                   evidence_alpha=0.0, rerank_top_n=0)
+        for k in ("evidence_chunks", "fetch_mult"):
+            ikw.pop(k, None)
+        t0 = time.time()
+        for start in range(0, len(triples), B):
+            batch = triples[start:start + B]
+            outs = pipeline.query_batch([q for q, _, _ in batch], **ikw)
+            for (q, gt_cid, train_text), o in zip(batch, outs):
+                texts = [r["text"] for r in o["results"]]
+                scores = [float(r["score"]) for r in o["results"]]
+                gt_slot = next((i for i, r in enumerate(o["results"])
+                                if r["chunk_id"] == gt_cid), -1)
+                if gt_slot >= 0:
+                    texts[gt_slot] = train_text  # ORQA sentence removal
+                if len(texts) >= 2:
+                    ict_groups.append((q, texts, scores, gt_slot))
+        print(f"{len(ict_groups)} ICT anchor groups in "
+              f"{time.time() - t0:.1f}s")
+
     fold_of = stratified_folds(queries, args.n_folds, args.seed)
     grid = [(b, n) for n in args.top_ns for b in args.blends]
     folds_out = []
     oof_ce = {"recall@5": [], "ndcg@10": [], "mrr": [], "recall": []}
     oof_base = {"recall@5": [], "ndcg@10": [], "mrr": [], "recall": []}
-    for f in range(args.n_folds):
-        train_idx = np.flatnonzero(fold_of != f)
-        test_idx = np.flatnonzero(fold_of == f)
-        rng = np.random.default_rng(args.seed + 100 + f)
+    def fold_groups(idx, rng):
         groups = []
-        for i in train_idx:
+        for i in idx:
             gt_docs = [strip_source_prefix(str(d))
                        for d in queries[i].get("documents", [])]
             fallback = [doc_first_chunk[d] for d in gt_docs
                         if d in doc_first_chunk]
             groups.extend(build_groups(queries[i], pools[i], fallback, rng,
                                        args.group_size, args.max_pos))
-        t0 = time.time()
-        model, last = train_fold_ce(
-            groups, init, args.steps, args.lr, args.group_size,
-            args.batch_groups, seq_len, seed=args.seed + f)
-        print(f"fold {f}: {len(groups)} groups, {args.steps} steps in "
-              f"{time.time() - t0:.1f}s (loss={last['loss']:.3f} "
-              f"acc={last['accuracy']:.3f})")
+        return groups
 
-        # score every query's pool once with this fold's CE
+    def score_pools(model, idx):
         flat = [(queries[i]["body"], r.get("text", "") or "")
-                for i in all_idx for r in pools[i]]
-        t0 = time.time()
+                for i in idx for r in pools[i]]
         scores = model.predict(flat)
-        print(f"  scored {len(flat)} pairs in {time.time() - t0:.1f}s")
-        per_q_scores, off = [], 0
-        for i in all_idx:
-            per_q_scores.append(scores[off:off + len(pools[i])])
+        out, off = {}, 0
+        for i in idx:
+            out[i] = scores[off:off + len(pools[i])]
             off += len(pools[i])
+        return out
 
-        # select (blend, top_n) on the TRAIN folds only
-        def point_metrics(blend, top_n, idx):
-            per = {i: eval_ranked(queries[i], apply_rerank_offline(
-                pools[i], per_q_scores[i], top_n, blend, cfg.top_k,
-                ev_a, ev_c)) for i in idx}
-            return per
+    def point_metrics(scores_by_q, blend, top_n, idx):
+        return [eval_ranked(queries[i], apply_rerank_offline(
+            pools[i], scores_by_q[i], top_n, blend, cfg.top_k,
+            ev_a, ev_c)) for i in idx]
 
-        best, best_score, best_train = None, -1.0, None
-        for blend, top_n in grid:
-            per = point_metrics(blend, top_n, list(train_idx))
-            m = mean_of(list(per.values()), range(len(per)))
-            s = 0.5 * (m["recall@5"] + m["ndcg@10"])
-            if s > best_score:
-                best, best_score, best_train = (blend, top_n), s, m
-        blend, top_n = best
-        held_per = point_metrics(blend, top_n, list(test_idx))
-        held = mean_of(list(held_per.values()), range(len(held_per)))
+    sel = lambda m: 0.5 * (m["recall@5"] + m["ndcg@10"])
+    for f in range(args.n_folds):
+        train_idx = np.flatnonzero(fold_of != f)
+        test_idx = np.flatnonzero(fold_of == f)
+        # inner validation: a stratified slice of the train folds the
+        # fine-tune never sees, for (steps, blend, top_n) selection
+        inner_of = stratified_folds([queries[i] for i in train_idx],
+                                    max(int(round(1 / args.inner_frac)), 2),
+                                    args.seed + 10 + f)
+        inner_idx = train_idx[np.flatnonzero(inner_of == 0)]
+        fit_idx = train_idx[np.flatnonzero(inner_of != 0)]
+        rng = np.random.default_rng(args.seed + 100 + f)
+        t0 = time.time()
+        if args.anchor:
+            real = [g for g in (build_anchor_groups(queries[i], pools[i],
+                                                    args.anchor_group)
+                                for i in fit_idx) if g is not None]
+            # oversample real-query groups to ~1/3 of the mix
+            rep = max(1, len(ict_groups) // (2 * max(len(real), 1)))
+            groups = ict_groups + real * rep
+            snapshots = train_fold_ce_anchor(
+                groups, init, args.eval_steps, args.lr, args.anchor_group,
+                args.batch_groups, seq_len, seed=args.seed + f,
+                temperature=args.temperature, gt_weight=args.gt_weight)
+        else:
+            groups = fold_groups(fit_idx, rng)
+            snapshots = train_fold_ce(
+                groups, init, args.eval_steps, args.lr, args.group_size,
+                args.batch_groups, seq_len, seed=args.seed + f)
+        snap_idx = list(inner_idx) + list(test_idx)
+        candidates = []  # (inner_metrics, steps, blend, top_n, test_scores)
+        for steps, model in snapshots:
+            sc = score_pools(model, snap_idx)
+            for blend, top_n in grid:
+                m = mean_of(point_metrics(sc, blend, top_n, list(inner_idx)),
+                            range(len(inner_idx)))
+                candidates.append((m, steps, blend, top_n, sc))
+        inner_base = mean_of(base_per_q, list(inner_idx))
+        if args.gate == "both":
+            passing = [c for c in candidates
+                       if c[0]["recall@5"] > inner_base["recall@5"]
+                       and c[0]["ndcg@10"] > inner_base["ndcg@10"]]
+        else:
+            passing = [c for c in candidates
+                       if sel(c[0]) > sel(inner_base)]
+        use_ce = bool(passing)
+        best = max(passing or candidates, key=lambda c: sel(c[0]))
         held_base = mean_of(base_per_q, list(test_idx))
+        if use_ce:
+            m_in, steps, blend, top_n, sc = best
+            held = mean_of(point_metrics(sc, blend, top_n, list(test_idx)),
+                           range(len(test_idx)))
+            selected = {"steps": steps, "blend": blend, "top_n": top_n}
+        else:
+            held, selected = held_base, {"reranker": "none"}
         folds_out.append({
-            "fold": f, "selected": {"blend": blend, "top_n": top_n},
-            "train_ce": {k: round(v, 4) for k, v in best_train.items()},
+            "fold": f, "selected": selected,
+            "inner_ce_best": {k: round(v, 4) for k, v in best[0].items()},
+            "inner_none": {k: round(v, 4) for k, v in inner_base.items()},
             "heldout_ce": {k: round(v, 4) for k, v in held.items()},
             "heldout_none": {k: round(v, 4) for k, v in held_base.items()},
-            "n_groups": len(groups), "n_test": int(len(test_idx)),
+            "n_groups": len(groups), "n_fit": int(len(fit_idx)),
+            "n_inner": int(len(inner_idx)), "n_test": int(len(test_idx)),
         })
         for k in oof_ce:
             oof_ce[k].append(held[k])
             oof_base[k].append(held_base[k])
-        print(f"  fold {f}: blend={blend} top_n={top_n} held-out "
-              f"r@5 {held['recall@5']:.4f} vs {held_base['recall@5']:.4f} | "
-              f"ndcg {held['ndcg@10']:.4f} vs {held_base['ndcg@10']:.4f}")
+        print(f"fold {f} ({time.time() - t0:.0f}s): selected {selected} "
+              f"held-out r@5 {held['recall@5']:.4f} vs "
+              f"{held_base['recall@5']:.4f} | ndcg {held['ndcg@10']:.4f} "
+              f"vs {held_base['ndcg@10']:.4f}")
 
     agg = lambda d: {k: round(float(np.mean(v)), 4) for k, v in d.items()}
     out = {
         "protocol": {
             "n_folds": args.n_folds, "seed": args.seed,
             "stratified_by": "question type",
-            "init_from": str(args.init_from), "steps": args.steps,
+            "init_from": str(args.init_from),
+            "mode": "anchor" if args.anchor else "supervised",
+            "gate": args.gate,
+            "anchor": {"gt_weight": args.gt_weight,
+                       "temperature": args.temperature,
+                       "n_ict": len(ict_groups),
+                       "group": args.anchor_group} if args.anchor else None,
+            "eval_steps": args.eval_steps, "inner_frac": args.inner_frac,
             "lr": args.lr, "group_size": args.group_size,
             "grid": [{"blend": b, "top_n": n} for b, n in grid],
-            "selection": "0.5*(recall@5+ndcg@10) on the 4 train folds",
+            "selection": "0.5*(recall@5+ndcg@10) on an inner-validation "
+                         "slice of the train folds (unseen by the "
+                         "fine-tune); falls back to reranker=none when no "
+                         "point beats the no-rerank inner baseline",
         },
         "profile": args.profile,
         "n_chunks": info["n_chunks"],
@@ -364,33 +549,47 @@ def main() -> None:
     print("OOF none:", json.dumps(out["out_of_fold_none"]))
 
     if args.final_out:
-        # deployment CE: trained on all 200 queries with the modal fold
+        # deployment CE: trained on all 200 queries at the modal fold
         # operating point (in-sample by construction; OOF above is the
         # honest estimate of its quality on unseen queries)
         from collections import Counter
 
-        modal = Counter((fo["selected"]["blend"], fo["selected"]["top_n"])
-                        for fo in folds_out).most_common(1)[0][0]
-        rng = np.random.default_rng(args.seed + 999)
-        groups = []
-        for i in all_idx:
-            gt_docs = [strip_source_prefix(str(d))
-                       for d in queries[i].get("documents", [])]
-            fallback = [doc_first_chunk[d] for d in gt_docs
-                        if d in doc_first_chunk]
-            groups.extend(build_groups(queries[i], pools[i], fallback, rng,
-                                       args.group_size, args.max_pos))
-        model, last = train_fold_ce(
-            groups, init, args.steps, args.lr, args.group_size,
-            args.batch_groups, seq_len, seed=args.seed)
-        save_encoder_checkpoint(root / args.final_out, model.config,
-                                model.params["params"], model.tokenizer)
-        out["final"] = {"checkpoint": str(args.final_out),
-                        "blend": modal[0], "top_n": modal[1],
-                        "n_groups": len(groups),
-                        "final_loss": round(last["loss"], 4)}
-        print(f"deployment CE -> {args.final_out} "
-              f"(blend={modal[0]}, top_n={modal[1]})")
+        ce_folds = [fo for fo in folds_out if "steps" in fo["selected"]]
+        if len(ce_folds) < (args.n_folds + 1) // 2:
+            print("CE preferred in fewer than half the folds — "
+                  "no deployment checkpoint saved")
+            out["final"] = None
+        else:
+            steps, blend, top_n = Counter(
+                (fo["selected"]["steps"], fo["selected"]["blend"],
+                 fo["selected"]["top_n"]) for fo in ce_folds
+            ).most_common(1)[0][0]
+            rng = np.random.default_rng(args.seed + 999)
+            model = None
+            if args.anchor:
+                real = [g for g in (build_anchor_groups(
+                    queries[i], pools[i], args.anchor_group)
+                    for i in all_idx) if g is not None]
+                rep = max(1, len(ict_groups) // (2 * max(len(real), 1)))
+                for _, model in train_fold_ce_anchor(
+                        ict_groups + real * rep, init, [steps], args.lr,
+                        args.anchor_group, args.batch_groups, seq_len,
+                        seed=args.seed, temperature=args.temperature,
+                        gt_weight=args.gt_weight):
+                    pass
+            else:
+                for _, model in train_fold_ce(
+                        fold_groups(all_idx, rng), init, [steps], args.lr,
+                        args.group_size, args.batch_groups, seq_len,
+                        seed=args.seed):
+                    pass
+            save_encoder_checkpoint(root / args.final_out, model.config,
+                                    model.params["params"], model.tokenizer)
+            out["final"] = {"checkpoint": str(args.final_out),
+                            "steps": steps, "blend": blend, "top_n": top_n,
+                            "n_groups": len(groups)}
+            print(f"deployment CE -> {args.final_out} "
+                  f"(steps={steps}, blend={blend}, top_n={top_n})")
 
     out_path = root / args.output
     out_path.parent.mkdir(parents=True, exist_ok=True)
