@@ -103,7 +103,8 @@ def eval_ranked(q, results):
     return m
 
 
-def mean_of(per_q, idx, keys=("recall@5", "ndcg@10", "mrr", "recall")):
+def mean_of(per_q, idx,
+            keys=("recall@5", "ndcg@10", "mrr", "recall", "hit@1")):
     return {k: float(np.mean([per_q[i][k] for i in idx])) for k in keys}
 
 
@@ -166,6 +167,12 @@ def train_fold_ce(groups, init, eval_steps, lr, group_size, batch_groups,
         warmup_steps=max(total // 10, 5), total_steps=total,
         group_size=group_size)
     trainer.init_state(seq_len=seq_len, init_params=init_params)
+
+    if len(groups) < batch_groups:
+        raise ValueError(
+            f"{len(groups)} training groups < batch_groups={batch_groups}: "
+            f"the batch stream would yield nothing and train() would hang "
+            f"(build_groups returns [] for queries with few negatives)")
 
     def batches():
         rng = np.random.default_rng(seed)
@@ -231,6 +238,11 @@ def train_fold_ce_anchor(groups, init, eval_steps, lr, group_size,
         gt_weight=gt_weight)
     trainer.init_state(seq_len=seq_len, init_params=init_params)
 
+    if len(groups) < batch_groups:
+        raise ValueError(
+            f"{len(groups)} anchor groups < batch_groups={batch_groups}: "
+            f"the batch stream would yield nothing and train() would hang")
+
     def batches():
         rng = np.random.default_rng(seed)
         G = group_size
@@ -271,7 +283,12 @@ def main() -> None:
                     help="CE checkpoint whose trunk/head/tokenizer seed "
                          "each fold's fine-tune")
     ap.add_argument("--profile", default="tuned",
-                    choices=["tuned", "quality_small"])
+                    choices=["tuned", "quality_small", "tuned_at_scale",
+                             "quality_at_scale", "quality_max_at_scale"])
+    ap.add_argument("--n_chunks", type=int, default=0,
+                    help="pad the index with deterministic distractors to "
+                         "this size (0 = real corpus only) — at-scale CV "
+                         "matches the production 91,853-chunk shape")
     ap.add_argument("--n_folds", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0,
                     help="fold seed — MUST stay 0 to match cv_tune.py folds")
@@ -309,10 +326,21 @@ def main() -> None:
                     help="corpus ICT regularization groups in anchor mode")
     ap.add_argument("--anchor_group", type=int, default=12,
                     help="candidates per distill group in anchor mode")
-    ap.add_argument("--gate", default="both", choices=["both", "sum"],
+    ap.add_argument("--gate", default="both",
+                    choices=["both", "sum", "head"],
                     help="inner-val gate for enabling the CE: 'both' "
                          "requires recall@5 AND ndcg@10 to beat the "
-                         "no-rerank inner baseline")
+                         "no-rerank inner baseline; 'head' requires MRR "
+                         "AND hit@1 to beat it WITHOUT losing recall@5 or "
+                         "ndcg@10 (the round-4 head-precision target: "
+                         "OOF MRR ≥ 0.90 / hit@1 ≥ 0.86 at no r@5/nDCG "
+                         "cost — VERDICT r3 item 1)")
+    ap.add_argument("--select", default=None,
+                    choices=["balanced", "head"],
+                    help="snapshot/operating-point selection score on the "
+                         "inner split: 'balanced' = recall@5+ndcg@10 "
+                         "(default), 'head' = mrr+hit@1 (implied default "
+                         "when --gate head)")
     ap.add_argument("--final_out", default=None,
                     help="also train a deployment CE on ALL queries with "
                          "the modal fold hyperparameters and save here")
@@ -331,7 +359,12 @@ def main() -> None:
     queries = load_queries(root / args.queries)
     docs = DataLoader(pubmed_path=str(root / args.corpus)).load_pubmed()
     chunks = DocumentChunker().chunk_documents(docs)
-    pipeline, info = build_pipeline(cfg, chunks=chunks,
+    extra = None
+    if args.n_chunks > len(chunks):
+        from domain_rag_system_tpu.etl.synthetic import synthetic_chunks
+
+        extra = synthetic_chunks(args.n_chunks - len(chunks))
+    pipeline, info = build_pipeline(cfg, chunks=chunks, extra_chunks=extra,
                                     embedding_cache_dir=args.embedding_cache)
     if cfg.mine_terms:
         pipeline.preprocessor.normalizer.build_drug_mapping_from_data(docs)
@@ -439,7 +472,11 @@ def main() -> None:
             pools[i], scores_by_q[i], top_n, blend, cfg.top_k,
             ev_a, ev_c)) for i in idx]
 
-    sel = lambda m: 0.5 * (m["recall@5"] + m["ndcg@10"])
+    select = args.select or ("head" if args.gate == "head" else "balanced")
+    if select == "head":
+        sel = lambda m: 0.5 * (m["mrr"] + m["hit@1"])
+    else:
+        sel = lambda m: 0.5 * (m["recall@5"] + m["ndcg@10"])
     for f in range(args.n_folds):
         train_idx = np.flatnonzero(fold_of != f)
         test_idx = np.flatnonzero(fold_of == f)
@@ -481,6 +518,14 @@ def main() -> None:
             passing = [c for c in candidates
                        if c[0]["recall@5"] > inner_base["recall@5"]
                        and c[0]["ndcg@10"] > inner_base["ndcg@10"]]
+        elif args.gate == "head":
+            # head precision must be FREE: MRR and hit@1 strictly better,
+            # recall@5 and ndcg@10 not worse than the no-rerank baseline
+            passing = [c for c in candidates
+                       if c[0]["mrr"] > inner_base["mrr"]
+                       and c[0]["hit@1"] > inner_base["hit@1"]
+                       and c[0]["recall@5"] >= inner_base["recall@5"]
+                       and c[0]["ndcg@10"] >= inner_base["ndcg@10"]]
         else:
             passing = [c for c in candidates
                        if sel(c[0]) > sel(inner_base)]
@@ -519,6 +564,7 @@ def main() -> None:
             "init_from": str(args.init_from),
             "mode": "anchor" if args.anchor else "supervised",
             "gate": args.gate,
+            "select": select,
             "anchor": {"gt_weight": args.gt_weight,
                        "temperature": args.temperature,
                        "n_ict": len(ict_groups),
@@ -543,15 +589,34 @@ def main() -> None:
                              > np.mean(oof_base["recall@5"])),
             "ndcg@10": bool(np.mean(oof_ce["ndcg@10"])
                             > np.mean(oof_base["ndcg@10"])),
+            "mrr": bool(np.mean(oof_ce["mrr"]) > np.mean(oof_base["mrr"])),
+            "hit@1": bool(np.mean(oof_ce["hit@1"])
+                          > np.mean(oof_base["hit@1"])),
         },
     }
+    # the OOF aggregate wins that must hold for a deployment save: the
+    # gate's own target metrics (head gate → mrr+hit@1 strictly better,
+    # r@5/ndcg not worse; otherwise recall@5+ndcg@10)
+    if args.gate == "head":
+        oof_mean = lambda d: {k: float(np.mean(v)) for k, v in d.items()}
+        ce_m, base_m = oof_mean(oof_ce), oof_mean(oof_base)
+        deploy_ok = (ce_m["mrr"] > base_m["mrr"]
+                     and ce_m["hit@1"] > base_m["hit@1"]
+                     and ce_m["recall@5"] >= base_m["recall@5"]
+                     and ce_m["ndcg@10"] >= base_m["ndcg@10"])
+    else:
+        deploy_ok = out["wins"]["recall@5"] and out["wins"]["ndcg@10"]
     print("\nOOF CE:  ", json.dumps(out["out_of_fold_ce"]))
     print("OOF none:", json.dumps(out["out_of_fold_none"]))
 
     if args.final_out:
         # deployment CE: trained on all 200 queries at the modal fold
         # operating point (in-sample by construction; OOF above is the
-        # honest estimate of its quality on unseen queries)
+        # honest estimate of its quality on unseen queries). Two gates,
+        # BOTH required (ADVICE r3: the fold-majority gate alone saved a
+        # checkpoint whose own OOF estimate said it loses to no-rerank):
+        #   1. the CE was preferred by inner validation in >= half the folds;
+        #   2. the OOF aggregate wins the gate's target metrics (deploy_ok).
         from collections import Counter
 
         ce_folds = [fo for fo in folds_out if "steps" in fo["selected"]]
@@ -559,11 +624,29 @@ def main() -> None:
             print("CE preferred in fewer than half the folds — "
                   "no deployment checkpoint saved")
             out["final"] = None
+        elif not deploy_ok:
+            print(f"OOF aggregate loses to no-rerank on the gate metrics "
+                  f"({json.dumps(out['wins'])}) — no deployment checkpoint "
+                  f"saved")
+            out["final"] = None
         else:
-            steps, blend, top_n = Counter(
+            # modal fold hyperparameters; when every fold picked a distinct
+            # tuple there is no true mode, so tie-break by the best inner-
+            # validation selection score instead of Counter insertion order
+            counts = Counter(
                 (fo["selected"]["steps"], fo["selected"]["blend"],
-                 fo["selected"]["top_n"]) for fo in ce_folds
-            ).most_common(1)[0][0]
+                 fo["selected"]["top_n"]) for fo in ce_folds)
+            top_count = counts.most_common(1)[0][1]
+            if top_count == 1:
+                best_fold = max(ce_folds,
+                                key=lambda fo: sel(fo["inner_ce_best"]))
+                steps, blend, top_n = (best_fold["selected"]["steps"],
+                                       best_fold["selected"]["blend"],
+                                       best_fold["selected"]["top_n"])
+                print("no modal fold hyperparameters (all tuples distinct) "
+                      "— using the best inner-validation fold's point")
+            else:
+                steps, blend, top_n = counts.most_common(1)[0][0]
             rng = np.random.default_rng(args.seed + 999)
             model = None
             if args.anchor:
@@ -571,15 +654,17 @@ def main() -> None:
                     queries[i], pools[i], args.anchor_group)
                     for i in all_idx) if g is not None]
                 rep = max(1, len(ict_groups) // (2 * max(len(real), 1)))
+                final_groups = ict_groups + real * rep
                 for _, model in train_fold_ce_anchor(
-                        ict_groups + real * rep, init, [steps], args.lr,
+                        final_groups, init, [steps], args.lr,
                         args.anchor_group, args.batch_groups, seq_len,
                         seed=args.seed, temperature=args.temperature,
                         gt_weight=args.gt_weight):
                     pass
             else:
+                final_groups = fold_groups(all_idx, rng)
                 for _, model in train_fold_ce(
-                        fold_groups(all_idx, rng), init, [steps], args.lr,
+                        final_groups, init, [steps], args.lr,
                         args.group_size, args.batch_groups, seq_len,
                         seed=args.seed):
                     pass
@@ -587,7 +672,7 @@ def main() -> None:
                                     model.params["params"], model.tokenizer)
             out["final"] = {"checkpoint": str(args.final_out),
                             "steps": steps, "blend": blend, "top_n": top_n,
-                            "n_groups": len(groups)}
+                            "n_groups": len(final_groups)}
             print(f"deployment CE -> {args.final_out} "
                   f"(steps={steps}, blend={blend}, top_n={top_n})")
 

@@ -106,6 +106,13 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--seq_len", type=int, default=128)
+    ap.add_argument("--extend_positions", type=int, default=0,
+                    help="tile the trunk's learned position table to this "
+                         "length (persistence.extend_position_embeddings) "
+                         "so the CE reads query+whole-passage pairs — the "
+                         "128-position 8L trunk truncates passage tails at "
+                         "pair length 128 (cf. the cross4 64→128 tiling, "
+                         "PERFORMANCE.md 'Reranking findings')")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--profile", default="tuned",
                     choices=["tuned", "quality_small"],
@@ -181,6 +188,14 @@ def main() -> None:
 
     # ---- CE training ------------------------------------------------------
     config, init_params, tokenizer = load_encoder_checkpoint(args.init_from)
+    if args.extend_positions > config.max_position_embeddings:
+        from domain_rag_system_tpu.persistence.checkpoints import (
+            extend_position_embeddings,
+        )
+
+        bert, config = extend_position_embeddings(
+            init_params["bert"], config, args.extend_positions)
+        init_params = {**init_params, "bert": bert}
     # pair sequences are capped by the trunk's trained position table
     seq_len = min(args.seq_len, config.max_position_embeddings)
 
