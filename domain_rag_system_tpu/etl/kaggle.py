@@ -194,9 +194,39 @@ _NAME_SYLLABLES = ["zor", "vex", "lam", "dri", "fen", "tac", "mir", "pol",
                    "qua", "ben", "sul", "tri", "nex", "cor", "val", "dex"]
 
 
+def merge_records(primary: List[Dict], secondary: List[Dict]) -> List[Dict]:
+    """Merge record lists, dropping ``secondary`` records whose name space
+    (drug name, generic, any brand) collides with a ``primary`` record.
+
+    Used to combine the artifact-recovered real records (etl/recover.py)
+    with the synthetic fill set: a synthetic doxycycline next to the
+    recovered one would give two gt answer sets for identical query
+    bodies, so colliding synthetics are dropped."""
+    def names(r: Dict):
+        out = {r.get("drug_name", ""), r.get("generic_name", "")}
+        out.update(r.get("brand_names", []) or [])
+        return {n.lower() for n in out if n}
+
+    taken = set()
+    for r in primary:
+        taken |= names(r)
+    out = list(primary)
+    dropped = 0
+    for r in secondary:
+        if names(r) & taken:
+            dropped += 1
+            continue
+        out.append(r)
+    if dropped:
+        log.info("merge_records: dropped %d colliding secondary records",
+                 dropped)
+    return out
+
+
 def make_distractor_records(records: List[Dict], n: int = 60,
                             seed: int = 13,
-                            shadows_per_record: int = 0) -> List[Dict]:
+                            shadows_per_record: int = 0,
+                            hard_per_record: int = 0) -> List[Dict]:
     """Deterministic decoy drug records for honest retrieval evaluation.
 
     Round-1's regenerated Kaggle eval scored 1.0 across the board because
@@ -212,6 +242,18 @@ def make_distractor_records(records: List[Dict], n: int = 60,
     condition/class — a name-keyed query must then rank the real drug's
     chunk above textually near-identical impostors, so neither the system
     nor the dense control can score 1.0 structurally.
+
+    ``hard_per_record`` adds SAME-DOMAIN shadows (VERDICT round-3 item 2:
+    the disjoint-condition shadows were resolvable by condition/class
+    terms alone): these copy a real record's side-effect lists, KEEP its
+    condition and drug classes, and append a drug-interaction item naming
+    the real drug — so the real drug's name occurs in the decoy's chunk
+    text too and name-keyed queries cannot be resolved by name idf or by
+    condition terms. Same-domain records are marked
+    ``same_domain: True``: they truthfully claim the real condition/class,
+    so condition- and class-keyed ground truth INCLUDES them
+    (``build_test_queries``) — completeness is preserved while name-keyed
+    queries get genuinely confusable competition.
     """
     import random
 
@@ -233,6 +275,46 @@ def make_distractor_records(records: List[Dict], n: int = 60,
     classes = [c for c in _DISTRACTOR_CLASSES if c.lower() not in real_classes]
 
     out = []
+    for hi in range(hard_per_record):
+        for r in records:
+            if not (r.get("medical_condition") or r.get("drug_classes")):
+                continue
+            name = "".join(rng.sample(_NAME_SYLLABLES, 3)).capitalize()
+            se = r.get("side_effects_structured") or {}
+            serious = list(se.get("serious", []))
+            # the confusable hook: the REAL drug's name inside the decoy's
+            # side-effect text (a realistic interaction warning), so the
+            # query term matches both documents
+            serious.append(f"do not combine with {r['drug_name']} or other "
+                           f"{(r.get('drug_classes') or ['similar'])[0]} "
+                           f"products without medical advice")
+            out.append({
+                "doc_id": _md5(f"hard|{r['doc_id']}|{name}|{hi}"),
+                "drug_name": name,
+                "generic_name": name.lower(),
+                "medical_condition": r.get("medical_condition", ""),
+                "drug_classes": list(r.get("drug_classes", [])),
+                "brand_names": [name],
+                "rx_otc": r.get("rx_otc", "Rx"),
+                "pregnancy_category": r.get("pregnancy_category", ""),
+                "pregnancy_category_raw": r.get("pregnancy_category_raw", ""),
+                "csa": r.get("csa", "N"),
+                "alcohol": r.get("alcohol", ""),
+                "rating": r.get("rating"),
+                "activity": r.get("activity", ""),
+                "no_of_reviews": r.get("no_of_reviews", 0),
+                "side_effects_structured": {
+                    "serious": serious,
+                    "common": list(se.get("common", []))},
+                "side_effects_raw": "; ".join(
+                    serious + list(se.get("common", []))),
+                "condition_summary": r.get("condition_summary", ""),
+                "related_drugs": [],
+                "links": {},
+                "distractor": True,
+                "same_domain": True,
+                "shadow_of": r["doc_id"],
+            })
     for si in range(shadows_per_record):
         for r in records:
             name = "".join(rng.sample(_NAME_SYLLABLES, 3)).capitalize()
@@ -338,77 +420,118 @@ def build_test_queries(
     """Rule-based test queries with chunk-level AND doc-level ground truth.
 
     Round-2 shipped 8 queries about ONE drug — too few to detect anything
-    (VERDICT round-2 item 6). Now every real record yields the name-keyed
-    query types, every distinct condition/class yields its keyed types,
-    and each query alternates canonical vs held-out paraphrase templates
-    (tagged via ``template``). Ground truth is computed from the REAL
-    (non-distractor) records only and is complete by construction: decoy
-    records never share a real drug name, condition, or class.
+    (VERDICT round-2 item 6). Now every unique real drug NAME yields the
+    name-keyed query types, every distinct condition/class yields its
+    keyed types, and each query alternates canonical vs held-out
+    paraphrase templates (tagged via ``template``).
+
+    Ground-truth completeness (round-4 revision):
+
+    * NAME-keyed ground truth covers every real record matching the name
+      exactly in ``drug_name``, ``generic_name`` OR ``brand_names`` — the
+      recovered corpus (etl/recover.py) holds several records of the same
+      drug under different primary names (doxycycline / Doryx / Adoxa),
+      and exact-drug_name-only gt would score those correct hits wrong.
+    * CONDITION- and CLASS-keyed pools additionally include ``same_domain``
+      decoy records (``make_distractor_records(hard_per_record=...)``) —
+      those records truthfully claim the real condition/class inside this
+      corpus, so retrieving them is correct; excluding them would punish a
+      perfect system. Name-keyed gt ignores them (invented names).
+    * Doc-level ``documents`` lists are COMPLETE (no ``top_k`` cut): when
+      a condition has more than ``top_k`` legitimate records, recall@k is
+      k-bounded for every system identically — headroom instead of a
+      saturated 1.0 (VERDICT round-3 item 2). Chunk-level
+      ``gt_chunk_ids`` keep the reference's top-k semantics.
     """
-    records = [r for r in records if not r.get("distractor")]
-    if not records:
+    real = [r for r in records if not r.get("distractor")]
+    same_domain = [r for r in records if r.get("same_domain")]
+    if not real:
         return []
-    chunks = build_etl_chunks(records)
+    chunks = build_etl_chunks(real)
+    chunks_ext = chunks + build_etl_chunks(same_domain)
     by_doc: Dict[str, List[Dict]] = {}
     for c in chunks:
         by_doc.setdefault(c["doc_id"], []).append(c)
 
+    def name_docs(name: str) -> List[str]:
+        """Real docs matching ``name`` exactly as drug/generic/brand."""
+        low = name.lower()
+        return [r["doc_id"] for r in real
+                if low == r["drug_name"].lower()
+                or low == (r.get("generic_name") or "").lower()
+                or low in {b.lower() for b in r.get("brand_names", [])}]
+
     def rule_gt(qtype: str, record=None, condition=None,
                 drug_class=None) -> Tuple[List[str], List[str]]:
         """(gt chunk ids, gt doc ids) for one keyed query."""
+        docs: List[str] = []
         if qtype == "drug_side_effects":
             pool = [c for c in chunks if c["kind"].startswith("side_effects")
                     and c["drug_name"] == record["drug_name"]]
+            docs = name_docs(record["drug_name"])
         elif qtype == "condition_treatment":
-            pool = [c for c in chunks if c["kind"] == "facts"
+            pool = [c for c in chunks_ext if c["kind"] == "facts"
                     and c["medical_condition"] == condition]
         elif qtype == "drug_safety":
             pool = [c for c in by_doc.get(record["doc_id"], [])]
+            docs = name_docs(record["drug_name"])
         elif qtype == "drug_class_info":
             pool = [c for c in chunks if c["kind"] == "facts"
                     and c["drug_name"] == record["drug_name"]]
+            docs = name_docs(record["drug_name"])
         elif qtype == "related_drugs":
+            # semantics: the related-drugs section OF this drug's page
             pool = [c for c in chunks if c["kind"] == "related"
                     and c["drug_name"] == record["drug_name"]]
         elif qtype == "condition_overview":
-            pool = [c for c in chunks if c["kind"] == "condition_overview"
+            pool = [c for c in chunks_ext if c["kind"] == "condition_overview"
                     and c["medical_condition"] == condition]
         elif qtype == "drug_rating":
             pool = [c for c in by_doc.get(record["doc_id"], [])]
+            docs = name_docs(record["drug_name"])
         else:  # class_based_options
-            docs = {r["doc_id"] for r in records
+            cand = {r["doc_id"] for r in real + same_domain
                     if drug_class in r.get("drug_classes", [])}
-            pool = [c for c in chunks
-                    if c["doc_id"] in docs and c["kind"] == "facts"]
+            pool = [c for c in chunks_ext
+                    if c["doc_id"] in cand and c["kind"] == "facts"]
+        if not docs:
+            docs = list(dict.fromkeys(c["doc_id"] for c in pool))
         pool = pool[:top_k]
-        return ([c["chunk_id"] for c in pool],
-                list(dict.fromkeys(c["doc_id"] for c in pool)))
+        return [c["chunk_id"] for c in pool], docs
 
     templates = {t[0]: (t[1], t[2]) for t in QUERY_TEMPLATES}
     queries: List[Dict] = []
 
-    def add(qtype: str, record=None, condition=None, drug_class=None) -> None:
+    def add(qtype: str, record=None, condition=None, drug_class=None,
+            both_variants: bool = False) -> None:
         gt_chunks, gt_docs = rule_gt(qtype, record, condition, drug_class)
         if not gt_docs:
             return
         i = len(queries)
-        variant = "canonical" if i % 2 == 0 else "paraphrase"
-        template = templates[qtype][i % 2]
-        body = template.format(
-            drug=record["drug_name"] if record else "",
-            condition=(condition if condition is not None
-                       else (record or {}).get("medical_condition", "")),
-            drug_class=drug_class or "")
-        queries.append({
-            "id": f"kaggle_{i + 1:03d}",
-            "type": qtype,
-            "template": variant,
-            "body": body,
-            "gt_chunk_ids": gt_chunks,   # faithful (reference id space)
-            "documents": gt_docs,        # doc-level ids (quirk-1 fix)
-        })
+        variants = ((0, "canonical"), (1, "paraphrase")) if both_variants \
+            else (((0, "canonical"),) if i % 2 == 0
+                  else ((1, "paraphrase"),))
+        for ti, variant in variants:
+            i = len(queries)
+            body = templates[qtype][ti].format(
+                drug=record["drug_name"] if record else "",
+                condition=(condition if condition is not None
+                           else (record or {}).get("medical_condition", "")),
+                drug_class=drug_class or "")
+            queries.append({
+                "id": f"kaggle_{i + 1:03d}",
+                "type": qtype,
+                "template": variant,
+                "body": body,
+                "gt_chunk_ids": gt_chunks,  # faithful (reference id space)
+                "documents": gt_docs,       # doc-level ids (quirk-1 fix)
+            })
 
-    for record in records:
+    seen_names = set()
+    for record in real:
+        if record["drug_name"].lower() in seen_names:
+            continue  # one name-keyed query set per unique name
+        seen_names.add(record["drug_name"].lower())
         for qtype in _NAME_KEYED:
             add(qtype, record=record)
 
@@ -417,13 +540,15 @@ def build_test_queries(
     # matching alone cannot answer these — they exercise the mined
     # brand↔generic mapping with index-side canonicalization
     # (RetrievalConfig.normalize_index) or the dense arm.
-    by_generic: Dict[str, List[str]] = {}
-    for r in records:
-        g = (r.get("generic_name") or "").strip()
-        if g and g.lower() != r["drug_name"].lower():
-            by_generic.setdefault(g, []).append(r["doc_id"])
     side_templates = templates["drug_side_effects"]
-    for generic in sorted(by_generic):
+    generics = sorted({(r.get("generic_name") or "").strip() for r in real
+                       if (r.get("generic_name") or "").strip()
+                       and (r.get("generic_name") or "").strip().lower()
+                       != r["drug_name"].lower()})
+    for generic in generics:
+        if generic.lower() in seen_names:
+            continue  # identical body to a name-keyed query
+        seen_names.add(generic.lower())
         i = len(queries)
         queries.append({
             "id": f"kaggle_{i + 1:03d}",
@@ -431,14 +556,13 @@ def build_test_queries(
             "template": "canonical" if i % 2 == 0 else "paraphrase",
             "body": side_templates[i % 2].format(drug=generic),
             "gt_chunk_ids": [],
-            "documents": sorted(by_generic[generic]),
+            "documents": sorted(name_docs(generic)),
         })
-    for r in records:
+    for r in real:
         alts = [b for b in r.get("brand_names", [])
-                if b and b.lower() != r["drug_name"].lower()]
-        for alt in alts[:1]:
-            docs_with_alt = sorted({rr["doc_id"] for rr in records
-                                    if alt in rr.get("brand_names", [])})
+                if b and b.lower() not in seen_names]
+        for alt in alts[:3]:
+            seen_names.add(alt.lower())
             i = len(queries)
             queries.append({
                 "id": f"kaggle_{i + 1:03d}",
@@ -446,13 +570,15 @@ def build_test_queries(
                 "template": "canonical" if i % 2 == 0 else "paraphrase",
                 "body": side_templates[i % 2].format(drug=alt),
                 "gt_chunk_ids": [],
-                "documents": docs_with_alt,
+                "documents": sorted(name_docs(alt)),
             })
-    for condition in sorted({r["medical_condition"] for r in records
+    for condition in sorted({r["medical_condition"] for r in real
                              if r.get("medical_condition")}):
         add("condition_treatment", condition=condition)
-        add("condition_overview", condition=condition)
-    for drug_class in sorted({c for r in records
+        # both templates per condition: few conditions carry an overview
+        # summary, and a by-type row needs n >= 10 to measure anything
+        add("condition_overview", condition=condition, both_variants=True)
+    for drug_class in sorted({c for r in real
                               for c in r.get("drug_classes", [])}):
         add("class_based_options", drug_class=drug_class)
 

@@ -288,6 +288,377 @@ def recover_openfda_queries(
     return queries
 
 
+# ----------------------------------------------------------- kaggle recovery
+
+_KAGGLE_KINDS = ("facts", "side_effects_serious", "side_effects_common",
+                 "condition_overview", "related")
+
+
+def _kaggle_artifact_chunks(reference_root: Path) -> Dict[str, str]:
+    """ETL-id-space chunk previews from the qdrant/top5 artifacts.
+
+    Returns {chunk_id: longest preview seen}. These ids are the reference
+    ETL's own (``data/kaggle_drug_data/data_extractor.py:203``:
+    ``md5(f"{doc_id}|{kind}|{len(text)}")``) — the id space the reference's
+    ground truth lives in (SURVEY §2.3 quirk 1)."""
+    previews: Dict[str, str] = {}
+
+    def feed(cid: str, prev: str) -> None:
+        if cid and len(prev or "") > len(previews.get(cid, "")):
+            previews[cid] = prev
+
+    qd_path = reference_root / "results" / "qdrant_test_results.json"
+    if qd_path.exists():
+        with open(qd_path, "r", encoding="utf-8") as f:
+            for q in json.load(f).get("per_query", []):
+                for t in q.get("topk", []):
+                    feed(t.get("chunk_id", ""), t.get("preview", ""))
+    top5_path = (reference_root / "data" / "kaggle_drug_data" / "processed"
+                 / "test_queries_top5.json")
+    if top5_path.exists():
+        with open(top5_path, "r", encoding="utf-8") as f:
+            payload = json.load(f)
+        for lst in payload.get("answers_top5", {}).values():
+            for t in lst:
+                if isinstance(t, dict):
+                    feed(t.get("chunk_id", ""), t.get("preview", ""))
+    return previews
+
+
+_FACTS_HEADER = None  # compiled lazily (module import stays regex-free)
+
+
+def _parse_facts_preview(prev: str) -> Optional[Dict]:
+    """Parse a whitespace-normalized ETL ``facts`` preview.
+
+    Original text (``data_extractor.py:210-219``)::
+
+        {drug} — {condition}\\nClasses: ...\\nBrands: ...\\nRx/OTC: ...;
+        Pregnancy: {label} ({raw})\\nRating: {r} ({n} reviews)
+
+    The artifact previews collapse newlines to spaces, so fields are
+    re-split on their labels."""
+    import re
+
+    m = re.match(r"(.+?) — (.+?)(?: (?=Classes:|Brands:|Rx/OTC:)|$)", prev)
+    if not m:
+        return None
+    out: Dict = {"drug_name": m.group(1).strip(),
+                 "medical_condition": m.group(2).strip()}
+    cl = re.search(r"Classes: (.*?)(?= Brands:| Rx/OTC:|$)", prev)
+    if cl:
+        out["drug_classes"] = [c.strip() for c in cl.group(1).split(", ")
+                               if c.strip()]
+    br = re.search(r"Brands: (.*?)(?= Rx/OTC:|$)", prev)
+    if br:
+        out["brand_names"] = [b.strip() for b in br.group(1).split(", ")
+                              if b.strip()]
+    rx = re.search(r"Rx/OTC: (.*?)(?=;|$)", prev)
+    if rx and rx.group(1).strip() != "Unknown":
+        out["rx_otc"] = rx.group(1).strip()
+    pg = re.search(r"Pregnancy: \S+ \((\w|n/a)\)", prev)
+    if pg and pg.group(1) != "n/a":
+        out["pregnancy_category_raw"] = pg.group(1)
+    rt = re.search(r"Rating: ([\d.]+) \((\d+) reviews\)", prev)
+    if rt:
+        out["rating"] = float(rt.group(1))
+        out["no_of_reviews"] = float(rt.group(2))
+    return out
+
+
+def recover_kaggle_chunk_map(
+    reference_root: Path = REFERENCE_ROOT,
+    max_len: int = 4000,
+) -> Dict[str, Dict]:
+    """Invert the reference ETL's kaggle chunk ids back to (doc, kind, len).
+
+    The id scheme is ``md5(f"{doc_id}|{kind}|{len(text)}")`` with
+    ``doc_id = md5(f"{drug_name}|{medical_condition}")``
+    (``data/kaggle_drug_data/data_extractor.py:161,203``). Candidate
+    (drug, condition) pairs are parsed out of the artifact previews and the
+    RAG-result metadata; the unknown full-text length is brute-forced over
+    ``range(10, max_len)`` — ~seconds of md5 for a complete mapping. This
+    recovers the EXACT id-space linkage the reference's own evaluation
+    lost (its stored kaggle metrics are 0.0 because the retrieval system
+    emitted different chunk ids — SURVEY §2.3 quirk 1), so the shipped
+    ground-truth chunk ids become scoreable against recovered docs.
+    """
+    import hashlib
+    import itertools
+    import re
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    previews = _kaggle_artifact_chunks(reference_root)
+    if not previews:
+        return {}
+
+    drugs, conds = set(), set()
+    for prev in previews.values():
+        m = re.match(r"(.+?) — (.+?)(?: (?=Classes:|Brands:|Rx/OTC:)|$)",
+                     prev)
+        if m:
+            drugs.add(m.group(1).strip())
+            conds.add(m.group(2).strip())
+        m = re.match(r"(?:Serious|Common) side effects of ([^:]+):", prev)
+        if m:
+            drugs.add(m.group(1).strip())
+        m = re.match(r"Related drugs to (.+?) for (.+?):", prev)
+        if m:
+            drugs.add(m.group(1).strip())
+            conds.add(m.group(2).strip())
+        m = re.match(r"(.+?) — overview:", prev)
+        if m:
+            conds.add(m.group(1).strip())
+    rag_path = reference_root / "results" / "kaggle_rag_test_results.json"
+    if rag_path.exists():
+        with open(rag_path, "r", encoding="utf-8") as f:
+            for q in json.load(f).get("per_query", []):
+                for t in q.get("topk", []):
+                    meta = t.get("metadata") or {}
+                    if meta.get("drug_name"):
+                        drugs.add(meta["drug_name"])
+                    if meta.get("medical_condition"):
+                        conds.add(meta["medical_condition"])
+
+    targets = set(previews)
+    out: Dict[str, Dict] = {}
+    for drug, cond in itertools.product(sorted(drugs), sorted(conds)):
+        doc_id = md5(f"{drug}|{cond}")
+        for kind in _KAGGLE_KINDS:
+            base = f"{doc_id}|{kind}|"
+            for length in range(10, max_len):
+                cid = md5(base + str(length))
+                if cid in targets:
+                    out[cid] = {
+                        "doc_id": doc_id,
+                        "drug_name": drug,
+                        "medical_condition": cond,
+                        "kind": kind,
+                        "text_len": length,
+                        "preview": previews[cid],
+                    }
+    unsolved = targets - set(out)
+    log.info("kaggle chunk-id inversion: %d/%d artifact chunks mapped",
+             len(out), len(previews))
+    if unsolved:
+        log.warning("unmapped kaggle chunk ids: %s", sorted(unsolved))
+    return out
+
+
+def recover_kaggle_records(
+    reference_root: Path = REFERENCE_ROOT,
+    output_path: Optional[Path] = None,
+    chunk_map: Optional[Dict[str, Dict]] = None,
+) -> List[Dict]:
+    """Rebuild real drugs.com records from the kaggle result artifacts.
+
+    Two sources merge (keyed by the reference doc id
+    ``md5(drug_name|medical_condition)``):
+
+    * ``results/kaggle_rag_test_results.json`` ``topk[].metadata`` — full
+      record metadata (classes, brand lists, rx/otc, pregnancy, rating)
+      plus the RAG system's own chunk previews (``side_effects_raw``
+      fragments are real drugs.com side-effect prose);
+    * the inverted ETL-space chunks (:func:`recover_kaggle_chunk_map`) —
+      ``facts`` previews parsed for metadata, ``side_effects_*`` /
+      ``related`` previews for structured lists.
+
+    Records carry ``provenance: "recovered"`` and ``recovered_truncated``
+    where a chunk's known full length exceeds its preview. The original
+    corpus had 2,931 drugs.com rows (the CSV was stripped —
+    ``/root/reference/.MISSING_LARGE_BLOBS``); only docs the reference's
+    baselines surfaced are recoverable.
+    """
+    import re
+
+    from domain_rag_system_tpu.etl.kaggle import split_side_effects
+
+    if chunk_map is None:
+        chunk_map = recover_kaggle_chunk_map(reference_root)
+
+    records: Dict[str, Dict] = {}
+
+    def rec(doc_id: str, drug: str, cond: str) -> Dict:
+        return records.setdefault(doc_id, {
+            "doc_id": doc_id,
+            "drug_name": drug,
+            "generic_name": "",
+            "medical_condition": cond,
+            "drug_classes": [],
+            "brand_names": [],
+            "rx_otc": "",
+            "pregnancy_category": "",
+            "pregnancy_category_raw": "",
+            "csa": "",
+            "alcohol": "",
+            "rating": None,
+            "activity": "",
+            "no_of_reviews": None,
+            "side_effects_structured": {"serious": [], "common": []},
+            "side_effects_raw": "",
+            "condition_summary": "",
+            "related_drugs": [],
+            "links": {},
+            "provenance": "recovered",
+            "recovered_truncated": False,
+        })
+
+    # ---- RAG-result metadata: the richest source -------------------------
+    rag_path = reference_root / "results" / "kaggle_rag_test_results.json"
+    if rag_path.exists():
+        with open(rag_path, "r", encoding="utf-8") as f:
+            rag = json.load(f)
+        for q in rag.get("per_query", []):
+            for t in q.get("topk", []):
+                m = re.match(r"kaggle_([0-9a-f]{32})_(.+?)(?:_(\d+))?$",
+                             t.get("chunk_id", ""))
+                if not m:
+                    continue
+                meta = t.get("metadata") or {}
+                if not meta.get("drug_name"):
+                    continue
+                r = rec(m.group(1), meta["drug_name"],
+                        meta.get("medical_condition", ""))
+                for key in ("generic_name", "rx_otc", "pregnancy_category",
+                            "pregnancy_category_raw", "csa", "alcohol",
+                            "activity"):
+                    if meta.get(key) and not r[key]:
+                        r[key] = meta[key]
+                for key in ("rating", "no_of_reviews"):
+                    if meta.get(key) is not None and r[key] is None:
+                        r[key] = meta[key]
+                for key in ("drug_classes", "brand_names"):
+                    for v in meta.get(key) or []:
+                        if v and v not in r[key]:
+                            r[key].append(v)
+                if isinstance(meta.get("links"), dict) and not r["links"]:
+                    r["links"] = meta["links"]
+                prev = (t.get("preview") or "").strip()
+                kind = m.group(2)
+                if kind == "side_effects_raw" and prev:
+                    if prev not in r["side_effects_raw"]:
+                        r["side_effects_raw"] = (
+                            (r["side_effects_raw"] + " " + prev).strip())
+                        r["recovered_truncated"] = True
+
+    # ---- inverted ETL chunks ---------------------------------------------
+    for cid, info in chunk_map.items():
+        r = rec(info["doc_id"], info["drug_name"],
+                info["medical_condition"])
+        prev = info["preview"].strip()
+        truncated = info["text_len"] > len(prev)
+        kind = info["kind"]
+        if kind == "facts":
+            parsed = _parse_facts_preview(prev) or {}
+            for key in ("rx_otc", "pregnancy_category_raw"):
+                if parsed.get(key) and not r[key]:
+                    r[key] = parsed[key]
+            for key in ("rating", "no_of_reviews"):
+                if parsed.get(key) is not None and r[key] is None:
+                    r[key] = parsed[key]
+            for key in ("drug_classes", "brand_names"):
+                for v in parsed.get(key, []):
+                    if v and v not in r[key]:
+                        r[key].append(v)
+        elif kind in ("side_effects_serious", "side_effects_common"):
+            body = prev.split(":", 1)[-1]
+            items = [i.strip(" .;-") for i in body.split(" - ")
+                     if 2 < len(i.strip(" .;-")) < 80]
+            slot = ("serious" if kind == "side_effects_serious"
+                    else "common")
+            for i in items:
+                if i not in r["side_effects_structured"][slot]:
+                    r["side_effects_structured"][slot].append(i)
+        elif kind == "condition_overview":
+            body = prev.split("overview:", 1)[-1].strip()
+            if len(body) > len(r["condition_summary"]):
+                r["condition_summary"] = body
+        elif kind == "related":
+            body = prev.split(":", 1)[-1]
+            for item in body.split(" - "):
+                name = item.split(" (", 1)[0].strip(" .;-")
+                if (2 < len(name) < 60
+                        and name not in [d["name"]
+                                         for d in r["related_drugs"]]):
+                    r["related_drugs"].append({"name": name})
+        if truncated:
+            r["recovered_truncated"] = True
+        r.setdefault("etl_chunk_lengths", {})[kind] = info["text_len"]
+
+    out = sorted(records.values(), key=lambda r: r["doc_id"])
+    for r in out:
+        if not r["side_effects_raw"]:
+            se = r["side_effects_structured"]
+            r["side_effects_raw"] = "; ".join(se["serious"] + se["common"])
+        elif not (r["side_effects_structured"]["serious"]
+                  or r["side_effects_structured"]["common"]):
+            r["side_effects_structured"] = split_side_effects(
+                r["side_effects_raw"])
+        if not r["pregnancy_category"] and r["pregnancy_category_raw"]:
+            from domain_rag_system_tpu.etl.kaggle import _PREGNANCY_CATEGORIES
+
+            r["pregnancy_category"] = _PREGNANCY_CATEGORIES.get(
+                r["pregnancy_category_raw"], "")
+        if not r["generic_name"]:
+            r["generic_name"] = r["drug_name"]
+    log.info("recovered %d real kaggle records (%d with side-effect text)",
+             len(out), sum(1 for r in out
+                           if r["side_effects_structured"]["serious"]
+                           or r["side_effects_structured"]["common"]))
+    if output_path:
+        output_path = Path(output_path)
+        output_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(output_path, "w", encoding="utf-8") as f:
+            json.dump(out, f, ensure_ascii=False, indent=1)
+        log.info("wrote %s", output_path)
+    return out
+
+
+def recover_kaggle_queries(
+    reference_root: Path = REFERENCE_ROOT,
+    output_path: Optional[Path] = None,
+    chunk_map: Optional[Dict[str, Dict]] = None,
+) -> List[Dict]:
+    """The reference's 10 real kaggle test queries, ground truth mapped.
+
+    Ground-truth chunk ids (ETL id space) are translated to doc-level ids
+    via the inverted chunk map, closing SURVEY §2.3 quirk 1 with the
+    REFERENCE'S OWN queries: its stored metrics are 0.0 on every query
+    because the id spaces never intersected
+    (``results/kaggle_rag_test_results.json`` metrics), while the same
+    queries + recovered docs score meaningfully here."""
+    if chunk_map is None:
+        chunk_map = recover_kaggle_chunk_map(reference_root)
+    rag_path = reference_root / "results" / "kaggle_rag_test_results.json"
+    if not rag_path.exists():
+        return []
+    with open(rag_path, "r", encoding="utf-8") as f:
+        rag = json.load(f)
+    queries = []
+    for q in rag.get("per_query", []):
+        gt_chunks = [str(g) for g in q.get("ground_truth", [])]
+        gt_docs = list(dict.fromkeys(
+            chunk_map[g]["doc_id"] for g in gt_chunks if g in chunk_map))
+        queries.append({
+            "id": f"kaggle_ref_{q.get('id', len(queries) + 1)}",
+            "type": q.get("type", ""),
+            "body": q.get("query", ""),
+            "gt_chunk_ids": gt_chunks,
+            "documents": gt_docs,
+            "ideal_answer": q.get("ideal_answer", []),
+            "provenance": "reference",
+        })
+    n_mapped = sum(1 for q in queries if q["documents"])
+    log.info("recovered %d reference kaggle queries (%d with mapped gt)",
+             len(queries), n_mapped)
+    if output_path:
+        output_path = Path(output_path)
+        output_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(output_path, "w", encoding="utf-8") as f:
+            json.dump(queries, f, ensure_ascii=False, indent=1)
+    return queries
+
+
 # ----------------------------------------------------------- synthetic kaggle
 
 _SYN_DRUGS = [

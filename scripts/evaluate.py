@@ -146,9 +146,13 @@ def main() -> None:
             # including per-record SHADOWS with verbatim-copied side-effect
             # sections — so perfect scores are no longer structural
             # (VERDICT round-1 item 4, round-2 item 6)
-            generated = build_test_queries(records)
-            combined = records + make_distractor_records(
-                records, n=600, shadows_per_record=3)
+            # same-domain hard shadows first: build_test_queries must see
+            # them so condition/class gt includes them (round-4 revision)
+            real = [r for r in records if not r.get("distractor")]
+            hard = make_distractor_records(real, n=0, hard_per_record=2)
+            generated = build_test_queries(records + hard)
+            combined = records + hard + make_distractor_records(
+                real, n=600, shadows_per_record=3)
             corpus_path = results_dir / f"{name}_corpus_with_distractors.json"
             with open(corpus_path, "w", encoding="utf-8") as f:
                 json.dump(combined, f, indent=1)

@@ -44,9 +44,10 @@ def kaggle_control_inputs(results_dir: Path):
         with open("data/recovered/kaggle/extracted_docs.json",
                   encoding="utf-8") as f:
             real = json.load(f)
-        queries = build_test_queries(real)
-        records = real + make_distractor_records(real, n=600,
-                                                 shadows_per_record=3)
+        hard = make_distractor_records(real, n=0, hard_per_record=2)
+        queries = build_test_queries(real + hard)
+        records = real + hard + make_distractor_records(
+            real, n=600, shadows_per_record=3)
 
     # doc-level text = the record's ETL chunks joined (same information
     # the system indexes, flattened to one doc per record)
