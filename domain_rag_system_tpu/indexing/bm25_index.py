@@ -157,6 +157,23 @@ class BM25Index:
             max_doc_terms=self.max_doc_terms,
             alive=self._alive,
         )
+        self.band_mat = self.band_slot = None
+        self._rest_arrays = None
+        band_mat_np = None
+        if self.band_k > 0:
+            from domain_rag_system_tpu.ops.sparse_bm25 import build_dense_band
+
+            band_mat_np, slot_of, rest_t, rest_c, _ = build_dense_band(
+                doc_terms, doc_contrib, len(self.vocab), self.band_k)
+            self.band_slot = jnp.asarray(slot_of)
+            if self.mesh is None:
+                self.band_mat = jnp.asarray(band_mat_np)
+                # split-gather arrays cover only the REST terms (lazily
+                # built by split_arrays); under a mesh the rest scores via
+                # the plain gather over the FULL sharded arrays with the
+                # banded query weights zeroed — identical semantics, no
+                # cross-shard scatter (see pipeline.sparse_score)
+                self._rest_arrays = (rest_t, rest_c)
         if self.mesh is not None:
             # Row-shard the doc arrays (pad rows to a shard-divisible count;
             # padded rows have no terms so they never score).
@@ -167,10 +184,17 @@ class BM25Index:
                 doc_terms = np.pad(doc_terms, ((0, n_pad - n), (0, 0)),
                                    constant_values=-1)
                 doc_contrib = np.pad(doc_contrib, ((0, n_pad - n), (0, 0)))
+                if band_mat_np is not None:
+                    band_mat_np = np.pad(band_mat_np,
+                                         ((0, n_pad - n), (0, 0)))
             from domain_rag_system_tpu.parallel.mesh import shard_rows
 
             self.doc_terms = shard_rows(jnp.asarray(doc_terms), self.mesh)
             self.doc_contrib = shard_rows(jnp.asarray(doc_contrib), self.mesh)
+            if band_mat_np is not None:
+                # band rows align with doc rows — same sharding
+                self.band_mat = shard_rows(jnp.asarray(band_mat_np),
+                                           self.mesh)
         else:
             self.doc_terms = jnp.asarray(doc_terms)
             self.doc_contrib = jnp.asarray(doc_contrib)
@@ -180,16 +204,6 @@ class BM25Index:
         self._valid_rows_dev = None  # recomputed lazily (alive set changed)
         self._title_rows_dev = None  # recomputed lazily (chunk set changed)
         self._split_cache = None     # recomputed lazily (arrays changed)
-        self.band_mat = self.band_slot = None
-        self._rest_arrays = None
-        if self.band_k > 0 and self.mesh is None:
-            from domain_rag_system_tpu.ops.sparse_bm25 import build_dense_band
-
-            band_mat, slot_of, rest_t, rest_c, _ = build_dense_band(
-                doc_terms, doc_contrib, len(self.vocab), self.band_k)
-            self.band_mat = jnp.asarray(band_mat)
-            self.band_slot = jnp.asarray(slot_of)
-            self._rest_arrays = (rest_t, rest_c)
         log.info(
             "BM25 index: %d chunks, %d terms, avgdl=%.1f",
             len(self.chunks), len(self.vocab), stats["avgdl"],

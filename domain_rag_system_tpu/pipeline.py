@@ -244,9 +244,13 @@ def _fused_batch_retrieval(
     if has_sparse:
         def sparse_score(ids, w):
             if band_k > 0:
-                # dense band: high-df terms via MXU matmul; the gather
-                # path (split arrays built from the REST terms) scores
-                # only rare terms, with banded query weights zeroed
+                # dense band: high-df terms via MXU matmul; the rare REST
+                # terms score via a gather with the banded query weights
+                # zeroed — over the rest-only split arrays when available
+                # (single device), else over the FULL row-sharded arrays
+                # (mesh path: zeroed weights make banded doc terms
+                # contribute 0, so full-array gather == rest-array gather
+                # without any cross-shard scatter)
                 from domain_rag_system_tpu.ops.sparse_bm25 import (
                     band_scores,
                     banded_query_split,
@@ -255,9 +259,13 @@ def _fused_batch_retrieval(
                 q_dense, w_rest = banded_query_split(band_slot, ids, w,
                                                      band_k)
                 dense_part = band_scores(band_mat, q_dense)
-                rest = bm25_scores_split(
-                    sb_terms, sb_contrib, sb_ovf_rows, sb_ovf_terms,
-                    sb_ovf_contrib, ids, w_rest, vocab_size=vocab_size)
+                if use_split:
+                    rest = bm25_scores_split(
+                        sb_terms, sb_contrib, sb_ovf_rows, sb_ovf_terms,
+                        sb_ovf_contrib, ids, w_rest, vocab_size=vocab_size)
+                else:
+                    rest = bm25_scores(doc_terms, doc_contrib, ids, w_rest,
+                                       vocab_size=vocab_size)
                 return dense_part + rest
             if use_split:
                 return bm25_scores_split(
