@@ -306,3 +306,44 @@ def test_dense_band_arrays_partition_exactly(rng):
                     jnp.asarray(q_ids), jnp.asarray(w_rest), vocab_size=v))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dense_band_sharded_matches_unsharded(toy_chunks):
+    """Round-4: the banded path now runs UNDER A MESH (band_mat rows
+    sharded with the doc arrays; rest terms score via the full-array
+    gather with banded query weights zeroed). Sharded banded rankings
+    must equal the unsharded banded (and pure-gather) pipeline."""
+    import jax
+
+    from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+    from domain_rag_system_tpu.models import MedicalEmbedder
+    from domain_rag_system_tpu.parallel import get_mesh
+    from domain_rag_system_tpu.pipeline import RetrievalPipeline
+
+    mesh = get_mesh(len(jax.devices()))
+
+    def build(band_k, mesh=None):
+        emb = MedicalEmbedder(dim=128)
+        h = HybridIndex(dense_index=DenseIndex(emb, row_block=8, mesh=mesh),
+                        bm25_index=BM25Index(band_k=band_k, mesh=mesh))
+        h.index_chunks(toy_chunks)
+        return RetrievalPipeline(h)
+
+    plain = build(0)
+    banded_sharded = build(16, mesh)
+    bi = banded_sharded.index.bm25_index
+    assert bi.band_arrays() is not None, "band must be ACTIVE under a mesh"
+    assert len(bi.band_mat.sharding.device_set) == len(jax.devices())
+
+    queries = ["diabetes treatment drug", "pain and fever relief",
+               "blood pressure"]
+    kw = dict(top_k=5, fusion_method="weighted", vector_weight=0.3,
+              bm25_weight=0.7, prf_terms=3, prf_docs=4)
+    out_a = plain.query_batch(queries, **kw)
+    out_b = banded_sharded.query_batch(queries, **kw)
+    for a, b in zip(out_a, out_b):
+        assert [r["chunk_id"] for r in a["results"]] == \
+               [r["chunk_id"] for r in b["results"]]
+        np.testing.assert_allclose([r["score"] for r in a["results"]],
+                                   [r["score"] for r in b["results"]],
+                                   rtol=1e-4, atol=1e-5)

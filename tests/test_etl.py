@@ -242,3 +242,58 @@ def test_openfda_generated_queries_complete_gt():
     for q in qs:
         if q["type"] != "ingredient":
             assert "b1" not in q["documents"]
+
+
+def test_same_domain_shadows_and_gt_inclusion(tmp_path):
+    """Round-4 hard decoys: same condition/class, real drug name embedded
+    in the decoy's side-effect text, included in condition/class-keyed gt
+    but never in name-keyed gt."""
+    p = tmp_path / "drugs.csv"
+    p.write_text(CSV_TEXT)
+    records = process_csv(str(p))
+    from domain_rag_system_tpu.etl.kaggle import make_distractor_records
+
+    hard = make_distractor_records(records, n=0, hard_per_record=2)
+    assert len(hard) == 2 * len(records)
+    by_doc = {r["doc_id"]: r for r in records}
+    real_names = {r["drug_name"].lower() for r in records}
+    for s in hard:
+        src = by_doc[s["shadow_of"]]
+        assert s["same_domain"] is True and s["distractor"] is True
+        assert s["medical_condition"] == src["medical_condition"]
+        assert s["drug_classes"] == src["drug_classes"]
+        # the real drug's name occurs inside the decoy's text
+        assert src["drug_name"] in s["side_effects_raw"]
+        assert s["drug_name"].lower() not in real_names
+
+    queries = build_test_queries(records + hard)
+    hard_ids = {s["doc_id"] for s in hard}
+    for q in queries:
+        hits = set(q["documents"]) & hard_ids
+        if q["type"] in ("condition_treatment", "condition_overview",
+                         "class_based_options"):
+            continue  # same-domain records MAY legitimately appear
+        assert not hits, (q["type"], hits)
+    # condition-keyed gt DOES include the same-domain records (they
+    # truthfully claim the condition inside this corpus)
+    ct = [q for q in queries if q["type"] == "condition_treatment"]
+    assert any(set(q["documents"]) & hard_ids for q in ct)
+
+
+def test_name_keyed_gt_complete_across_aliases(tmp_path):
+    """Two records of the same drug under different primary names: the
+    name-keyed gt must include both (round-4 completeness fix)."""
+    p = tmp_path / "drugs.csv"
+    p.write_text(CSV_TEXT)
+    records = process_csv(str(p))
+    twin = dict(records[0])
+    twin["doc_id"] = "f" * 32
+    twin["drug_name"] = "TwinBrand"
+    twin["generic_name"] = records[0]["drug_name"]  # generic = first's name
+    twin["brand_names"] = ["TwinBrand"]
+    queries = build_test_queries(records + [twin])
+    side = [q for q in queries if q["type"] == "drug_side_effects"
+            and records[0]["drug_name"] in q["body"]]
+    assert side, "name-keyed query for the aliased drug must exist"
+    # gt covers BOTH records of that drug (exact generic-name match)
+    assert {records[0]["doc_id"], twin["doc_id"]} <= set(side[0]["documents"])

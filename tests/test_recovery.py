@@ -66,3 +66,44 @@ def test_synthetic_kaggle_matches_etl_schema():
         docs = DataLoader(kaggle_path=p).load_kaggle()
         assert len(docs) == len(records)
         assert "=== BASIC INFORMATION ===" in docs[0].content
+
+
+def test_recovered_kaggle_chunk_map_and_records():
+    """Round-4 mining: the reference ETL's kaggle chunk ids invert to
+    (doc, kind, exact text length) and real drugs.com records rebuild."""
+    from domain_rag_system_tpu.etl.recover import (
+        recover_kaggle_chunk_map,
+        recover_kaggle_queries,
+        recover_kaggle_records,
+    )
+
+    cm = recover_kaggle_chunk_map(REF, max_len=1600)
+    assert len(cm) == 50  # every artifact chunk preview maps
+    kinds = {v["kind"] for v in cm.values()}
+    assert kinds <= {"facts", "side_effects_serious", "side_effects_common",
+                     "condition_overview", "related"}
+    # every entry's id re-derives from its solution (md5 scheme check)
+    import hashlib
+
+    for cid, v in cm.items():
+        redo = hashlib.md5(
+            f"{v['doc_id']}|{v['kind']}|{v['text_len']}".encode()).hexdigest()
+        assert redo == cid
+
+    records = recover_kaggle_records(REF, chunk_map=cm)
+    assert len(records) >= 40
+    assert all(r["provenance"] == "recovered" for r in records)
+    assert any(r["side_effects_structured"]["serious"] for r in records)
+    by_name = {r["drug_name"]: r for r in records}
+    assert "doxycycline" in by_name
+    assert by_name["doxycycline"]["medical_condition"] == "Acne"
+
+    # the reference's own kaggle queries become scoreable: gt chunk ids
+    # (the id space its stored eval scored 0.0 against) map to doc ids
+    queries = recover_kaggle_queries(REF, chunk_map=cm)
+    assert len(queries) == 8
+    mapped = [q for q in queries if q["documents"]]
+    assert len(mapped) >= 7
+    rec_ids = {r["doc_id"] for r in records}
+    for q in mapped:
+        assert set(q["documents"]) <= rec_ids
