@@ -48,6 +48,11 @@ class RetrievalConfig:
     cross_checkpoint: Optional[str] = None  # trained CE for "crossencoder"
     rerank_blend: float = 0.0             # 0 = pure rerank scores; >0 mixes
                                           # the fusion ranking back in
+    rerank_head_m: int = 0                # >0: head-only doc reorder — the
+                                          # CE permutes ONLY the top-m
+                                          # grouped docs, so recall@k
+                                          # (k>=m) is invariant by
+                                          # construction (round-4 CE mode)
     batch_size: int = 50                  # serving batch
 
     # index-time

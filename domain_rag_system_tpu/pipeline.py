@@ -667,7 +667,12 @@ class RetrievalPipeline:
         has_qfilter = any(f for f in per_query_filters)
         dense = self.index.dense_index
         sparse = self.index.bm25_index
-        fetch_k = max(top_k, rerank_top_n if self.reranker is not None else top_k)
+        # head-only reorder consumes the GROUPED baseline, so the fused
+        # pool must match the no-rerank path exactly (rerank_top_n is a
+        # pool-rerank knob and must not inflate fetch_k here)
+        pool_rerank = (self.reranker is not None
+                       and not getattr(self.reranker, "head_m", 0))
+        fetch_k = max(top_k, rerank_top_n if pool_rerank else top_k)
         if group_by_doc:
             # fetch_mult governs how deep the fused chunk pool is before doc
             # grouping: at production index sizes distractor chunks dilute
@@ -710,6 +715,8 @@ class RetrievalPipeline:
             isinstance(self.reranker, SimpleSimilarityReranker)
             and has_dense
             and self.reranker.embedder is dense.embedder
+            # head-only reorder runs on the host over grouped docs
+            and not getattr(self.reranker, "head_m", 0)
         )
 
         b = len(queries)
@@ -1056,6 +1063,21 @@ class RetrievalPipeline:
                     rescored.append(out_r)
                 rescored.sort(key=lambda x: -x["rerank_score"])
                 all_results[qi] = rescored[:keep]
+        elif (self.reranker is not None
+              and getattr(self.reranker, "head_m", 0) > 0 and group_by_doc):
+            # Head-only doc reorder: group the FULL fused pool first, then
+            # let the reranker permute only the top-head_m documents
+            # (BaseReranker.reorder_head). The doc set at every cutoff
+            # >= head_m is untouched, so recall@k cannot regress — the
+            # cost every pool-blend CE operating point paid.
+            grouped = [_group_first_per_doc(r, top_k,
+                                            evidence_alpha=evidence_alpha,
+                                            evidence_chunks=evidence_chunks)
+                       for r in all_results]
+            with self.timer.stage("rerank"):
+                all_results = self.reranker.reorder_head(
+                    list(queries), grouped)
+            group_by_doc = False  # already grouped
         elif self.reranker is not None:
             # ONE batched scoring pass over every query's pool (the
             # cross-encoder path: a few large device forwards instead of

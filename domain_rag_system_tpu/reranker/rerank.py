@@ -37,10 +37,18 @@ class BaseReranker:
     """
 
     def __init__(self, top_n: int = 50, name: str = "base",
-                 blend: float = 0.0):
+                 blend: float = 0.0, head_m: int = 0):
         self.top_n = top_n
         self.name = name
         self.blend = blend
+        #: head-only doc reorder (round 4): > 0 switches the pipeline from
+        #: pool reranking to reordering ONLY the top-``head_m`` grouped
+        #: documents. The doc SET at every cutoff >= head_m is invariant,
+        #: so recall@k (k >= head_m) cannot change — head precision
+        #: (MRR / hit@1) is bought at zero recall cost, the failure mode
+        #: every pool-blend operating point measured in
+        #: results/cv_rerank_*.json pays for.
+        self.head_m = head_m
 
     def score_pairs(self, pairs: Iterable[Tuple[str, str]]) -> List[float]:
         raise NotImplementedError
@@ -94,6 +102,62 @@ class BaseReranker:
                 rescored.append(new_r)
             rescored.sort(key=lambda x: x["rerank_score"], reverse=True)
             out.append(rescored[:top_k])
+        return out
+
+
+    def reorder_head(
+        self,
+        queries: List[str],
+        grouped_lists: List[List[Dict]],
+        m: Optional[int] = None,
+        blend: Optional[float] = None,
+    ) -> List[List[Dict]]:
+        """Reorder only the top-``m`` DOC results per query.
+
+        Each head doc scores as (query, its best chunk's text); the final
+        head order sorts ``(1-blend)·norm(rerank) + blend·norm(doc score)``
+        within the head (norms computed over the head only). Positions
+        ``m..`` are untouched. One flattened ``score_pairs`` call covers
+        the whole batch (B × m pairs — ~top_n/m cheaper than pool
+        reranking)."""
+        m = self.head_m if m is None else m
+        blend = self.blend if blend is None else blend
+        heads = [g[: min(m, len(g))] for g in grouped_lists]
+        flat = [(q, r.get("text", "") or "")
+                for q, head in zip(queries, heads) for r in head]
+        scores = self.score_pairs(flat) if flat else []
+
+        def norm(vals: List[float]) -> List[float]:
+            lo, hi = min(vals), max(vals)
+            span = hi - lo
+            return [(v - lo) / span if span > 0 else 0.5 for v in vals]
+
+        out: List[List[Dict]] = []
+        i = 0
+        for head, rest_src in zip(heads, grouped_lists):
+            head_scores = [float(scores[i + j]) for j in range(len(head))]
+            i += len(head)
+            if not head:
+                out.append(rest_src)
+                continue
+            if blend > 0:
+                rr_n = norm(head_scores)
+                fu_n = norm([float(r.get("doc_score", r.get("score", 0.0)))
+                             for r in head])
+                final = [(1.0 - blend) * a + blend * b
+                         for a, b in zip(rr_n, fu_n)]
+            else:
+                final = head_scores
+            rescored = []
+            for r, raw, f in zip(head, head_scores, final):
+                new_r = r.copy()
+                new_r["rerank_score"] = f
+                new_r["rerank_raw"] = raw
+                new_r["fusion_method"] = (
+                    (new_r.get("fusion_method") or "pre") + "+headreorder")
+                rescored.append(new_r)
+            rescored.sort(key=lambda x: x["rerank_score"], reverse=True)
+            out.append(rescored + rest_src[len(head):])
         return out
 
 
@@ -155,6 +219,7 @@ def build_reranker(
     embedder=None,
     cross_checkpoint: Optional[str] = None,
     blend: float = 0.0,
+    head_m: int = 0,
 ) -> Optional[BaseReranker]:
     """Reranker factory with reference fallback semantics."""
     if kind == "none":
@@ -166,6 +231,7 @@ def build_reranker(
                 checkpoint_path=cross_checkpoint,
             )
             rr.blend = blend
+            rr.head_m = head_m
             return rr
         except Exception as exc:
             log.warning(
@@ -174,4 +240,5 @@ def build_reranker(
             )
     rr = SimpleSimilarityReranker(embedder=embedder, top_n=top_n)
     rr.blend = blend
+    rr.head_m = head_m
     return rr

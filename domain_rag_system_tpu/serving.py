@@ -151,7 +151,8 @@ def build_pipeline(
     reranker = build_reranker(cfg.reranker, top_n=cfg.rerank_top_n,
                               embedder=embedder,
                               cross_checkpoint=cfg.cross_checkpoint,
-                              blend=cfg.rerank_blend)
+                              blend=cfg.rerank_blend,
+                              head_m=getattr(cfg, "rerank_head_m", 0))
     pipeline = RetrievalPipeline(hybrid, query_preprocessor=preprocessor,
                                  reranker=reranker)
     info = {

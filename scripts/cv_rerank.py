@@ -192,6 +192,10 @@ def train_fold_ce(groups, init, eval_steps, lr, group_size, batch_groups,
     stream = batches()
     done = 0
     for s in sorted(eval_steps):
+        # step 0 yields the UN-fine-tuned init checkpoint: the inner
+        # selection can then prefer the distilled CE as-is (operating
+        # point only), which the head-precision protocol needs when the
+        # supervised fine-tune itself is what loses quality
         trainer.train(itertools.islice(stream, s - done), log_every=0)
         done = s
         model = CrossEncoderModel(config=config, params=trainer.state.params,
@@ -312,6 +316,13 @@ def main() -> None:
     ap.add_argument("--blends", type=float, nargs="+",
                     default=[0.5, 0.7, 0.85, 0.95])
     ap.add_argument("--top_ns", type=int, nargs="+", default=[20, 40, 60])
+    ap.add_argument("--head_ms", type=int, nargs="*", default=[],
+                    help="head-only doc reorder mode: the CE permutes only "
+                         "the top-m grouped docs (recall@k for k>=m is "
+                         "invariant by construction — "
+                         "BaseReranker.reorder_head); the grid sweeps "
+                         "these m values x --blends instead of "
+                         "(blend, top_n) pool points")
     ap.add_argument("--output", default="results/cv_rerank_oof.json")
     ap.add_argument("--embedding_cache", default=None,
                     help="corpus-embedding cache dir (see cv_tune.py)")
@@ -398,9 +409,11 @@ def main() -> None:
     fetch_k = cfg.top_k * qkw.get("fetch_mult", 4)
     from domain_rag_system_tpu.pipeline import _group_first_per_doc
 
-    base_per_q = [eval_ranked(q, _group_first_per_doc(
-        p[:fetch_k], cfg.top_k, evidence_alpha=ev_a, evidence_chunks=ev_c))
-        for q, p in zip(queries, pools)]
+    base_grouped = [_group_first_per_doc(p[:fetch_k], cfg.top_k,
+                                         evidence_alpha=ev_a,
+                                         evidence_chunks=ev_c)
+                    for p in pools]
+    base_per_q = [eval_ranked(q, g) for q, g in zip(queries, base_grouped)]
     all_idx = list(range(len(queries)))
     print("offline no-rerank baseline:",
           json.dumps({k: round(v, 4)
@@ -441,11 +454,46 @@ def main() -> None:
         print(f"{len(ict_groups)} ICT anchor groups in "
               f"{time.time() - t0:.1f}s")
 
+    head_mode = bool(args.head_ms)
+    m_max = max(args.head_ms) if head_mode else 0
+
+    def apply_head_offline(qi, score_map, m, blend):
+        """EXACTLY the shipping path: BaseReranker.reorder_head with the
+        precomputed CE scores injected (equality-tested in
+        tests/test_cv_rerank.py against a real pipeline)."""
+        from domain_rag_system_tpu.reranker.rerank import BaseReranker
+
+        rr = BaseReranker.__new__(BaseReranker)
+        rr.score_pairs = lambda prs: [score_map[p] for p in prs]
+        return BaseReranker.reorder_head(
+            rr, [queries[qi]["body"]], [base_grouped[qi]], m, blend)[0]
+
+    def score_heads(model, idx):
+        """{i: {(query, text): CE score}} over the top-m_max head docs."""
+        flat, spans = [], []
+        for i in idx:
+            head = base_grouped[i][:m_max]
+            spans.append(len(head))
+            flat.extend((queries[i]["body"], r.get("text", "") or "")
+                        for r in head)
+        scores = model.predict(flat)
+        out, off = {}, 0
+        for i, n in zip(idx, spans):
+            out[i] = {flat[off + j]: float(scores[off + j])
+                      for j in range(n)}
+            off += n
+        return out
+
     fold_of = stratified_folds(queries, args.n_folds, args.seed)
-    grid = [(b, n) for n in args.top_ns for b in args.blends]
+    if head_mode:
+        # tuple slot 3 ("top_n") carries m in head mode
+        grid = [(b, m) for m in args.head_ms for b in args.blends]
+    else:
+        grid = [(b, n) for n in args.top_ns for b in args.blends]
     folds_out = []
-    oof_ce = {"recall@5": [], "ndcg@10": [], "mrr": [], "recall": []}
-    oof_base = {"recall@5": [], "ndcg@10": [], "mrr": [], "recall": []}
+    OOF_KEYS = ("recall@5", "ndcg@10", "mrr", "recall", "hit@1")
+    oof_ce = {k: [] for k in OOF_KEYS}
+    oof_base = {k: [] for k in OOF_KEYS}
     def fold_groups(idx, rng):
         groups = []
         for i in idx:
@@ -468,6 +516,9 @@ def main() -> None:
         return out
 
     def point_metrics(scores_by_q, blend, top_n, idx):
+        if head_mode:  # top_n slot carries m
+            return [eval_ranked(queries[i], apply_head_offline(
+                i, scores_by_q[i], top_n, blend)) for i in idx]
         return [eval_ranked(queries[i], apply_rerank_offline(
             pools[i], scores_by_q[i], top_n, blend, cfg.top_k,
             ev_a, ev_c)) for i in idx]
@@ -508,7 +559,7 @@ def main() -> None:
         snap_idx = list(inner_idx) + list(test_idx)
         candidates = []  # (inner_metrics, steps, blend, top_n, test_scores)
         for steps, model in snapshots:
-            sc = score_pools(model, snap_idx)
+            sc = (score_heads if head_mode else score_pools)(model, snap_idx)
             for blend, top_n in grid:
                 m = mean_of(point_metrics(sc, blend, top_n, list(inner_idx)),
                             range(len(inner_idx)))
@@ -536,7 +587,8 @@ def main() -> None:
             m_in, steps, blend, top_n, sc = best
             held = mean_of(point_metrics(sc, blend, top_n, list(test_idx)),
                            range(len(test_idx)))
-            selected = {"steps": steps, "blend": blend, "top_n": top_n}
+            selected = {"steps": steps, "blend": blend,
+                        ("head_m" if head_mode else "top_n"): top_n}
         else:
             held, selected = held_base, {"reranker": "none"}
         folds_out.append({
@@ -555,6 +607,9 @@ def main() -> None:
               f"held-out r@5 {held['recall@5']:.4f} vs "
               f"{held_base['recall@5']:.4f} | ndcg {held['ndcg@10']:.4f} "
               f"vs {held_base['ndcg@10']:.4f}")
+        print(f"  inner best CE {json.dumps({k: round(v, 4) for k, v in best[0].items()})} "
+              f"at steps={best[1]} blend={best[2]} top_n={best[3]}\n"
+              f"  inner none    {json.dumps({k: round(v, 4) for k, v in inner_base.items()})}")
 
     agg = lambda d: {k: round(float(np.mean(v)), 4) for k, v in d.items()}
     out = {
@@ -563,6 +618,8 @@ def main() -> None:
             "stratified_by": "question type",
             "init_from": str(args.init_from),
             "mode": "anchor" if args.anchor else "supervised",
+            "rerank_mode": "head_reorder" if head_mode else "pool",
+            "head_ms": args.head_ms or None,
             "gate": args.gate,
             "select": select,
             "anchor": {"gt_weight": args.gt_weight,
@@ -619,6 +676,7 @@ def main() -> None:
         #   2. the OOF aggregate wins the gate's target metrics (deploy_ok).
         from collections import Counter
 
+        pk = "head_m" if head_mode else "top_n"
         ce_folds = [fo for fo in folds_out if "steps" in fo["selected"]]
         if len(ce_folds) < (args.n_folds + 1) // 2:
             print("CE preferred in fewer than half the folds — "
@@ -635,14 +693,14 @@ def main() -> None:
             # validation selection score instead of Counter insertion order
             counts = Counter(
                 (fo["selected"]["steps"], fo["selected"]["blend"],
-                 fo["selected"]["top_n"]) for fo in ce_folds)
+                 fo["selected"][pk]) for fo in ce_folds)
             top_count = counts.most_common(1)[0][1]
             if top_count == 1:
                 best_fold = max(ce_folds,
                                 key=lambda fo: sel(fo["inner_ce_best"]))
                 steps, blend, top_n = (best_fold["selected"]["steps"],
                                        best_fold["selected"]["blend"],
-                                       best_fold["selected"]["top_n"])
+                                       best_fold["selected"][pk])
                 print("no modal fold hyperparameters (all tuples distinct) "
                       "— using the best inner-validation fold's point")
             else:
@@ -671,10 +729,10 @@ def main() -> None:
             save_encoder_checkpoint(root / args.final_out, model.config,
                                     model.params["params"], model.tokenizer)
             out["final"] = {"checkpoint": str(args.final_out),
-                            "steps": steps, "blend": blend, "top_n": top_n,
+                            "steps": steps, "blend": blend, pk: top_n,
                             "n_groups": len(final_groups)}
             print(f"deployment CE -> {args.final_out} "
-                  f"(steps={steps}, blend={blend}, top_n={top_n})")
+                  f"(steps={steps}, blend={blend}, {pk}={top_n})")
 
     out_path = root / args.output
     out_path.parent.mkdir(parents=True, exist_ok=True)

@@ -127,3 +127,42 @@ def test_build_groups_layout():
     groups2 = build_groups(q2, pool, ["fallback"], rng, group_size=4,
                            max_pos=3)
     assert groups2 and groups2[0][1] == "fallback"
+
+
+@pytest.mark.parametrize("blend,m", [(0.0, 3), (0.5, 4)])
+def test_head_reorder_offline_matches_pipeline(corpus_pipeline, tiny_ce,
+                                               blend, m):
+    """Round-4 head-only doc reorder: the pipeline path (reranker with
+    head_m set, grouping first) must equal the offline replica
+    (grouped baseline + BaseReranker.reorder_head), and the doc SET at
+    every cutoff >= m must equal the no-rerank baseline's."""
+    pipe = corpus_pipeline
+    queries = ["aspirin fever dose", "insulin diabetes trial",
+               "statin lipid stroke"]
+    kw = dict(top_k=4, fusion_method="weighted", vector_weight=0.3,
+              bm25_weight=0.7, group_by_doc=True, evidence_alpha=0.5,
+              evidence_chunks=2, fetch_mult=4, preprocess=False)
+
+    pipe.reranker = None
+    baseline = pipe.query_batch(queries, **kw)
+
+    rr = CrossEncoderReranker.__new__(CrossEncoderReranker)
+    rr.top_n, rr.name, rr.blend, rr.model = 50, "cross-encoder", blend, tiny_ce
+    rr.head_m = m
+    pipe.reranker = rr
+    shipped = pipe.query_batch(queries, **kw)
+    pipe.reranker = None
+
+    from domain_rag_system_tpu.reranker.rerank import BaseReranker
+
+    for q, base, out in zip(queries, baseline, shipped):
+        grouped = base["results"]
+        offline = BaseReranker.reorder_head(rr, [q], [grouped],
+                                            m, blend)[0]
+        assert [r["doc_id"] for r in offline] == \
+            [r["doc_id"] for r in out["results"]]
+        # doc set invariance: same docs as baseline at every cutoff >= m
+        assert set(r["doc_id"] for r in out["results"]) == \
+            set(r["doc_id"] for r in grouped)
+        assert [r["doc_id"] for r in out["results"]][m:] == \
+            [r["doc_id"] for r in grouped][m:]
