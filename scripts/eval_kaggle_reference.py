@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Evaluate the REFERENCE's own kaggle test queries — scoreable at last.
+
+The reference's stored kaggle metrics are 0.0 on every query because its
+ground truth lives in the ETL's chunk-id space while its retrieval system
+emitted different ids (SURVEY §2.3 quirk 1;
+``/root/reference/results/kaggle_rag_test_results.json`` metrics). Round 4
+inverted the ETL id scheme (``etl/recover.recover_kaggle_chunk_map``), so
+those ground-truth chunk ids now map to recovered real records — and the
+reference's 8 queries can finally measure retrieval quality.
+
+Runs the tuned kaggle pipeline (recovered+synthetic corpus with the full
+round-4 distractor set) over ``data/recovered/kaggle/reference_queries.json``
+and writes ``results/kaggle_reference_queries_results.json``.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from domain_rag_system_tpu.utils.jaxtools import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", default="data/recovered/kaggle/extracted_docs.json")
+    ap.add_argument("--queries", default="data/recovered/kaggle/reference_queries.json")
+    ap.add_argument("--output", default="results/kaggle_reference_queries_results.json")
+    args = ap.parse_args()
+
+    from domain_rag_system_tpu.config import RetrievalConfig
+    from domain_rag_system_tpu.etl.kaggle import make_distractor_records
+    from domain_rag_system_tpu.evaluation.runners import (
+        load_queries,
+        run_retrieval_evaluation,
+    )
+    from domain_rag_system_tpu.serving import build_pipeline
+
+    root = Path(__file__).resolve().parent.parent
+    records = json.load(open(root / args.corpus, encoding="utf-8"))
+    real = [r for r in records if not r.get("distractor")]
+    combined = (records
+                + make_distractor_records(real, n=0, hard_per_record=2)
+                + make_distractor_records(real, n=600, shadows_per_record=3))
+    tmp_corpus = root / "results" / "kaggle_corpus_with_distractors.json"
+    tmp_corpus.parent.mkdir(parents=True, exist_ok=True)
+    with open(tmp_corpus, "w", encoding="utf-8") as f:
+        json.dump(combined, f)
+
+    cfg = RetrievalConfig.tuned()
+    cfg.normalize_index = True  # brand↔generic canonicalization (evaluate.py)
+    cfg.top_k = 5
+    queries = load_queries(root / args.queries)
+    queries = [q for q in queries if q.get("documents")]
+    pipeline, info = build_pipeline(
+        cfg, corpus_kwargs={"kaggle_path": str(tmp_corpus)})
+    res = run_retrieval_evaluation(
+        pipeline, queries, top_k=cfg.top_k, batch_size=cfg.batch_size,
+        dataset="kaggle_reference", **cfg.query_kwargs())
+    out = {
+        "provenance": "the reference's own 8 kaggle test queries "
+                      "(results/kaggle_rag_test_results.json), gt chunk ids "
+                      "mapped to recovered docs via the round-4 id-space "
+                      "inversion; reference stored metrics for the SAME "
+                      "queries: 0.0 across the board (id-space mismatch)",
+        "n_queries": len(queries),
+        "n_chunks": info["n_chunks"],
+        "config": cfg.to_dict(),
+        "overall": {k: round(float(v), 4)
+                    for k, v in res["overall"].items()},
+        "per_query": [
+            {"id": q["id"], "type": q.get("type", ""), "body": q["body"],
+             "metrics": {k: round(float(v), 4)
+                         for k, v in p["metrics"].items()}}
+            for q, p in zip(queries, res["per_query"])],
+    }
+    out_path = root / args.output
+    out_path.write_text(json.dumps(out, indent=1))
+    print(json.dumps(out["overall"]))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
