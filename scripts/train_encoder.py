@@ -188,6 +188,13 @@ def main() -> None:
                          "default: mine from the training corpus")
     ap.add_argument("--hard_negatives", type=int, default=0,
                     help="BM25-mined hard negatives per query (0 = off)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize transformer layers during training "
+                         "(jax.checkpoint) — trades ~2x layer FLOPs for "
+                         "activation memory so deep trunks (12L/768) keep "
+                         "the large contrastive batch in-batch negatives "
+                         "need (batch 96 at 12L was the OOM ceiling "
+                         "without it)")
     ap.add_argument("--init_checkpoint", default=None,
                     help="warm-start from an MLM/ICT pretrain checkpoint "
                          "(scripts/pretrain_encoder.py); reuses its "
@@ -230,6 +237,10 @@ def main() -> None:
 
         config, init_params, tokenizer = load_encoder_checkpoint(
             args.init_checkpoint)
+        if args.remat:
+            import dataclasses
+
+            config = dataclasses.replace(config, remat=True)
         args.seq_len = min(args.seq_len, config.max_position_embeddings)
         print(f"warm start from {args.init_checkpoint}: "
               f"{config.num_layers}L/{config.hidden_size}H "
@@ -268,6 +279,10 @@ def main() -> None:
     history = trainer.train(itertools.islice(batches, args.steps), log_every=20)
     print(f"final: loss={history[-1]['loss']:.4f} acc={history[-1]['accuracy']:.3f}")
 
+    if args.remat:  # remat is a TRAINING memory knob; serve without it
+        import dataclasses
+
+        config = dataclasses.replace(config, remat=False)
     save_encoder_checkpoint(args.out, config, trainer.state.params, tokenizer)
     print(f"checkpoint -> {args.out}")
 
