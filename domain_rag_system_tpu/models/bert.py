@@ -193,7 +193,11 @@ class BertEncoder(nn.Module):
             token_type_ids = jnp.zeros_like(input_ids)
         x = BertEmbeddings(c, name="embeddings")(
             input_ids, token_type_ids, deterministic)
-        layer_cls = nn.remat(BertLayer) if c.remat else BertLayer
+        # deterministic (arg 3, counting self) must stay a static Python
+        # bool under remat — Dropout branches on it (`if deterministic`),
+        # and the default remat tracing turns it into a tracer
+        layer_cls = (nn.remat(BertLayer, static_argnums=(3,))
+                     if c.remat else BertLayer)
         for i in range(c.num_layers):
             x = layer_cls(c, name=f"layer_{i}")(x, attention_mask, deterministic)
         if c.pre_ln:  # pre-LN stacks need one final norm after the residuals

@@ -314,3 +314,25 @@ def test_listwise_distill_gt_term():
                                      gt_slots=gt, gt_weight=0.0)
     assert float(same) == float(base)
     assert "gt_loss" not in m0
+
+
+def test_remat_contrastive_step_trains():
+    """remat=True must trace: Dropout branches on `deterministic`, which
+    nn.remat turns into a tracer unless marked static (round-4 fix —
+    static_argnums=(3,) in BertEncoder)."""
+    import numpy as np
+
+    from domain_rag_system_tpu.models.bert import BertConfig
+    from domain_rag_system_tpu.training import ContrastiveTrainer
+
+    cfg = BertConfig.tiny(remat=True)
+    tr = ContrastiveTrainer(cfg, learning_rate=1e-3, warmup_steps=1,
+                            total_steps=2)
+    tr.init_state(seq_len=16)
+    rng = np.random.default_rng(0)
+    b = {"q_ids": rng.integers(0, cfg.vocab_size, (8, 16)).astype(np.int32),
+         "q_mask": np.ones((8, 16), np.int32),
+         "p_ids": rng.integers(0, cfg.vocab_size, (8, 16)).astype(np.int32),
+         "p_mask": np.ones((8, 16), np.int32)}
+    h = tr.train([b], log_every=0)
+    assert np.isfinite(h[0]["loss"])
