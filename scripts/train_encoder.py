@@ -132,6 +132,36 @@ def build_pairs(corpus, style="title", augmenter=None, aug_seed=0):
     return pairs
 
 
+def mine_hard_negatives_dense(pairs, miner_checkpoint, k=8):
+    """ANCE-style self-mined negatives: the CURRENT best dense encoder
+    retrieves each query's top passages; non-positives become negatives.
+    BM25-mined negatives teach lexical separation the fusion stack already
+    has — dense-mined ones are the errors the dense arm itself makes,
+    the curriculum that can move dense-only recall (VERDICT r3 item 4)."""
+    import numpy as np
+
+    from domain_rag_system_tpu.models.bert_embedder import BertEmbedder
+
+    emb = BertEmbedder(checkpoint_path=miner_checkpoint, batch_size=128,
+                       max_length=128)
+    passages = sorted({p for _, p in pairs})
+    pass_id = {p: i for i, p in enumerate(passages)}
+    P = emb.encode(passages)  # [M, d], L2-normalized
+    out = []
+    B = 512
+    for start in range(0, len(pairs), B):
+        batch = pairs[start:start + B]
+        Q = emb.encode([q for q, _ in batch])
+        scores = Q @ P.T
+        part = np.argpartition(-scores, kth=min(k + 1, scores.shape[1] - 1),
+                               axis=1)[:, : k + 1]
+        for row, (q, pos) in enumerate(batch):
+            cand = part[row][np.argsort(-scores[row, part[row]])]
+            pos_idx = pass_id[pos]
+            out.append([passages[j] for j in cand if j != pos_idx][:k])
+    return out
+
+
 def mine_hard_negatives(pairs, k=8):
     """Per pair: BM25 top-k passages (excluding the positive) as hard
     negatives — batched device scoring over the unique-passage corpus."""
@@ -188,6 +218,10 @@ def main() -> None:
                          "default: mine from the training corpus")
     ap.add_argument("--hard_negatives", type=int, default=0,
                     help="BM25-mined hard negatives per query (0 = off)")
+    ap.add_argument("--hard_miner", default=None,
+                    help="encoder checkpoint for ANCE-style DENSE negative "
+                         "mining (replaces the BM25 miner): negatives are "
+                         "the miner's own top false retrievals")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize transformer layers during training "
                          "(jax.checkpoint) — trades ~2x layer FLOPs for "
@@ -264,8 +298,15 @@ def main() -> None:
 
     hard_pool = None
     if args.hard_negatives > 0:
-        hard_pool = mine_hard_negatives(pairs, k=max(args.hard_negatives * 4, 8))
-        print(f"mined hard negatives for {len(hard_pool)} pairs")
+        if args.hard_miner:
+            hard_pool = mine_hard_negatives_dense(
+                pairs, args.hard_miner, k=max(args.hard_negatives * 4, 8))
+            print(f"dense-mined (ANCE) hard negatives for "
+                  f"{len(hard_pool)} pairs via {args.hard_miner}")
+        else:
+            hard_pool = mine_hard_negatives(
+                pairs, k=max(args.hard_negatives * 4, 8))
+            print(f"mined hard negatives for {len(hard_pool)} pairs")
 
     steps_per_epoch = max(len(pairs) // args.batch_size, 1)
     epochs = -(-args.steps // steps_per_epoch)
