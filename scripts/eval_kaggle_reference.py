@@ -60,7 +60,7 @@ def main() -> None:
     pipeline, info = build_pipeline(
         cfg, corpus_kwargs={"kaggle_path": str(tmp_corpus)})
     res = run_retrieval_evaluation(
-        pipeline, queries, top_k=cfg.top_k, batch_size=cfg.batch_size,
+        pipeline, queries, batch_size=cfg.batch_size,
         dataset="kaggle_reference", **cfg.query_kwargs())
     out = {
         "provenance": "the reference's own 8 kaggle test queries "
