@@ -79,6 +79,12 @@ def config_grid(args):
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", default="bioasq",
+                    choices=["bioasq", "kaggle"],
+                    help="kaggle = the round-4 hard eval (411 queries over "
+                         "the recovered+distractor corpus); requires "
+                         "scripts/evaluate.py --datasets kaggle to have "
+                         "generated the corpus/query artifacts")
     ap.add_argument("--n_chunks", type=int, default=0,
                     help="pad with deterministic distractors to this index "
                          "size (0 = real corpus only)")
@@ -137,10 +143,21 @@ def main() -> None:
     if args.encoder_checkpoint:
         cfg.encoder_checkpoint = args.encoder_checkpoint
 
-    corpus_path = root / "data/recovered/BioASQ/corpus_subset.json"
-    queries = load_queries(root / "data/recovered/BioASQ/bioasq_queries.json")
-
-    docs = DataLoader(pubmed_path=str(corpus_path)).load_pubmed()
+    if args.dataset == "kaggle":
+        # the regenerated hard kaggle eval (round 4): recovered+synthetic
+        # records + same-domain shadows + decoys, rule-generated queries
+        # with complete doc-level gt (etl/kaggle.py). Index-side
+        # brand↔generic canonicalization matches scripts/evaluate.py.
+        cfg.normalize_index = True
+        cfg.top_k = 5
+        corpus_path = root / "results/kaggle_corpus_with_distractors.json"
+        queries = load_queries(root / "results/kaggle_generated_queries.json")
+        docs = DataLoader(kaggle_path=str(corpus_path)).load_kaggle()
+    else:
+        corpus_path = root / "data/recovered/BioASQ/corpus_subset.json"
+        queries = load_queries(
+            root / "data/recovered/BioASQ/bioasq_queries.json")
+        docs = DataLoader(pubmed_path=str(corpus_path)).load_pubmed()
     if args.max_docs:
         docs = docs[: args.max_docs]
     if args.max_queries:

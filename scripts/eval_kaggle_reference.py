@@ -53,8 +53,14 @@ def main() -> None:
         json.dump(combined, f)
 
     cfg = RetrievalConfig.tuned()
-    cfg.normalize_index = True  # brand↔generic canonicalization (evaluate.py)
+    # the CV-selected kaggle operating point (results/cv_tune_kaggle.json,
+    # same overrides as scripts/evaluate.py)
+    cfg.normalize_index = True
     cfg.top_k = 5
+    cfg.vector_weight, cfg.bm25_weight = 0.3, 0.7
+    cfg.prf_terms = 0
+    cfg.evidence_alpha = 0.5
+    cfg.fetch_mult = 6
     queries = load_queries(root / args.queries)
     queries = [q for q in queries if q.get("documents")]
     pipeline, info = build_pipeline(
