@@ -262,6 +262,26 @@ class RetrievalConfig:
         return tuple((str(p), w) for p, w in paths)
 
     @classmethod
+    def kaggle_tuned(cls) -> "RetrievalConfig":
+        """The CV-selected kaggle operating point (5-fold over the 411-query
+        round-4 hard eval — ``results/cv_tune_kaggle.json``): every fold
+        chose vector_weight 0.3 / PRF OFF / fetch_mult 6 (RM3 expands into
+        the near-duplicate shadow vocabulary on this corpus), 3/5 chose
+        evidence_alpha 0.5; out-of-fold recall@5 0.8959 / nDCG@10 0.8865,
+        shipped in-sample 0.9364 / 0.9336 / MRR 0.9487 vs the 0.7369 /
+        0.7086 control. Index-side brand↔generic canonicalization stays on
+        (the cross-name query types rank at nDCG ~0.49 without it —
+        ``results/kaggle_ablation_no_normalize.json``)."""
+        cfg = cls.tuned()
+        cfg.normalize_index = True
+        cfg.top_k = 5
+        cfg.vector_weight, cfg.bm25_weight = 0.3, 0.7
+        cfg.prf_terms = 0
+        cfg.evidence_alpha = 0.5
+        cfg.fetch_mult = 6
+        return cfg
+
+    @classmethod
     def head_precision(cls) -> "RetrievalConfig":
         """The cross-encoder head-precision profile (PERFORMANCE.md
         "Reranking findings"): trades throughput (~83 q/s) and a little

@@ -52,15 +52,8 @@ def main() -> None:
     with open(tmp_corpus, "w", encoding="utf-8") as f:
         json.dump(combined, f)
 
-    cfg = RetrievalConfig.tuned()
-    # the CV-selected kaggle operating point (results/cv_tune_kaggle.json,
-    # same overrides as scripts/evaluate.py)
-    cfg.normalize_index = True
-    cfg.top_k = 5
-    cfg.vector_weight, cfg.bm25_weight = 0.3, 0.7
-    cfg.prf_terms = 0
-    cfg.evidence_alpha = 0.5
-    cfg.fetch_mult = 6
+    # the CV-selected kaggle operating point (results/cv_tune_kaggle.json)
+    cfg = RetrievalConfig.kaggle_tuned()
     queries = load_queries(root / args.queries)
     queries = [q for q in queries if q.get("documents")]
     pipeline, info = build_pipeline(

@@ -75,15 +75,10 @@ DATASETS = {
         # query types (generic_name / brand_alias) rank at nDCG 0.49 /
         # MRR 0.33 without it, 1.0 with it (ablation in
         # results/kaggle_ablation_no_normalize.json)
-        # CV-selected kaggle operating point (5-fold over the 411-query
-        # round-4 hard eval, results/cv_tune_kaggle.json): every fold
-        # chose vector_weight 0.3 / PRF OFF / fetch_mult 6 (PRF expands
-        # into the near-duplicate shadow vocabulary here), 3/5 chose
-        # evidence_alpha 0.5; out-of-fold recall@5 0.8959 / nDCG 0.8865.
-        # Index-side brand↔generic canonicalization as before.
-        "overrides": {"normalize_index": True, "vector_weight": 0.3,
-                      "bm25_weight": 0.7, "prf_terms": 0,
-                      "evidence_alpha": 0.5, "fetch_mult": 6},
+        # CV-selected kaggle operating point — resolved from the
+        # RetrievalConfig.kaggle_tuned() profile (single source of truth;
+        # see its docstring and results/cv_tune_kaggle.json)
+        "overrides": "kaggle_tuned",
     },
 }
 
@@ -191,7 +186,12 @@ def main() -> None:
         import dataclasses as _dc
 
         cfg_ds = cfg
-        for knob, value in ds.get("overrides", {}).items():
+        overrides = ds.get("overrides", {})
+        if isinstance(overrides, str):  # named profile: diff vs tuned()
+            base_d = RetrievalConfig.tuned().to_dict()
+            prof_d = getattr(RetrievalConfig, overrides)().to_dict()
+            overrides = {k: v for k, v in prof_d.items() if base_d[k] != v}
+        for knob, value in overrides.items():
             # dataset defaults yield to an explicit CLI choice
             if getattr(args, knob, None) is None:
                 cfg_ds = _dc.replace(cfg_ds, **{knob: value})

@@ -106,3 +106,16 @@ def test_tuned_applies_profile_reranker():
     assert resolve_reranker_kind(
         parse(["--query", "x", "--tuned", "--reranker_kind", "simple"])
     ) == "simple"
+
+
+def test_kaggle_tuned_profile():
+    from domain_rag_system_tpu.config import RetrievalConfig
+
+    cfg = RetrievalConfig.kaggle_tuned()
+    # the CV-selected point (results/cv_tune_kaggle.json): unanimous
+    # vw 0.3 / PRF off / fetch_mult 6, canonicalized index, top_k 5
+    assert (cfg.vector_weight, cfg.bm25_weight) == (0.3, 0.7)
+    assert cfg.prf_terms == 0
+    assert cfg.fetch_mult == 6
+    assert cfg.evidence_alpha == 0.5
+    assert cfg.normalize_index is True and cfg.top_k == 5
