@@ -166,3 +166,25 @@ def test_head_reorder_offline_matches_pipeline(corpus_pipeline, tiny_ce,
             set(r["doc_id"] for r in grouped)
         assert [r["doc_id"] for r in out["results"]][m:] == \
             [r["doc_id"] for r in grouped][m:]
+
+
+def test_reorder_head_edges(tiny_ce):
+    """Empty pools, m larger than the list, and blend extremes."""
+    from domain_rag_system_tpu.reranker.rerank import BaseReranker
+    from domain_rag_system_tpu.reranker import CrossEncoderReranker
+
+    rr = CrossEncoderReranker.__new__(CrossEncoderReranker)
+    rr.top_n, rr.name, rr.blend, rr.model = 50, "ce", 0.0, tiny_ce
+    rr.head_m = 5
+
+    grouped = [[], [{"text": "aspirin dose", "doc_id": "a", "score": 1.0}]]
+    out = BaseReranker.reorder_head(rr, ["q1", "q2"], grouped, 5, 0.0)
+    assert out[0] == []                      # empty list passes through
+    assert [r["doc_id"] for r in out[1]] == ["a"]  # m > len: whole list
+    assert "rerank_score" in out[1][0]
+
+    # blend=1.0 → pure fusion order preserved (doc_score ties the sort)
+    g = [{"text": f"t{i}", "doc_id": f"d{i}", "score": 1.0 - 0.1 * i,
+          "doc_score": 1.0 - 0.1 * i} for i in range(4)]
+    out = BaseReranker.reorder_head(rr, ["q"], [g], 3, 1.0)
+    assert [r["doc_id"] for r in out[0]] == ["d0", "d1", "d2", "d3"]

@@ -297,3 +297,26 @@ def test_name_keyed_gt_complete_across_aliases(tmp_path):
     assert side, "name-keyed query for the aliased drug must exist"
     # gt covers BOTH records of that drug (exact generic-name match)
     assert {records[0]["doc_id"], twin["doc_id"]} <= set(side[0]["documents"])
+
+
+def test_merge_records_collision_drop(tmp_path):
+    p = tmp_path / "drugs.csv"
+    p.write_text(CSV_TEXT)
+    records = process_csv(str(p))
+    from domain_rag_system_tpu.etl.kaggle import merge_records
+
+    # secondary colliding via brand name, generic, and a fresh record
+    collide_brand = {"doc_id": "x1", "drug_name": "Other",
+                     "generic_name": "other",
+                     "brand_names": list(records[0].get("brand_names")
+                                         or [records[0]["drug_name"]])}
+    collide_generic = {"doc_id": "x2",
+                       "drug_name": records[0]["generic_name"]
+                       or records[0]["drug_name"],
+                       "generic_name": "", "brand_names": []}
+    fresh = {"doc_id": "x3", "drug_name": "Zanthex",
+             "generic_name": "zanthex", "brand_names": ["Zanthex"]}
+    merged = merge_records(records, [collide_brand, collide_generic, fresh])
+    ids = {r["doc_id"] for r in merged}
+    assert "x3" in ids and "x1" not in ids and "x2" not in ids
+    assert len(merged) == len(records) + 1
