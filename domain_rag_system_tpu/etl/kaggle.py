@@ -389,7 +389,21 @@ def make_distractor_records(records: List[Dict], n: int = 60,
 #: text's vocabulary) and a HELD-OUT paraphrase whose key content words do
 #: not occur in the chunks — so half the eval stresses semantic matching
 #: (VERDICT round-2 item 6).
-QUERY_TEMPLATES: List[Tuple[str, str, str]] = [
+QUERY_TEMPLATES: List[Tuple[str, ...]] = [
+    # attribute-keyed types (reference test_queries.py suite: its real
+    # queries ask for pregnancy-safe / OTC options per condition). Ground
+    # truth is the COMPLETE set of qualifying records — retrievable from
+    # the label text ("Pregnancy: No risk..." / "Prescription Type: OTC"
+    # in the SAFETY/BASIC sections), unlike the reference's rating-sorted
+    # top-5 gt which no text-retrieval system can reproduce (that type is
+    # covered by the recovered reference queries, with its caveat —
+    # results/kaggle_reference_queries_results.json).
+    ("pregnancy_safe_options",
+     "For {condition}, which options look pregnancy-safe?",
+     "Which {condition} drugs are considered safe during pregnancy?",
+     "What can a pregnant patient take for {condition}?"),
+    ("otc_options", "Which OTC options exist for {condition}?",
+     "What can I get over the counter for {condition}?"),
     ("drug_side_effects", "What are the side effects of {drug}?",
      "Which adverse reactions can {drug} cause?"),
     ("condition_treatment", "What drugs treat {condition}?",
@@ -489,6 +503,20 @@ def build_test_queries(
         elif qtype == "drug_rating":
             pool = [c for c in by_doc.get(record["doc_id"], [])]
             docs = name_docs(record["drug_name"])
+        elif qtype == "pregnancy_safe_options":
+            # categories A/B = no risk shown in human/animal studies —
+            # the label text says so ("Pregnancy: No risk ...")
+            cand = {r["doc_id"] for r in real + same_domain
+                    if r.get("medical_condition") == condition
+                    and r.get("pregnancy_category_raw") in ("A", "B")}
+            pool = [c for c in chunks_ext
+                    if c["doc_id"] in cand and c["kind"] == "facts"]
+        elif qtype == "otc_options":
+            cand = {r["doc_id"] for r in real + same_domain
+                    if r.get("medical_condition") == condition
+                    and "OTC" in (r.get("rx_otc") or "")}
+            pool = [c for c in chunks_ext
+                    if c["doc_id"] in cand and c["kind"] == "facts"]
         else:  # class_based_options
             cand = {r["doc_id"] for r in real + same_domain
                     if drug_class in r.get("drug_classes", [])}
@@ -499,7 +527,7 @@ def build_test_queries(
         pool = pool[:top_k]
         return [c["chunk_id"] for c in pool], docs
 
-    templates = {t[0]: (t[1], t[2]) for t in QUERY_TEMPLATES}
+    templates = {t[0]: tuple(t[1:]) for t in QUERY_TEMPLATES}
     queries: List[Dict] = []
 
     def add(qtype: str, record=None, condition=None, drug_class=None,
@@ -508,9 +536,12 @@ def build_test_queries(
         if not gt_docs:
             return
         i = len(queries)
-        variants = ((0, "canonical"), (1, "paraphrase")) if both_variants \
-            else (((0, "canonical"),) if i % 2 == 0
-                  else ((1, "paraphrase"),))
+        n_var = len(templates[qtype])
+        all_variants = tuple(
+            (ti, "canonical" if ti == 0 else "paraphrase")
+            for ti in range(n_var))
+        variants = all_variants if both_variants \
+            else (all_variants[0],) if i % 2 == 0 else (all_variants[1],)
         for ti, variant in variants:
             i = len(queries)
             body = templates[qtype][ti].format(
@@ -576,8 +607,12 @@ def build_test_queries(
                              if r.get("medical_condition")}):
         add("condition_treatment", condition=condition)
         # both templates per condition: few conditions carry an overview
-        # summary, and a by-type row needs n >= 10 to measure anything
+        # summary / qualifying attribute records, and a by-type row needs
+        # n >= 10 to measure anything
         add("condition_overview", condition=condition, both_variants=True)
+        add("pregnancy_safe_options", condition=condition,
+            both_variants=True)
+        add("otc_options", condition=condition, both_variants=True)
     for drug_class in sorted({c for r in real
                               for c in r.get("drug_classes", [])}):
         add("class_based_options", drug_class=drug_class)
