@@ -263,14 +263,17 @@ class RetrievalConfig:
 
     @classmethod
     def kaggle_tuned(cls) -> "RetrievalConfig":
-        """The CV-selected kaggle operating point (5-fold over the 411-query
-        round-4 hard eval — ``results/cv_tune_kaggle.json``): every fold
-        chose vector_weight 0.3 / PRF OFF / fetch_mult 6 (RM3 expands into
-        the near-duplicate shadow vocabulary on this corpus), 3/5 chose
-        evidence_alpha 0.5; out-of-fold recall@5 0.8959 / nDCG@10 0.8865,
-        shipped in-sample 0.9364 / 0.9336 / MRR 0.9487 vs the 0.7369 /
-        0.7086 control. Index-side brand↔generic canonicalization stays on
-        (the cross-name query types rank at nDCG ~0.49 without it —
+        """The CV-selected kaggle operating point (5-fold over the round-4
+        hard eval — ``results/cv_tune_kaggle.json``): every fold on both
+        the 411- and final 439-query shapes chose vector_weight 0.3 / PRF
+        OFF (RM3 expands into the near-duplicate shadow vocabulary on
+        this corpus); fetch_mult 6 and evidence_alpha 0.5 sit on a noisy
+        fold plateau (fm 4/6, ev 0.5/0.8 split across folds) and keep the
+        originally selected values. Out-of-fold recall@5 0.8652 / nDCG@10
+        0.8555 on the final 439-query shape; shipped in-sample 0.9036 /
+        0.9020 / MRR 0.9238 vs the 0.7082 / 0.6829 control. Index-side
+        brand↔generic canonicalization stays on (the cross-name query
+        types rank at nDCG ~0.49 without it —
         ``results/kaggle_ablation_no_normalize.json``)."""
         cfg = cls.tuned()
         cfg.normalize_index = True
