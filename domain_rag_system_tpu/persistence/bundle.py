@@ -166,6 +166,13 @@ def save_index(hybrid: HybridIndex, out_dir, extra_manifest: Optional[Dict] = No
 
 
 def load_index(bundle_dir) -> HybridIndex:
+    from pathlib import Path as _Path
+
+    if not (_Path(bundle_dir) / MANIFEST_NAME).exists():
+        raise FileNotFoundError(
+            f"no index bundle at {bundle_dir!r} (missing {MANIFEST_NAME}) — "
+            f"build one first: python scripts/preprocess_data.py && "
+            f"python scripts/build_index.py")
     bundle = IndexBundle.open(bundle_dir)
     root, manifest = bundle.root, bundle.manifest
 
