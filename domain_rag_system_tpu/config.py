@@ -53,6 +53,17 @@ class RetrievalConfig:
                                           # grouped docs, so recall@k
                                           # (k>=m) is invariant by
                                           # construction (round-4 CE mode)
+    structured_queries: bool = False      # parse attribute intent (pregnancy-
+                                          # safe/OTC/class/condition/best-
+                                          # rated) into per-query metadata
+                                          # masks + boosts (preprocessing/
+                                          # structured.py); inert on corpora
+                                          # without the metadata
+    structured_modes: Optional[Dict] = None  # family→"hard"|"soft"|"off"
+                                          # overrides (None = CV defaults)
+    structured_boost_dense: float = 0.25  # additive cosine margin on soft-
+                                          # boosted rows (traced scalar)
+    structured_boost_sparse: float = 0.6  # BM25 ×(1+x) on soft-boosted rows
     batch_size: int = 50                  # serving batch
 
     # index-time
@@ -324,6 +335,10 @@ class RetrievalConfig:
             fetch_mult=self.fetch_mult,
             bm25_type_boost=self.bm25_type_boost,
             rerank_top_n=self.rerank_top_n,
+            structured=self.structured_queries,
+            structured_modes=self.structured_modes,
+            structured_boost_dense=self.structured_boost_dense,
+            structured_boost_sparse=self.structured_boost_sparse,
         )
 
     def to_dict(self) -> Dict:

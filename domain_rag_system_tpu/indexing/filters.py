@@ -8,8 +8,19 @@ silently return fewer than ``top_k`` results. Here a filter compiles to ONE
 boolean mask over the corpus, applied identically inside both retrieval
 paths *before* top-k — exact filtered top-k, not post-hoc truncation.
 
-Masks are cached per (field, value): repeated queries with the same filter
-reuse the device array.
+Predicate surface (the reference's Qdrant ``match`` conditions map 1:1):
+
+* scalar value            — equality; against a LIST-valued field it means
+                            membership (Qdrant's semantics for array
+                            payloads with ``MatchValue``)
+* ``{"$in": [v1, v2]}``   — any-of (Qdrant ``MatchAny``)
+* ``{"$contains": "s"}``  — substring for string fields, membership for
+                            list fields (Qdrant ``MatchText`` territory;
+                            used for composite values like rx_otc
+                            "Rx/OTC")
+
+Masks are cached per canonicalized filter dict: repeated queries with the
+same filter reuse the array.
 """
 
 from __future__ import annotations
@@ -21,12 +32,58 @@ import numpy as np
 from domain_rag_system_tpu.preprocessing.documents import Chunk
 
 
+def _match(actual, value) -> bool:
+    """One field predicate against one chunk's field value."""
+    if isinstance(value, dict):
+        if "$in" in value:
+            allowed = value["$in"]
+            if isinstance(actual, (list, tuple, set)):
+                return any(a in allowed for a in actual)
+            return actual in allowed
+        if "$contains" in value:
+            needle = value["$contains"]
+            if isinstance(actual, (list, tuple, set)):
+                return needle in actual
+            if isinstance(actual, str):
+                return needle in actual
+            return False
+        raise ValueError(f"unknown filter predicate {value!r} "
+                         "(supported: $in, $contains)")
+    if isinstance(actual, (list, tuple, set)):
+        return value in actual
+    return actual == value
+
+
+def _canonical(filters: Dict[str, object]) -> Tuple:
+    """Hashable cache key for a (possibly predicate-valued) filter dict."""
+    def bad():
+        return ValueError(
+            "filter values must be hashable scalars (str/int/float) or "
+            f"$in/$contains predicates, got {filters!r}")
+
+    def canon_value(v):
+        if isinstance(v, dict):
+            if not v or any(k not in ("$in", "$contains") for k in v):
+                raise bad()
+            return tuple(sorted(
+                (k, tuple(x) if isinstance(x, (list, tuple, set)) else x)
+                for k, x in v.items()))
+        return v
+
+    try:
+        key = tuple(sorted((k, canon_value(v)) for k, v in filters.items()))
+        hash(key)
+    except TypeError as exc:
+        raise bad() from exc
+    return key
+
+
 class FilterSet:
-    """Builds and caches corpus masks for equality filters."""
+    """Builds and caches corpus masks for metadata filters."""
 
     def __init__(self, chunks: Sequence[Chunk]):
         self._chunks = chunks
-        self._cache: Dict[Tuple[Tuple[str, object], ...], np.ndarray] = {}
+        self._cache: Dict[Tuple, np.ndarray] = {}
 
     def __len__(self) -> int:
         return len(self._chunks)
@@ -41,13 +98,7 @@ class FilterSet:
         """
         if not filters:
             return None
-        try:
-            key = tuple(sorted(filters.items()))
-            hash(key)  # unhashable values surface here, not at cache.get
-        except TypeError as exc:
-            raise ValueError(
-                "filter values must be hashable scalars (str/int/float), "
-                f"got {filters!r}") from exc
+        key = _canonical(filters)
         cached = self._cache.get(key)
         if cached is not None:
             return cached
@@ -59,7 +110,14 @@ class FilterSet:
                     continue
                 top = getattr(chunk, field, None)
                 actual = top if top is not None else chunk.metadata.get(field)
-                if actual != value:
+                if not _match(actual, value):
                     mask[i] = 0
         self._cache[key] = mask
         return mask
+
+    def any_match(self, filters: Dict[str, object]) -> bool:
+        """True when at least one chunk satisfies ``filters`` — used to
+        refuse hard filters that would blank the whole index (a query
+        misrouted onto a corpus whose schema lacks the field)."""
+        m = self.mask(filters)
+        return bool(m is not None and m.any())

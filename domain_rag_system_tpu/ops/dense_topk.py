@@ -186,17 +186,23 @@ def cosine_topk(
     mask: Optional[jax.Array] = None,   # [N] or [B, N]; nonzero = keep
     row_scale: Optional[jax.Array] = None,  # [N] dequant scales for int8 rows
     use_pallas: bool = False,
+    boost: Optional[jax.Array] = None,  # [B, N] f32 additive score boost
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k (scores [B, k], indices [B, k]) by similarity, optionally masked.
 
     ``mask`` may be a global [N] corpus mask or a per-query [B, N] mask
-    (metadata filters differing across the batch). int8 corpora: rows are
-    symmetric-quantized (``row_scale`` = max|x|/127); HBM reads stay int8 —
-    the convert-to-f32 fuses into the matmul operand read — and scores are
-    rescaled per row after the dot. Ties break toward the lower index
-    (lax.top_k semantics), matching the reference's stable argsort ordering.
+    (metadata filters differing across the batch). ``boost`` adds a
+    per-(query, row) term to the similarity BEFORE masking and top-k —
+    soft metadata preferences (cf. hard masks) ride the same program.
+    int8 corpora: rows are symmetric-quantized (``row_scale`` = max|x|/127);
+    HBM reads stay int8 — the convert-to-f32 fuses into the matmul operand
+    read — and scores are rescaled per row after the dot. Ties break toward
+    the lower index (lax.top_k semantics), matching the reference's stable
+    argsort ordering.
     """
-    def apply_mask(scores):
+    def finish(scores):
+        if boost is not None:
+            scores = scores + boost
         if mask is None:
             return scores
         m = mask if mask.ndim == 2 else mask.reshape(1, -1)
@@ -205,11 +211,12 @@ def cosine_topk(
     if embeddings.dtype == jnp.int8:
         scores = dense_scores(queries.astype(jnp.float32),
                               embeddings.astype(jnp.float32))
-        scores = apply_mask(scores * row_scale.reshape(1, -1))
-    elif use_pallas and mask is not None and mask.ndim == 1:
+        scores = finish(scores * row_scale.reshape(1, -1))
+    elif (use_pallas and mask is not None and mask.ndim == 1
+          and boost is None):
         scores = pallas_masked_scores(queries, embeddings, mask)
     else:
-        scores = apply_mask(dense_scores(queries, embeddings))
+        scores = finish(dense_scores(queries, embeddings))
     return lax_topk(scores, k)
 
 

@@ -139,7 +139,7 @@ def _device_doc_group(
 @functools.partial(jax.jit, static_argnames=(
     "over_k", "fetch_k", "fusion_method",
     "rerank_top_n", "vocab_size", "has_dense", "has_sparse", "use_rerank",
-    "use_split", "prf_terms", "prf_docs", "has_qfilter",
+    "use_split", "prf_terms", "prf_docs", "has_qfilter", "has_qboost",
     "enc_module", "encode_orig", "band_k", "use_type_boost",
     "group_topk", "evidence_chunks"))
 def _fused_batch_retrieval(
@@ -162,6 +162,10 @@ def _fused_batch_retrieval(
     bm25_weight,     # traced scalar
     q_filter_d,    # [B, N_pad] per-query dense filter masks or [1, 1]
     q_filter_s,    # [B, N]     per-query sparse filter masks or [1, 1]
+    q_boost_d,     # [B, N_pad] per-query dense soft-boost masks or [1, 1]
+    q_boost_s,     # [B, N]     per-query sparse soft-boost masks or [1, 1]
+    boost_d_scale, # traced scalar — additive cosine boost on boosted rows
+    boost_s_scale, # traced scalar — BM25 scores ×(1+scale) on boosted rows
     enc_params=None,  # encoder param pytree (device-resident) when fused encode
     q_tok=None,       # [B, L] (or [2B, L] with encode_orig) query token ids
     band_mat=None,    # [N, K] dense-band contributions (high-df terms)
@@ -184,6 +188,7 @@ def _fused_batch_retrieval(
     prf_docs: int = 10,
     prf_alpha: float = 0.6,
     has_qfilter: bool = False,
+    has_qboost: bool = False,
     enc_module=None,
     encode_orig: bool = False,
     band_k: int = 0,
@@ -228,8 +233,15 @@ def _fused_batch_retrieval(
         if has_qfilter:
             # per-query metadata filters AND the global validity mask
             d_mask = q_filter_d * valid_mask[None, :]
+        d_boost = None
+        if has_qboost:
+            # soft metadata preference: matching rows gain an additive
+            # cosine margin (hard filters exclude; boosts prefer)
+            d_boost = (q_boost_d.astype(jnp.float32)
+                       * jnp.asarray(boost_d_scale, jnp.float32))
         sc_d, idx_d = cosine_topk(q_emb, embeddings, k_d, mask=d_mask,
-                                  row_scale=row_scale if has_scale else None)
+                                  row_scale=row_scale if has_scale else None,
+                                  boost=d_boost)
         ids_d = jnp.where(sc_d <= -1e29, -1, idx_d).astype(jnp.int32)
     else:
         ids_d = jnp.full((b, 1), -1, jnp.int32)
@@ -284,9 +296,18 @@ def _fused_batch_retrieval(
                                   jnp.asarray(type_boost, jnp.float32),
                                   1.0)[None, :]
 
+        if has_qboost:
+            # multiplicative soft preference on the (non-negative) Okapi
+            # scores — applied pre-PRF too so the feedback pool prefers
+            # qualifying docs, mirroring use_type_boost
+            s_boost_mult = (1.0 + q_boost_s.astype(jnp.float32)
+                            * jnp.asarray(boost_s_scale, jnp.float32))
+
         s = sparse_score(q_ids, q_w)
         if use_type_boost:
             s = s * type_mult
+        if has_qboost:
+            s = s * s_boost_mult
         # Tombstoned chunks and mesh-padding rows score exactly 0 and would
         # otherwise stay ranked (zero-score ALIVE docs do stay, reference
         # argsort parity) — invalidate them before top-k so they can never
@@ -302,6 +323,8 @@ def _fused_batch_retrieval(
             s = sparse_score(q_ids2, q_w2)
             if use_type_boost:
                 s = s * type_mult
+            if has_qboost:
+                s = s * s_boost_mult
             s = jnp.where(sparse_valid.reshape(1, -1) > 0, s, -1e30)
             if has_qfilter:
                 s = jnp.where(q_filter_s > 0, s, -1e30)
@@ -350,6 +373,30 @@ def _fused_batch_retrieval(
 def _result_score(r: Dict) -> float:
     """Post-rerank ordering score when present, else the fusion score."""
     return float(r.get("rerank_score", r.get("score", 0.0)))
+
+
+def _rating_sort(results: List[Dict], top_k: int) -> List[Dict]:
+    """Best-rated intent: order the retrieved (doc-grouped) pool by user
+    rating, descending, then cut to ``top_k``.
+
+    Key parity with the reference's rating-ordered ground truth
+    (``data/kaggle_drug_data/test_queries.py:119-127``: ``rating*100 +
+    no_of_reviews``): rating primary, review count tie-break. Docs without
+    a rating rank after all rated ones, keeping their relevance order —
+    retrieval relevance decides WHICH docs qualify, the metadata decides
+    their order."""
+    def key(pos_r):
+        pos, r = pos_r
+        m = r.get("metadata", {})
+        rating = m.get("rating")
+        has = isinstance(rating, (int, float))
+        reviews = m.get("no_of_reviews")
+        reviews = reviews if isinstance(reviews, (int, float)) else 0.0
+        return (0 if has else 1,
+                -((rating * 100.0 + reviews) if has else 0.0), pos)
+
+    ranked = [r for _, r in sorted(enumerate(results), key=key)]
+    return ranked[:top_k]
 
 
 def _group_first_per_doc(
@@ -425,6 +472,22 @@ class RetrievalPipeline:
         self.preprocessor = query_preprocessor or QueryPreprocessor()
         self.reranker = reranker
         self.timer = StageTimer()
+        self._structured_cache = None
+
+    def structured_parser(self, modes=None) -> "StructuredQueryParser":
+        """The index-backed :class:`StructuredQueryParser` (cached against
+        the live chunk list and mode overrides; rebuilt after index
+        mutations)."""
+        from domain_rag_system_tpu.preprocessing.structured import (
+            StructuredQueryParser,
+        )
+
+        key = (id(self.index.chunks), len(self.index.chunks),
+               tuple(sorted((modes or {}).items())))
+        if self._structured_cache is None or self._structured_cache[0] != key:
+            parser = StructuredQueryParser(self.index.chunks, modes=modes)
+            self._structured_cache = (key, parser)
+        return self._structured_cache[1]
 
     # ----------------------------------------------------------- single query
 
@@ -446,6 +509,10 @@ class RetrievalPipeline:
         evidence_chunks: int = 2,
         fetch_mult: int = 4,
         bm25_type_boost: float = 1.0,
+        structured: bool = False,
+        structured_modes=None,
+        structured_boost_dense: float = 0.25,
+        structured_boost_sparse: float = 0.6,
         use_batch_path: bool = True,
     ) -> Dict:
         # All queries — filtered or not — ride the fused batch program with
@@ -463,10 +530,14 @@ class RetrievalPipeline:
                 group_by_doc=group_by_doc, evidence_alpha=evidence_alpha,
                 evidence_chunks=evidence_chunks, fetch_mult=fetch_mult,
                 bm25_type_boost=bm25_type_boost, filters=filters,
+                structured=structured, structured_modes=structured_modes,
+                structured_boost_dense=structured_boost_dense,
+                structured_boost_sparse=structured_boost_sparse,
             )[0]
         # NB: the host orchestration below is the reference-shaped parity
-        # path; PRF and bm25_type_boost are batch-program features and are
-        # intentionally not applied here (the reference has neither).
+        # path; PRF, bm25_type_boost and structured-query parsing are
+        # batch-program features and are intentionally not applied here
+        # (the reference has none of them).
 
         with self.timer.stage("preprocess"):
             if preprocess:
@@ -530,6 +601,10 @@ class RetrievalPipeline:
         fetch_mult: int = 4,
         bm25_type_boost: float = 1.0,
         filters=None,
+        structured: bool = False,
+        structured_modes=None,
+        structured_boost_dense: float = 0.25,
+        structured_boost_sparse: float = 0.6,
     ) -> List[Dict]:
         """Batched retrieval: heavy stages run once over the whole batch.
 
@@ -556,7 +631,10 @@ class RetrievalPipeline:
             prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
             group_by_doc=group_by_doc, evidence_alpha=evidence_alpha,
             evidence_chunks=evidence_chunks, fetch_mult=fetch_mult,
-            bm25_type_boost=bm25_type_boost, filters=filters)
+            bm25_type_boost=bm25_type_boost, filters=filters,
+            structured=structured, structured_modes=structured_modes,
+            structured_boost_dense=structured_boost_dense,
+            structured_boost_sparse=structured_boost_sparse)
         return self.finalize_batch(handle) if handle is not None else []
 
     def query_stream(
@@ -643,6 +721,10 @@ class RetrievalPipeline:
         fetch_mult: int = 4,
         bm25_type_boost: float = 1.0,
         filters=None,
+        structured: bool = False,
+        structured_modes=None,
+        structured_boost_dense: float = 0.25,
+        structured_boost_sparse: float = 0.6,
         async_copy: bool = False,
     ) -> Optional[Dict]:
         """Host featurization + asynchronous device dispatch for one batch.
@@ -654,6 +736,13 @@ class RetrievalPipeline:
         another batch's work runs before finalize (the streaming executor);
         for immediate-finalize callers it adds a round trip (measured
         +~20 ms p50 at B=1 through the tunnel).
+
+        ``structured`` runs the :class:`StructuredQueryParser` over each
+        query: detected attribute intent (pregnancy-safe / OTC / drug-class
+        / condition / best-rated) compiles into per-query hard filter masks
+        and/or soft score boosts inside the fused program, plus a
+        rating-ordered final ranking for best-rated intent. Explicit
+        ``filters`` entries take precedence over parser-derived ones.
         """
         queries = list(queries)
         if not queries:
@@ -664,7 +753,27 @@ class RetrievalPipeline:
             per_query_filters = list(filters)
             if len(per_query_filters) != len(queries):
                 raise ValueError("filters sequence must match queries length")
+
+        per_query_boosts = [None] * len(queries)
+        rate_flags = [False] * len(queries)
+        specs = None
+        if structured:
+            parser = self.structured_parser(structured_modes)
+            if parser.active:
+                with self.timer.stage("structured_parse"):
+                    specs = parser.parse_batch(queries)
+                for qi, spec in enumerate(specs):
+                    if not spec:
+                        continue
+                    if spec["hard"]:
+                        # user-provided filters win on key collision
+                        user = per_query_filters[qi] or {}
+                        per_query_filters[qi] = {**spec["hard"], **user}
+                    per_query_boosts[qi] = spec["soft"]
+                    rate_flags[qi] = spec["rank_by_rating"]
         has_qfilter = any(f for f in per_query_filters)
+        has_qboost = any(b for b in per_query_boosts)
+        any_rating = any(rate_flags)
         dense = self.index.dense_index
         sparse = self.index.bm25_index
         # head-only reorder consumes the GROUPED baseline, so the fused
@@ -785,26 +894,45 @@ class RetrievalPipeline:
                 q_ids = _full_i32((b, 1), -2)
                 q_w = _zeros_f32((b, 1))
 
+        def mask_rows(filter_set, n_rows: int, n_chunks: int,
+                      filter_list, default: int):
+            """[B, n_rows] uint8 per-query masks; ``default`` fills rows
+            whose query has no constraint (1 = keep-all for filters,
+            0 = boost-nothing for boosts)."""
+            rows = np.zeros((b, n_rows), np.uint8)
+            for qi, f in enumerate(filter_list):
+                m = filter_set.mask(f) if f else None
+                if m is None:
+                    if default:
+                        rows[qi, :n_chunks] = default
+                else:
+                    rows[qi, : len(m)] = m
+            return jnp.asarray(rows)
+
         q_filter_d = q_filter_s = _ones_u8((1, 1))
         if has_qfilter:
-            def mask_rows(filter_set, n_rows: int, n_chunks: int):
-                rows = np.zeros((b, n_rows), np.uint8)
-                for qi, f in enumerate(per_query_filters):
-                    m = filter_set.mask(f) if f else None
-                    if m is None:
-                        rows[qi, :n_chunks] = 1
-                    else:
-                        rows[qi, : len(m)] = m
-                return jnp.asarray(rows)
-
             if has_dense:
                 q_filter_d = mask_rows(dense._filters,
                                        int(dense.embeddings.shape[0]),
-                                       dense.n_chunks)
+                                       dense.n_chunks,
+                                       per_query_filters, 1)
             if has_sparse:
                 q_filter_s = mask_rows(sparse._filters,
                                        int(sparse.doc_terms.shape[0]),
-                                       len(sparse.chunks))
+                                       len(sparse.chunks),
+                                       per_query_filters, 1)
+        q_boost_d = q_boost_s = _ones_u8((1, 1))
+        if has_qboost:
+            if has_dense:
+                q_boost_d = mask_rows(dense._filters,
+                                      int(dense.embeddings.shape[0]),
+                                      dense.n_chunks,
+                                      per_query_boosts, 0)
+            if has_sparse:
+                q_boost_s = mask_rows(sparse._filters,
+                                      int(sparse.doc_terms.shape[0]),
+                                      len(sparse.chunks),
+                                      per_query_boosts, 0)
 
         split = sparse.split_arrays() if has_sparse else None
         use_split = split is not None
@@ -847,12 +975,19 @@ class RetrievalPipeline:
                  else jnp.zeros((), jnp.float32)),
                 vector_weight, bm25_weight,
                 q_filter_d, q_filter_s,
+                q_boost_d, q_boost_s,
+                _scalar_f32(float(structured_boost_dense)),
+                _scalar_f32(float(structured_boost_sparse)),
                 enc_params, q_tok, band_mat, band_slot,
                 type_rows, _scalar_f32(float(bm25_type_boost)),
                 doc_group, float(evidence_alpha) if use_device_group else None,
                 enc_module=enc_module, encode_orig=encode_orig,
                 band_k=band_k, use_type_boost=use_type_boost,
-                group_topk=(top_k if use_device_group else 0),
+                # best-rated intent reorders by a metadata key the device
+                # doesn't hold — keep the FULL grouped pool so the host
+                # rating sort sees fetch_k docs, not an already-cut top_k
+                group_topk=((keep if any_rating else top_k)
+                            if use_device_group else 0),
                 evidence_chunks=int(evidence_chunks),
                 over_k=over_k, fetch_k=fetch_k, fusion_method=fusion_method,
                 rerank_top_n=(self.reranker.top_n if use_device_rerank else 0),
@@ -861,7 +996,7 @@ class RetrievalPipeline:
                 use_rerank=use_device_rerank,
                 use_split=use_split,
                 prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
-                has_qfilter=has_qfilter,
+                has_qfilter=has_qfilter, has_qboost=has_qboost,
             )
         # Start the device→host transfer as soon as the program finishes
         # (instead of when finalize_batch blocks): through the remote
@@ -889,6 +1024,8 @@ class RetrievalPipeline:
             "group_by_doc": group_by_doc,
             "evidence_alpha": evidence_alpha,
             "evidence_chunks": evidence_chunks,
+            "rate_flags": rate_flags,
+            "structured_specs": specs,
         }
 
     def finalize_batch(self, handle: Dict) -> List[Dict]:
@@ -923,6 +1060,20 @@ class RetrievalPipeline:
         group_by_doc = handle["group_by_doc"]
         evidence_alpha = handle["evidence_alpha"]
         evidence_chunks = handle["evidence_chunks"]
+        rate_flags = handle.get("rate_flags") or [False] * b
+        specs = handle.get("structured_specs") or [None] * b
+
+        def emit(qi: int, results: List[Dict]) -> Dict:
+            out = {
+                "query": queries[qi],
+                "preprocessed": pres[qi],
+                "search_query": search_queries[qi],
+                "num_results": len(results),
+                "results": results,
+            }
+            if specs[qi]:
+                out["structured"] = specs[qi]
+            return out
 
         # arrays were pulled by finalize_batch ("retrieve") or by the
         # streaming executor's grouped sync ("window_pull")
@@ -931,8 +1082,10 @@ class RetrievalPipeline:
 
         if handle.get("device_grouped"):
             # Grouping ran on device: the three pulled arrays are
-            # [B, top_k] (chunk row, chunk fusion score, doc score) —
-            # materialize exactly the surviving rows.
+            # [B, group_topk] (chunk row, chunk fusion score, doc score) —
+            # materialize exactly the surviving rows. group_topk is top_k,
+            # or the full grouped pool when a best-rated query is in the
+            # batch (the host rating sort needs the pool, not the cut).
             chunks_list = self.index.chunks
             outputs = []
             for qi in range(b):
@@ -953,13 +1106,9 @@ class RetrievalPipeline:
                         "fusion_method": fusion_method,
                         "doc_score": float(d_score),
                     })
-                outputs.append({
-                    "query": queries[qi],
-                    "preprocessed": pres[qi],
-                    "search_query": search_queries[qi],
-                    "num_results": len(results),
-                    "results": results,
-                })
+                results = (_rating_sort(results, top_k) if rate_flags[qi]
+                           else results[:top_k])
+                outputs.append(emit(qi, results))
             return outputs
 
         fused = [(fused_ids_np[i], fused_scores_np[i]) for i in range(b)]
@@ -996,8 +1145,9 @@ class RetrievalPipeline:
                     scored.append((-(s + evidence_alpha * sum(extra[doc_id])),
                                    pos, doc_id))
                 scored.sort()
+                cut = len(scored) if rate_flags[qi] else top_k
                 results = []
-                for neg_doc_score, _, doc_id in scored[:top_k]:
+                for neg_doc_score, _, doc_id in scored[:cut]:
                     idx, s = best[doc_id]
                     chunk = chunks_list[idx]
                     results.append({
@@ -1011,13 +1161,9 @@ class RetrievalPipeline:
                         "fusion_method": fusion_method,
                         "doc_score": -neg_doc_score,
                     })
-                outputs.append({
-                    "query": queries[qi],
-                    "preprocessed": pres[qi],
-                    "search_query": search_queries[qi],
-                    "num_results": len(results),
-                    "results": results,
-                })
+                if rate_flags[qi]:
+                    results = _rating_sort(results, top_k)
+                outputs.append(emit(qi, results))
             return outputs
 
         # Materialize per-query result dicts (with each result's original
@@ -1089,17 +1235,16 @@ class RetrievalPipeline:
             all_results = [r[:keep] for r in all_results]
 
         outputs = []
-        for qi, query in enumerate(queries):
+        for qi in range(b):
             results = all_results[qi]
             if group_by_doc:
-                results = _group_first_per_doc(results, top_k,
-                                               evidence_alpha=evidence_alpha,
-                                               evidence_chunks=evidence_chunks)
-            outputs.append({
-                "query": query,
-                "preprocessed": pres[qi],
-                "search_query": search_queries[qi],
-                "num_results": len(results),
-                "results": results,
-            })
+                # best-rated intent keeps the full grouped pool for the
+                # rating sort; others cut to top_k as usual
+                results = _group_first_per_doc(
+                    results, len(results) if rate_flags[qi] else top_k,
+                    evidence_alpha=evidence_alpha,
+                    evidence_chunks=evidence_chunks)
+            if rate_flags[qi]:
+                results = _rating_sort(results, top_k)
+            outputs.append(emit(qi, results))
         return outputs

@@ -1,0 +1,209 @@
+"""Structured query intent → metadata retrieval constraints.
+
+The reference treats metadata filtering as a first-class retrieval feature
+— Qdrant ``Filter(must=[FieldCondition...])`` clauses in dense search
+(``src/indexing/vector_indexer.py:185-196``) and post-hoc dict filtering of
+the BM25 pool (``src/indexing/bm25_indexer.py:140-147``) — but nothing in
+the reference ever CONSTRUCTS a filter from a query: its attribute-keyed
+test queries ("pregnancy-safe options for X", "OTC options for X",
+"best rated drugs for X" — ``data/kaggle_drug_data/test_queries.py:84-187``)
+run as plain text retrieval, which is exactly where text ranking is weakest
+(the label text says "Pregnancy: No risk…" in a SAFETY section far from the
+condition words the query shares with every other chunk).
+
+:class:`StructuredQueryParser` closes that gap: it detects attribute intent
+(pregnancy-safe / over-the-counter / drug-class / condition / best-rated)
+with corpus-derived vocabularies and attribute trigger lexicons, and emits
+metadata constraints that the pipeline compiles into the fused program's
+per-query device masks (``pipeline.py`` ``q_filter_d/q_filter_s``) — hard
+filters — or additive/multiplicative score boosts — soft preferences. Which
+mode each family uses is data-selected (5-fold CV on the kaggle hard eval;
+``results/cv_tune_structured.json``), not hand-picked.
+
+Design rules that keep the parser safe on corpora without the metadata:
+
+* an attribute family only ACTIVATES when the indexed corpus actually
+  carries satisfying rows (e.g. a ``pregnancy_category_raw`` of A/B) — on
+  BioASQ/OpenFDA corpora every family is inert, so the parser is a no-op;
+* a query that names a KNOWN DRUG never receives attribute constraints:
+  "Is doxycycline safe during pregnancy?" asks about doxycycline (whatever
+  its category), while "What can a pregnant patient take for acne?" seeks
+  qualifying options — the reference's query suite draws exactly this
+  distinction (``drug_safety`` vs ``pregnancy_safe_options`` types);
+* value vocabularies (conditions, classes) come from the index itself, so
+  a detected value always has at least one matching row — a hard filter
+  can narrow, never blank.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence
+
+from domain_rag_system_tpu.preprocessing.documents import Chunk
+from domain_rag_system_tpu.utils import get_logger
+
+log = get_logger(__name__)
+
+# Trigger lexicons (matched on the raw query, case-insensitive).
+_PREGNANCY = re.compile(
+    r"pregnan|while\s+pregnant|expecting\s+mother", re.I)
+_OTC = re.compile(r"\botc\b|over[\s-]the[\s-]counter", re.I)
+_BEST_RATED = re.compile(
+    r"\b(?:best|highest|top)[\s-]*rated\b|\bhighest\s+(?:user\s+)?ratings?\b"
+    r"|\brated\s+(?:best|highest)\b", re.I)
+# Option-seeking cue: the query asks for qualifying drugs, not about one.
+_OPTION_CUE = re.compile(
+    r"\b(?:options?|drugs?|medications?|medicines?|treatments?|choices|"
+    r"alternatives?|what\s+can|which|available|take)\b", re.I)
+
+#: family → default constraint mode. "hard" compiles to a filter mask
+#: (score -inf outside), "soft" to a score boost, "off" disables.
+#: Defaults are the 5-fold-CV winners on the kaggle hard eval
+#: (results/cv_tune_structured.json); override per call via ``modes``.
+DEFAULT_MODES: Dict[str, str] = {
+    "pregnancy": "hard",
+    "otc": "hard",
+    "drug_class": "soft",
+    "condition": "soft",
+    "rating": "on",        # "on" | "off": rating is a ranking stage, not a mask
+}
+
+
+def _token_pattern(value: str) -> Optional[re.Pattern]:
+    """Word-boundary regex matching ``value``'s alphanumeric tokens with any
+    punctuation between them — "Diabetes (Type 2)" matches "diabetes type 2"
+    and the punctuated original; robust to the query cleaner stripping
+    characters like ``&``."""
+    tokens = re.findall(r"[a-z0-9]+", value.lower())
+    if not tokens:
+        return None
+    return re.compile(r"\b" + r"\W+".join(map(re.escape, tokens)) + r"\b",
+                      re.I)
+
+
+class StructuredQueryParser:
+    """Maps free-text queries to metadata constraints for the fused program."""
+
+    def __init__(self, chunks: Sequence[Chunk],
+                 modes: Optional[Dict[str, str]] = None):
+        self.modes = dict(DEFAULT_MODES)
+        if modes:
+            self.modes.update(modes)
+
+        conditions: Dict[str, None] = {}
+        classes: Dict[str, None] = {}
+        drugs: set = set()
+        has_preg = has_otc = has_rating = False
+        for c in chunks:
+            m = c.metadata
+            cond = m.get("medical_condition")
+            if cond:
+                conditions.setdefault(cond)
+            for cls in m.get("drug_classes") or ():
+                classes.setdefault(cls)
+            for key in ("drug_name", "generic_name"):
+                v = m.get(key)
+                if v:
+                    drugs.add(v.lower())
+            for b in m.get("brand_names") or ():
+                drugs.add(b.lower())
+            if m.get("pregnancy_category_raw") in ("A", "B"):
+                has_preg = True
+            if "OTC" in (m.get("rx_otc") or ""):
+                has_otc = True
+            if m.get("rating") is not None:
+                has_rating = True
+
+        # longest-first so "Diabetes (Type 2)" wins over a hypothetical
+        # "Diabetes"; matching stops at the first hit per family
+        self._conditions = [(v, p) for v in sorted(conditions, key=len,
+                                                   reverse=True)
+                            if (p := _token_pattern(v)) is not None]
+        self._classes = [(v, p) for v in sorted(classes, key=len,
+                                                reverse=True)
+                         if (p := _token_pattern(v)) is not None]
+        self._drug_patterns = [p for d in sorted(drugs, key=len, reverse=True)
+                               if (p := _token_pattern(d)) is not None]
+        self.has_pregnancy_data = has_preg
+        self.has_otc_data = has_otc
+        self.has_rating_data = has_rating
+        self.active = bool(self._conditions or self._classes
+                           or has_preg or has_otc or has_rating)
+        if self.active:
+            log.info(
+                "structured parser: %d conditions, %d classes, %d drug "
+                "names, pregnancy=%s otc=%s rating=%s",
+                len(self._conditions), len(self._classes), len(drugs),
+                has_preg, has_otc, has_rating)
+
+    # ------------------------------------------------------------------ parse
+
+    def _names_drug(self, query: str) -> bool:
+        return any(p.search(query) for p in self._drug_patterns)
+
+    def _find(self, query: str, vocab) -> Optional[str]:
+        for value, pattern in vocab:
+            if pattern.search(query):
+                return value
+        return None
+
+    def parse(self, query: str) -> Optional[Dict]:
+        """``{"hard": {...}|None, "soft": {...}|None, "rank_by_rating": bool}``
+        or None when no structured intent applies.
+
+        ``hard``/``soft`` are :class:`~domain_rag_system_tpu.indexing.filters.
+        FilterSet` filter dicts (predicates included); ``soft`` rows receive
+        a score boost instead of exclusion."""
+        if not self.active or not query:
+            return None
+        hard: Dict[str, object] = {}
+        soft: Dict[str, object] = {}
+
+        def emit(family: str, constraint: Dict[str, object]) -> None:
+            mode = self.modes.get(family, "off")
+            if mode == "hard":
+                hard.update(constraint)
+            elif mode == "soft":
+                soft.update(constraint)
+
+        names_drug = self._names_drug(query)
+        option_seeking = bool(_OPTION_CUE.search(query))
+
+        # Attribute families: only for option-seeking queries that don't
+        # name a drug (asking ABOUT a drug must see that drug regardless
+        # of its attributes — reference drug_safety semantics).
+        if not names_drug and option_seeking:
+            if self.has_pregnancy_data and _PREGNANCY.search(query):
+                emit("pregnancy",
+                     {"pregnancy_category_raw": {"$in": ["A", "B"]}})
+            if self.has_otc_data and _OTC.search(query):
+                emit("otc", {"rx_otc": {"$contains": "OTC"}})
+
+        cls = self._find(query, self._classes)
+        if cls is not None and not names_drug:
+            emit("drug_class", {"drug_classes": cls})
+
+        cond = self._find(query, self._conditions)
+        if cond is not None:
+            emit("condition", {"medical_condition": cond})
+
+        rank_by_rating = bool(
+            self.modes.get("rating", "on") == "on"
+            and self.has_rating_data and _BEST_RATED.search(query))
+        if rank_by_rating and cond is not None:
+            # rating order is only meaningful over the qualifying set:
+            # without this the host rating sort could promote a high-rated
+            # OFF-condition doc from the relevance pool's tail. Mirrors the
+            # reference gt (condition match, then rating order —
+            # test_queries.py:119-127).
+            soft.pop("medical_condition", None)
+            hard["medical_condition"] = cond
+
+        if not hard and not soft and not rank_by_rating:
+            return None
+        return {"hard": hard or None, "soft": soft or None,
+                "rank_by_rating": rank_by_rating}
+
+    def parse_batch(self, queries: Sequence[str]) -> List[Optional[Dict]]:
+        return [self.parse(q) for q in queries]

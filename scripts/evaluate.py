@@ -112,6 +112,12 @@ def main() -> None:
                     default=None,
                     help="trained encoder checkpoint dir; 'none' forces the "
                          "lexical-hash embedder")
+    ap.add_argument("--structured_queries", action=BOOL, default=None,
+                    help="parse attribute intent (pregnancy-safe/OTC/class/"
+                         "condition/best-rated) into per-query metadata "
+                         "masks, boosts and rating-ordered ranking")
+    ap.add_argument("--structured_boost_dense", type=float, default=None)
+    ap.add_argument("--structured_boost_sparse", type=float, default=None)
     ap.add_argument("--batch_size", type=int, default=None,
                     help="0 = per-query latency mode")
     ap.add_argument("--group_by_doc", action=BOOL, default=None)

@@ -1,0 +1,218 @@
+"""Structured query intent → metadata constraints (attribute-aware retrieval).
+
+Covers the round-5 feature chain: FilterSet predicates ($in / $contains /
+list membership) → StructuredQueryParser detection rules → fused-program
+hard masks & soft boosts → best-rated metadata ranking. Reference bar:
+Qdrant filter clauses at ``src/indexing/vector_indexer.py:185-196`` and the
+attribute-keyed query suite at ``data/kaggle_drug_data/test_queries.py``.
+"""
+
+import pytest
+
+from domain_rag_system_tpu.indexing import BM25Index, DenseIndex, HybridIndex
+from domain_rag_system_tpu.indexing.filters import FilterSet
+from domain_rag_system_tpu.models import MedicalEmbedder
+from domain_rag_system_tpu.pipeline import RetrievalPipeline
+from domain_rag_system_tpu.preprocessing import Chunk, StructuredQueryParser
+
+
+def drug_chunks():
+    """A kaggle-shaped toy corpus: 6 drugs × (facts + side-effects) chunks
+    with the metadata schema of ``preprocessing/data_loader.py:100-117``."""
+    drugs = [
+        # name, condition, classes, rx_otc, preg_raw, rating, reviews
+        ("Tretinax", "Acne", ["Topical acne agents"], "Rx", "C", 8.0, 120),
+        ("Benzogel", "Acne", ["Topical acne agents"], "OTC", "B", 6.5, 80),
+        ("Clearasol", "Acne", ["Topical keratolytics"], "Rx/OTC", "A", 7.2, 40),
+        ("Doxytab", "Acne", ["Tetracyclines"], "Rx", "D", 9.1, 300),
+        ("Flumist", "Colds Flu", ["Upper respiratory combinations"],
+         "OTC", "C", 5.0, 20),
+        ("Painex", "Pain", ["NSAIDs"], "OTC", "B", 8.8, 500),
+    ]
+    chunks = []
+    for i, (name, cond, classes, rx, preg, rating, reviews) in enumerate(drugs):
+        meta = {
+            "drug_name": name,
+            "generic_name": name.lower(),
+            "medical_condition": cond,
+            "drug_classes": classes,
+            "brand_names": [name],
+            "rx_otc": rx,
+            "pregnancy_category_raw": preg,
+            "rating": rating,
+            "no_of_reviews": reviews,
+        }
+        chunks.append(Chunk(
+            chunk_id=f"k{i}_facts", doc_id=f"kaggle_{name.lower()}",
+            source="kaggle", chunk_type="facts",
+            text=f"{name} treats {cond}. Drug class: {', '.join(classes)}. "
+                 f"Availability: {rx}. Rating {rating}/10.",
+            metadata=dict(meta)))
+        chunks.append(Chunk(
+            chunk_id=f"k{i}_se", doc_id=f"kaggle_{name.lower()}",
+            source="kaggle", chunk_type="side_effects",
+            text=f"{name} side effects include dryness and irritation "
+                 f"when treating {cond}.",
+            metadata=dict(meta)))
+    return chunks
+
+
+@pytest.fixture
+def kpipe():
+    embedder = MedicalEmbedder(dim=256)
+    hybrid = HybridIndex(dense_index=DenseIndex(embedder, row_block=8),
+                         bm25_index=BM25Index())
+    hybrid.index_chunks(drug_chunks())
+    return RetrievalPipeline(hybrid)
+
+
+# ----------------------------------------------------------- FilterSet
+
+
+def test_filterset_predicates():
+    chunks = drug_chunks()
+    fs = FilterSet(chunks)
+    m_in = fs.mask({"pregnancy_category_raw": {"$in": ["A", "B"]}})
+    kept = {chunks[i].metadata["drug_name"] for i in range(len(chunks))
+            if m_in[i]}
+    assert kept == {"Benzogel", "Clearasol", "Painex"}
+
+    m_sub = fs.mask({"rx_otc": {"$contains": "OTC"}})
+    kept = {chunks[i].metadata["drug_name"] for i in range(len(chunks))
+            if m_sub[i]}
+    # substring match covers the composite "Rx/OTC" value
+    assert kept == {"Benzogel", "Clearasol", "Flumist", "Painex"}
+
+    # scalar against a LIST field = membership (Qdrant MatchValue on arrays)
+    m_list = fs.mask({"drug_classes": "Tetracyclines"})
+    kept = {chunks[i].metadata["drug_name"] for i in range(len(chunks))
+            if m_list[i]}
+    assert kept == {"Doxytab"}
+
+    assert fs.any_match({"rx_otc": {"$contains": "OTC"}})
+    assert not fs.any_match({"rx_otc": "injectable"})
+    with pytest.raises(ValueError):
+        fs.mask({"rx_otc": {"$regex": "x"}})
+
+
+# -------------------------------------------------------------- parser
+
+
+def test_parser_attribute_detection():
+    parser = StructuredQueryParser(drug_chunks())
+    assert parser.active
+
+    spec = parser.parse("What can a pregnant patient take for Acne?")
+    assert spec["hard"] == {"pregnancy_category_raw": {"$in": ["A", "B"]}} \
+        or "pregnancy_category_raw" in (spec["hard"] or {})
+
+    spec = parser.parse("Which OTC options exist for Acne?")
+    assert "rx_otc" in spec["hard"]
+
+    # naming a drug suppresses attribute constraints (drug_safety semantics:
+    # asking ABOUT Doxytab must rank Doxytab, whatever its category)
+    spec = parser.parse("Is Doxytab safe during pregnancy?")
+    assert spec is None or not (spec["hard"] or {})
+
+    # condition mention → soft boost by default
+    spec = parser.parse("What drugs treat Acne?")
+    assert spec and spec["soft"] == {"medical_condition": "Acne"}
+
+    # best-rated intent
+    spec = parser.parse("Which drugs are best rated for Acne?")
+    assert spec["rank_by_rating"]
+
+    # punctuation-robust value match ("Colds Flu" vs "Colds & Flu" style)
+    spec = parser.parse("what can I take over the counter for colds flu?")
+    assert "rx_otc" in (spec["hard"] or {})
+
+
+def test_parser_inert_without_metadata(toy_chunks):
+    parser = StructuredQueryParser(toy_chunks)
+    assert not parser.active
+    assert parser.parse("Which OTC options exist for pain?") is None
+
+
+def test_parser_mode_overrides():
+    parser = StructuredQueryParser(
+        drug_chunks(), modes={"otc": "soft", "rating": "off"})
+    spec = parser.parse("Which OTC options are best rated for Acne?")
+    assert "rx_otc" in (spec["soft"] or {})
+    assert not (spec["hard"] or {})
+    assert not spec["rank_by_rating"]
+
+
+# -------------------------------------------------------- end-to-end
+
+
+def test_hard_filter_end_to_end(kpipe):
+    out = kpipe.query("What can a pregnant patient take for Acne?",
+                      top_k=5, group_by_doc=True, structured=True)
+    names = [r["metadata"]["drug_name"] for r in out["results"]]
+    assert names, "hard filter must not blank the result set"
+    assert all(r["metadata"]["pregnancy_category_raw"] in ("A", "B")
+               for r in out["results"])
+    # acne drugs outrank the non-acne qualifying drug
+    assert set(names[:2]) == {"Benzogel", "Clearasol"}
+    assert out["structured"]["hard"] is not None
+
+    # without structured parsing the unfiltered ranking can include any
+    # category — the two runs must differ on this corpus
+    base = kpipe.query("What can a pregnant patient take for Acne?",
+                       top_k=5, group_by_doc=True)
+    assert "structured" not in base
+
+
+def test_otc_filter_end_to_end(kpipe):
+    out = kpipe.query("Which OTC options exist for Acne?", top_k=5,
+                      group_by_doc=True, structured=True)
+    assert all("OTC" in r["metadata"]["rx_otc"] for r in out["results"])
+
+
+def test_soft_condition_boost(kpipe):
+    # "dryness irritation" matches every side-effect chunk equally; the
+    # condition boost must pull Acne-metadata docs ahead
+    out = kpipe.query("dryness irritation treatment for Acne", top_k=3,
+                      group_by_doc=True, structured=True,
+                      structured_modes={"condition": "soft"},
+                      structured_boost_sparse=2.0,
+                      structured_boost_dense=0.5)
+    conds = [r["metadata"]["medical_condition"] for r in out["results"]]
+    assert conds.count("Acne") == 3
+
+
+def test_rating_ranking(kpipe):
+    out = kpipe.query("Which drugs are best rated for Acne?", top_k=4,
+                      group_by_doc=True, structured=True)
+    results = out["results"]
+    # reference rating-score formula (test_queries.py:119-127):
+    # rating*100 + no_of_reviews, descending
+    scores = [r["metadata"]["rating"] * 100 + r["metadata"]["no_of_reviews"]
+              for r in results]
+    assert scores == sorted(scores, reverse=True)
+    # best-rated + detected condition hard-filters to the qualifying set:
+    # Painex (Pain, score 1380) must NOT outrank the acne drugs even though
+    # its rating score is the corpus maximum
+    assert all(r["metadata"]["medical_condition"] == "Acne" for r in results)
+    assert results[0]["metadata"]["drug_name"] == "Doxytab"
+
+
+def test_structured_noop_on_plain_corpus(toy_chunks):
+    embedder = MedicalEmbedder(dim=256)
+    hybrid = HybridIndex(dense_index=DenseIndex(embedder, row_block=8),
+                         bm25_index=BM25Index())
+    hybrid.index_chunks(toy_chunks)
+    pipe = RetrievalPipeline(hybrid)
+    q = "over the counter options for pain"
+    plain = pipe.query(q, top_k=5)
+    structured = pipe.query(q, top_k=5, structured=True)
+    assert [r["chunk_id"] for r in plain["results"]] == \
+        [r["chunk_id"] for r in structured["results"]]
+
+
+def test_explicit_filters_win_over_parser(kpipe):
+    out = kpipe.query("Which OTC options exist for Acne?", top_k=5,
+                      structured=True,
+                      filters={"rx_otc": "Rx"})
+    # user's explicit rx_otc constraint overrides the parser's $contains
+    assert all(r["metadata"]["rx_otc"] == "Rx" for r in out["results"])
