@@ -64,6 +64,14 @@ class RetrievalConfig:
     structured_boost_dense: float = 0.25  # additive cosine margin on soft-
                                           # boosted rows (traced scalar)
     structured_boost_sparse: float = 0.6  # BM25 ×(1+x) on soft-boosted rows
+    annotate_queries: bool = False        # entity/medical-term annotation on
+                                          # the batch path (observability
+                                          # only — retrieval inputs are
+                                          # unaffected; ~70% of preprocess
+                                          # cost at mined-table sizes, so
+                                          # serving profiles skip it; the
+                                          # single-query CLI always
+                                          # annotates)
     batch_size: int = 50                  # serving batch
 
     # index-time
@@ -93,7 +101,8 @@ class RetrievalConfig:
     def reference_parity(cls) -> "RetrievalConfig":
         """The reference system's own defaults (rrf, k1=1.5/b=0.75,
         ``run_bioasq_evaluation.py:23-31``) — for parity comparisons."""
-        return cls(fusion_method="rrf", reranker="simple")
+        return cls(fusion_method="rrf", reranker="simple",
+                   annotate_queries=True)
 
     @classmethod
     def tuned(cls) -> "RetrievalConfig":
@@ -274,18 +283,21 @@ class RetrievalConfig:
 
     @classmethod
     def kaggle_tuned(cls) -> "RetrievalConfig":
-        """The CV-selected kaggle operating point (5-fold over the round-4
-        hard eval — ``results/cv_tune_kaggle.json``): every fold on both
-        the 411- and final 439-query shapes chose vector_weight 0.3 / PRF
-        OFF (RM3 expands into the near-duplicate shadow vocabulary on
-        this corpus); fetch_mult 6 and evidence_alpha 0.5 sit on a noisy
-        fold plateau (fm 4/6, ev 0.5/0.8 split across folds) and keep the
-        originally selected values. Out-of-fold recall@5 0.8652 / nDCG@10
-        0.8555 on the final 439-query shape; shipped in-sample 0.9036 /
-        0.9020 / MRR 0.9238 vs the 0.7082 / 0.6829 control. Index-side
-        brand↔generic canonicalization stays on (the cross-name query
-        types rank at nDCG ~0.49 without it —
-        ``results/kaggle_ablation_no_normalize.json``)."""
+        """The CV-selected kaggle operating point (5-fold over the hard
+        eval): vector_weight 0.3 / PRF OFF unanimous on every query-set
+        shape (RM3 expands into the near-duplicate shadow vocabulary on
+        this corpus — ``results/cv_tune_kaggle.json``); fetch_mult 6 and
+        evidence_alpha 0.5 on a fold plateau. Round 5 adds STRUCTURED
+        QUERY PARSING, CV-selected on the 455-query shape
+        (``results/cv_tune_structured.json``): every fold chose
+        structured=True with the default modes (pregnancy/OTC hard
+        filters, class/condition soft boosts) and boost_sparse 0.6
+        (boost_dense 0.25 on 4/5 folds) over off/all-soft/all-hard —
+        out-of-fold recall@5 0.9006 / nDCG@10 0.8999 (round 4:
+        0.8652 / 0.8555). Shipped in-sample 0.933 / 0.941 / MRR 0.970 vs
+        the 0.692 / 0.668 control. Index-side brand↔generic
+        canonicalization stays on (cross-name query types rank at nDCG
+        ~0.49 without it — ``results/kaggle_ablation_no_normalize.json``)."""
         cfg = cls.tuned()
         cfg.normalize_index = True
         cfg.top_k = 5
@@ -293,6 +305,7 @@ class RetrievalConfig:
         cfg.prf_terms = 0
         cfg.evidence_alpha = 0.5
         cfg.fetch_mult = 6
+        cfg.structured_queries = True
         return cfg
 
     @classmethod
@@ -339,6 +352,7 @@ class RetrievalConfig:
             structured_modes=self.structured_modes,
             structured_boost_dense=self.structured_boost_dense,
             structured_boost_sparse=self.structured_boost_sparse,
+            annotate_queries=self.annotate_queries,
         )
 
     def to_dict(self) -> Dict:

@@ -513,6 +513,7 @@ class RetrievalPipeline:
         structured_modes=None,
         structured_boost_dense: float = 0.25,
         structured_boost_sparse: float = 0.6,
+        annotate_queries: bool = True,
         use_batch_path: bool = True,
     ) -> Dict:
         # All queries — filtered or not — ride the fused batch program with
@@ -533,6 +534,7 @@ class RetrievalPipeline:
                 structured=structured, structured_modes=structured_modes,
                 structured_boost_dense=structured_boost_dense,
                 structured_boost_sparse=structured_boost_sparse,
+                annotate_queries=annotate_queries,
             )[0]
         # NB: the host orchestration below is the reference-shaped parity
         # path; PRF, bm25_type_boost and structured-query parsing are
@@ -605,6 +607,7 @@ class RetrievalPipeline:
         structured_modes=None,
         structured_boost_dense: float = 0.25,
         structured_boost_sparse: float = 0.6,
+        annotate_queries: bool = True,
     ) -> List[Dict]:
         """Batched retrieval: heavy stages run once over the whole batch.
 
@@ -634,7 +637,8 @@ class RetrievalPipeline:
             bm25_type_boost=bm25_type_boost, filters=filters,
             structured=structured, structured_modes=structured_modes,
             structured_boost_dense=structured_boost_dense,
-            structured_boost_sparse=structured_boost_sparse)
+            structured_boost_sparse=structured_boost_sparse,
+            annotate_queries=annotate_queries)
         return self.finalize_batch(handle) if handle is not None else []
 
     def query_stream(
@@ -725,6 +729,7 @@ class RetrievalPipeline:
         structured_modes=None,
         structured_boost_dense: float = 0.25,
         structured_boost_sparse: float = 0.6,
+        annotate_queries: bool = True,
         async_copy: bool = False,
     ) -> Optional[Dict]:
         """Host featurization + asynchronous device dispatch for one batch.
@@ -806,7 +811,8 @@ class RetrievalPipeline:
 
         with self.timer.stage("preprocess"):
             if preprocess:
-                pres = [self.preprocessor.preprocess(q) for q in queries]
+                pres = [self.preprocessor.preprocess(
+                    q, annotate=annotate_queries) for q in queries]
                 search_queries = [self.preprocessor.select_search_query(p) for p in pres]
             else:
                 pres = [{"original": q, "cleaned": q, "normalized": q,

@@ -77,14 +77,55 @@ class GuardedPattern:
         return self.rx.finditer(text) if self._hit(text) else iter(())
 
 
+def _trie_body(terms: List[str]) -> str:
+    """Serialize ``terms`` as a prefix-trie regex.
+
+    Python's regex engine tries a flat alternation's branches one by one at
+    every position — O(|terms|) per character for the 2k-entry mined drug
+    table. A trie shares prefixes, so matching is O(trie depth), and the
+    first-char branches are disjoint. Longest-match semantics (the flat
+    longest-first alternation's behavior) are preserved structurally:
+    within a branch the continuation is always tried before accepting a
+    terminal (the empty alternative serializes LAST).
+    """
+    trie: Dict = {}
+    for t in terms:
+        node = trie
+        for ch in t.lower():
+            node = node.setdefault(ch, {})
+        node[""] = None  # terminal marker
+
+    def serialize(node: Dict) -> str:
+        terminal = "" in node
+        alts: List[str] = []     # branches with continuations
+        chars: List[str] = []    # single-char leaf branches
+        for ch in sorted(k for k in node if k != ""):
+            child = node[ch]
+            if len(child) == 1 and "" in child:
+                chars.append(re.escape(ch))
+            else:
+                alts.append(re.escape(ch) + serialize(child))
+        if chars:
+            alts.append(chars[0] if len(chars) == 1
+                        else "[" + "".join(chars) + "]")
+        body = alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
+        if terminal:
+            # optional continuation, preferring the longer match
+            return body + "?" if len(alts) == 1 and len(body) <= 2 \
+                else "(?:" + body + ")?"
+        return body
+
+    return serialize(trie)
+
+
 def _alternation(terms: Iterable[str]) -> Optional[GuardedPattern]:
-    """Compile one case-insensitive word-boundary alternation over ``terms``,
-    longest-first so longer entries win over their prefixes."""
+    """Compile one case-insensitive word-boundary alternation over ``terms``
+    as a prefix-trie regex; longer entries win over their prefixes (the
+    trie tries continuations before terminals)."""
     terms = sorted({t for t in terms if t}, key=len, reverse=True)
     if not terms:
         return None
-    body = "|".join(re.escape(t) for t in terms)
-    rx = re.compile(r"\b(?:" + body + r")\b", re.IGNORECASE)
+    rx = re.compile(r"\b" + _trie_body(terms) + r"\b", re.IGNORECASE)
     return GuardedPattern(rx, terms)
 
 

@@ -60,7 +60,15 @@ class QueryPreprocessor:
         extract_entities: bool = True,
         normalize_terms: bool = True,
         expand_abbreviations: bool = True,
+        annotate: bool = True,
     ) -> Dict:
+        """``annotate=False`` skips the entity/medical-term annotation scans
+        (~70% of preprocess cost at mined-table sizes) and returns empty
+        ``entities``/``medical_terms`` — the retrieval inputs (``cleaned``,
+        ``normalized``) are unaffected. The serving/eval batch path uses
+        this (annotations feed nothing downstream there — reference parity:
+        its scripts only print them, ``scripts/query.py:130-136``); the
+        single-query CLI keeps full annotation."""
         result: Dict = {
             "original": query,
             "cleaned": "",
@@ -72,14 +80,16 @@ class QueryPreprocessor:
         cleaned = self.clean_query(query)
         result["cleaned"] = cleaned
 
-        if extract_entities:
+        if extract_entities and annotate:
             result["entities"] = self.extract_entities(cleaned)
 
         if normalize_terms:
             result["normalized"] = self.normalizer.normalize_text(
                 cleaned, expand_abbreviations=expand_abbreviations
             )
-            result["medical_terms"] = self.normalizer.extract_medical_terms(cleaned)
+            if annotate:
+                result["medical_terms"] = \
+                    self.normalizer.extract_medical_terms(cleaned)
         else:
             result["normalized"] = cleaned
 

@@ -54,14 +54,50 @@ def stratified_folds(queries, n_folds=5, seed=0):
     return fold_of
 
 
+#: structured-query mode presets for the CV axis (family → mode; see
+#: preprocessing/structured.py DEFAULT_MODES). "default" is the shipped
+#: prior (attribute families hard, value families soft); the others probe
+#: the hard/soft frontier in both directions.
+STRUCTURED_PRESETS = {
+    "off": {"structured": False},
+    "default": {"structured": True, "structured_modes": None},
+    "soft": {"structured": True, "structured_modes": {
+        "pregnancy": "soft", "otc": "soft",
+        "drug_class": "soft", "condition": "soft"}},
+    "allhard": {"structured": True, "structured_modes": {
+        "pregnancy": "hard", "otc": "hard",
+        "drug_class": "hard", "condition": "hard"}},
+    "hard_nocond": {"structured": True, "structured_modes": {
+        "pregnancy": "hard", "otc": "hard",
+        "drug_class": "hard", "condition": "off"}},
+}
+
+
 def config_grid(args):
     """The tuned-config neighborhood. evidence_alpha and the fusion weights
     are free (host-side / traced); (prf_terms, prf_docs) pairs compile."""
+    structured_opts = []
+    for preset in args.structured_presets:
+        base = STRUCTURED_PRESETS[preset]
+        modes = base.get("structured_modes") or {}
+        has_soft = base.get("structured", False) and (
+            modes.get("condition", "soft") == "soft"
+            or "soft" in modes.values())
+        if has_soft:
+            for bd, bs in itertools.product(args.structured_boost_dense,
+                                            args.structured_boost_sparse):
+                structured_opts.append({**base, "structured_boost_dense": bd,
+                                        "structured_boost_sparse": bs})
+        else:
+            # no soft family active — boost scalars are dead knobs
+            structured_opts.append(dict(base))
+
     grid = []
-    for vw, prf_t, prf_d, prf_a, ev, fm, ec, fus, tb in itertools.product(
+    for vw, prf_t, prf_d, prf_a, ev, fm, ec, fus, tb, st in itertools.product(
             args.vector_weights, args.prf_terms, args.prf_docs,
             args.prf_alphas, args.evidence_alphas, args.fetch_mults,
-            args.evidence_chunks, args.fusion_methods, args.type_boosts):
+            args.evidence_chunks, args.fusion_methods, args.type_boosts,
+            structured_opts):
         grid.append({
             "vector_weight": vw,
             "bm25_weight": round(1.0 - vw, 3),
@@ -73,6 +109,7 @@ def config_grid(args):
             "evidence_chunks": ec,
             "fusion_method": fus,
             "bm25_type_boost": tb,
+            **st,
         })
     return grid
 
@@ -112,6 +149,17 @@ def main() -> None:
     ap.add_argument("--fusion_methods", nargs="+", default=["weighted"],
                     choices=["weighted", "rrf"],
                     help="fusion branch (compiled program per value)")
+    ap.add_argument("--structured_presets", nargs="+", default=["off"],
+                    choices=list(STRUCTURED_PRESETS),
+                    help="structured-query mode presets (hard/soft per "
+                         "intent family — preprocessing/structured.py)")
+    ap.add_argument("--structured_boost_dense", type=float, nargs="+",
+                    default=[0.25],
+                    help="additive cosine margin on soft-boosted rows "
+                         "(traced scalar, no recompile)")
+    ap.add_argument("--structured_boost_sparse", type=float, nargs="+",
+                    default=[0.6],
+                    help="BM25 x(1+v) on soft-boosted rows (traced scalar)")
     ap.add_argument("--bm25_grid", default=None,
                     help="outer loop over BM25 index params, e.g. "
                          "'0.9:0.5,1.2:0.6,1.5:0.75' (k1:b pairs; each "

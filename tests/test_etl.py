@@ -272,7 +272,7 @@ def test_same_domain_shadows_and_gt_inclusion(tmp_path):
         hits = set(q["documents"]) & hard_ids
         if q["type"] in ("condition_treatment", "condition_overview",
                          "class_based_options", "pregnancy_safe_options",
-                         "otc_options"):
+                         "otc_options", "condition_best_rated"):
             continue  # same-domain records MAY legitimately appear
         assert not hits, (q["type"], hits)
     # condition-keyed gt DOES include the same-domain records (they
