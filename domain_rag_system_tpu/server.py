@@ -95,10 +95,16 @@ class BatchingFrontend:
     """
 
     def __init__(self, pipeline: RetrievalPipeline, cfg: RetrievalConfig,
-                 max_wait_ms: float = 10.0, start_collector: bool = True):
+                 max_wait_ms: float = 10.0, start_collector: bool = True,
+                 max_inflight: int = 4):
         self.pipeline = pipeline
         self.cfg = cfg
         self.max_wait_ms = max_wait_ms
+        # software-pipelining depth: batches DISPATCHED but not yet synced
+        # (device execution overlaps collection of the next batch; the
+        # per-sync transport cost amortizes max_inflight×, mirroring
+        # RetrievalPipeline.query_stream)
+        self.max_inflight = max(int(max_inflight), 1)
         self.batch_buckets = dispatch_buckets(cfg.batch_size)
         # serializes device dispatches against live index mutations
         # (/index/add, /index/delete): a mutation mid-batch would swap the
@@ -190,6 +196,18 @@ class BatchingFrontend:
                              else [filters] * len(queries))
         outs: List[Dict] = []
         step = self.cfg.batch_size
+        # software-pipelined (mirrors RetrievalPipeline.query_stream):
+        # dispatch up to max_inflight slices back-to-back, then finalize
+        # the oldest — one device sync per in-flight window instead of per
+        # slice
+        from collections import deque
+
+        inflight: "deque" = deque()
+
+        def drain_one():
+            handle, n = inflight.popleft()
+            outs.extend(self.pipeline.finalize_batch(handle)[:n])
+
         for start in range(0, len(queries), step):
             qs = queries[start:start + step]
             fs = per_query_filters[start:start + step]
@@ -199,9 +217,14 @@ class BatchingFrontend:
                 qs = qs + [qs[0]] * (bucket - n)
                 fs = fs + [None] * (bucket - n)
             with self.index_lock:
-                batch_outs = self.pipeline.query_batch(
-                    qs, filters=(fs if any(fs) else None), **kwargs)
-            outs.extend(batch_outs[:n])
+                handle = self.pipeline.dispatch_batch(
+                    qs, filters=(fs if any(fs) else None), async_copy=True,
+                    **kwargs)
+            inflight.append((handle, n))
+            if len(inflight) >= self.max_inflight:
+                drain_one()
+        while inflight:
+            drain_one()
         return outs
 
     def stats(self) -> Dict:
@@ -225,34 +248,65 @@ class BatchingFrontend:
     # ------------------------------------------------------- collector side
 
     def _collector_loop(self) -> None:
-        while not self._stop.is_set():
-            try:
-                first_req, first_key = self._queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            batch = [first_req]
-            deadline = time.monotonic() + self.max_wait_ms / 1000.0
-            spill: List[tuple] = []
-            # Drain same-knob requests until the batch fills or the
-            # straggler window closes; different-knob requests are pushed
-            # back for the next cycle.
-            while len(batch) < self.cfg.batch_size:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    req, key = self._queue.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if key == first_key:
-                    batch.append(req)
-                else:
-                    spill.append((req, key))
-            for item in spill:
-                self._queue.put(item)
-            self._serve_batch(batch, dict(first_key))
+        """Software-pipelined collector (same design as the native front's
+        dispatcher): collect → async DISPATCH → keep collecting while the
+        device works; the oldest in-flight batch is synced only when the
+        pipeline is full (``max_inflight``) or the queue went quiet. The
+        pre-round-5 loop blocked inside ``query_batch``'s device sync
+        between collections, so the device idled during host work and vice
+        versa — that serialization was most of the serving/offline gap."""
+        from collections import deque
 
-    def _serve_batch(self, batch: List[_Request], kwargs: Dict) -> None:
+        inflight: "deque" = deque()
+        while not self._stop.is_set():
+            got = self._collect_batch(block_s=0.002 if inflight else 0.1,
+                                      stragglers=not inflight)
+            if got is not None:
+                batch, kwargs = got
+                handle = self._dispatch(batch, kwargs)
+                if handle is not None:
+                    inflight.append((handle, batch))
+            while inflight and (len(inflight) >= self.max_inflight
+                                or got is None):
+                self._finalize(*inflight.popleft())
+        while inflight:  # drain on shutdown
+            self._finalize(*inflight.popleft())
+
+    def _collect_batch(self, block_s: float, stragglers: bool):
+        """One collection cycle → (batch, kwargs) or None if no request
+        arrived within ``block_s``. ``stragglers=False`` skips the
+        max_wait window (in-flight device work already provides the
+        batching backpressure)."""
+        try:
+            first_req, first_key = self._queue.get(timeout=block_s)
+        except queue.Empty:
+            return None
+        batch = [first_req]
+        deadline = time.monotonic() + (self.max_wait_ms / 1000.0
+                                       if stragglers else 0.0)
+        spill: List[tuple] = []
+        # Drain same-knob requests until the batch fills or the straggler
+        # window closes; different-knob requests are pushed back for the
+        # next cycle.
+        while len(batch) < self.cfg.batch_size:
+            remaining = deadline - time.monotonic()
+            try:
+                req, key = self._queue.get(
+                    timeout=remaining if remaining > 0 else None,
+                    block=remaining > 0)
+            except queue.Empty:
+                break
+            if key == first_key:
+                batch.append(req)
+            else:
+                spill.append((req, key))
+        for item in spill:
+            self._queue.put(item)
+        return batch, dict(first_key)
+
+    def _dispatch(self, batch: List[_Request], kwargs: Dict):
+        """Asynchronously dispatch one batch; returns the pipeline handle
+        (None after failing every request on a dispatch error)."""
         filters: Optional[Sequence] = None
         if any(r.filters for r in batch):
             filters = [r.filters for r in batch]
@@ -268,8 +322,17 @@ class BatchingFrontend:
                 filters = list(filters) + [None] * (bucket - len(filters))
         try:
             with self.index_lock:
-                outs = self.pipeline.query_batch(
-                    queries, filters=filters, **kwargs)
+                return self.pipeline.dispatch_batch(
+                    queries, filters=filters, async_copy=True, **kwargs)
+        except Exception as exc:  # pragma: no cover - defensive
+            log.exception("dispatch of %d failed", len(batch))
+            self._fail_batch(batch, exc)
+            return None
+
+    def _finalize(self, handle, batch: List[_Request]) -> None:
+        """Sync + materialize one in-flight batch; fulfil its requests."""
+        try:
+            outs = self.pipeline.finalize_batch(handle)
             for req, out in zip(batch, outs):
                 req.result = out
         except Exception as exc:  # pragma: no cover - defensive
@@ -286,6 +349,16 @@ class BatchingFrontend:
                                                len(batch))
             for req in batch:
                 req.event.set()
+
+    def _fail_batch(self, batch: List[_Request], exc: Exception) -> None:
+        for req in batch:
+            req.error = f"{type(exc).__name__}: {exc}"
+        with self._stats_lock:
+            self._stats["errors"] += len(batch)
+            self._stats["requests"] += len(batch)
+            self._stats["batches"] += 1
+        for req in batch:
+            req.event.set()
 
 
 def route_misc(frontend: BatchingFrontend, generator, index_info,
@@ -455,9 +528,10 @@ class RagServer:
     def __init__(self, pipeline: RetrievalPipeline, cfg: RetrievalConfig,
                  generator=None, host: str = "127.0.0.1", port: int = 8080,
                  max_wait_ms: float = 10.0, index_info: Optional[Dict] = None,
-                 prewarm: bool = False):
+                 prewarm: bool = False, max_inflight: int = 4):
         self.frontend = BatchingFrontend(pipeline, cfg,
-                                         max_wait_ms=max_wait_ms)
+                                         max_wait_ms=max_wait_ms,
+                                         max_inflight=max_inflight)
         if prewarm:
             # compile every dispatch-bucket shape BEFORE accepting traffic
             # (a cold bucket costs a multi-second→minute XLA compile on the

@@ -118,12 +118,14 @@ def measure_front(front: str, pipeline, cfg, generator, info, client_args,
         from domain_rag_system_tpu.native_http import NativeRagServer
 
         srv = NativeRagServer(pipeline, cfg, generator=generator, port=0,
-                              max_wait_ms=10.0, index_info=info)
+                              max_wait_ms=10.0, index_info=info,
+                              max_inflight=client_args.max_inflight)
     else:
         from domain_rag_system_tpu.server import RagServer
 
         srv = RagServer(pipeline, cfg, generator=generator, port=0,
-                        max_wait_ms=10.0, index_info=info)
+                        max_wait_ms=10.0, index_info=info,
+                        max_inflight=client_args.max_inflight)
     srv.start_background()
     try:
         stats0 = srv.frontend.stats()
@@ -140,6 +142,13 @@ def measure_front(front: str, pipeline, cfg, generator, info, client_args,
         stats1 = srv.frontend.stats()
         block["batches_dispatched"] = stats1["batches"] - stats0["batches"]
         block["max_batch"] = stats1["max_batch"]
+        # stage attribution (VERDICT r4 item 3): which side owns the
+        # residual — device+transport (encode/dispatch/retrieve/
+        # window_pull) vs host framework (preprocess/finalize) vs the
+        # HTTP layer (everything outside the pipeline stages)
+        block["stage_timing_ms"] = {
+            k: round(v["mean_s"] * 1000, 3)
+            for k, v in srv.frontend.pipeline.timer.summary().items()}
         return block
     finally:
         srv.shutdown()
@@ -150,6 +159,9 @@ def main() -> None:
     ap.add_argument("--n_single", type=int, default=60)
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--per_client", type=int, default=15)
+    ap.add_argument("--max_inflight", type=int, default=4,
+                    help="software-pipelining depth: batches dispatched "
+                         "but not yet synced")
     ap.add_argument("--fronts", nargs="+", default=["python", "native"],
                     choices=["python", "native"])
     ap.add_argument("--output", default="results/serving_http_bench.json")

@@ -91,6 +91,46 @@ WORKER = textwrap.dedent("""
         global_replicated(q_ids, mesh), global_replicated(q_w, mesh),
         k, mesh, vocab_size=vocab)
 
+    # ---- the FULL fused hybrid program under DCN (VERDICT r4 item 5) ----
+    # banded BM25 (dense band matmul + rest gather) + RM3 PRF + weighted
+    # fusion with the dense arm, run as the production _fused_batch_
+    # retrieval jit over globally-sharded arrays: XLA's SPMD partitioner
+    # inserts the cross-process collectives (the 2-process test previously
+    # covered only the per-op shard_map helpers).
+    from domain_rag_system_tpu.ops.sparse_bm25 import build_dense_band
+    from domain_rag_system_tpu.pipeline import _fused_batch_retrieval
+
+    band_mat_np, slot_of, _, _, _ = build_dense_band(
+        doc_terms, doc_contrib, vocab, 16)
+    bslab = np.zeros((stop - start, band_mat_np.shape[1]), np.float32)
+    bslab[: len(real)] = band_mat_np[start:min(stop, n)]
+    g_band = global_sharded_rows(bslab, mesh)
+    svalid_slab = np.zeros(stop - start, np.uint8)
+    svalid_slab[: len(real)] = 1
+    g_svalid = global_sharded_rows(svalid_slab, mesh)
+    rep = lambda x: global_replicated(np.asarray(x), mesh)
+    placeholder_u8 = rep(np.ones((1, 1), np.uint8))
+    sb = (rep(np.full((1, 1), -1, np.int32)),
+          rep(np.zeros((1, 1), np.float32)),
+          rep(np.zeros(0, np.int32)),
+          rep(np.full((0, 8), -1, np.int32)),
+          rep(np.zeros((0, 8), np.float32)))
+    fused_ids, fused_scores, _ = _fused_batch_retrieval(
+        emb, mask.astype(jnp.uint8), g_terms, g_contrib, *sb,
+        g_svalid,
+        q, rep(q_ids), rep(q_w), q,
+        rep(np.zeros((), np.float32)),
+        0.4, 0.6,
+        placeholder_u8, placeholder_u8,
+        placeholder_u8, placeholder_u8,
+        rep(np.zeros((), np.float32)), rep(np.zeros((), np.float32)),
+        None, None, g_band, rep(slot_of),
+        None, rep(np.zeros((), np.float32)), None, None,
+        over_k=2 * k, fetch_k=k, fusion_method="weighted",
+        rerank_top_n=0, vocab_size=vocab, has_dense=True, has_sparse=True,
+        use_rerank=False, use_split=False, prf_terms=3, prf_docs=4,
+        prf_alpha=0.6, has_qfilter=False, has_qboost=False, band_k=16)
+
     # fully-addressable result? top-k output is replicated — each process
     # reads its addressable copy
     out = {{
@@ -102,6 +142,10 @@ WORKER = textwrap.dedent("""
             s_idx.addressable_data(0))).tolist(),
         "bm25_scores": np.asarray(jax.device_get(
             s_scores.addressable_data(0))).astype(float).tolist(),
+        "hybrid_ids": np.asarray(jax.device_get(
+            fused_ids.addressable_data(0))).tolist(),
+        "hybrid_scores": np.asarray(jax.device_get(
+            fused_scores.addressable_data(0))).astype(float).tolist(),
     }}
     if pid == 0:
         print("RESULT " + json.dumps(out), flush=True)
@@ -173,6 +217,42 @@ def test_two_process_distributed_topk_matches_oracle(tmp_path):
     got_bm = np.asarray(result["bm25_scores"])
     assert (expect_bm[:, 0] > 0).all()  # top hits are real, not padding
     np.testing.assert_allclose(got_bm, expect_bm, atol=1e-5)
+
+    # hybrid arm: the fused banded+PRF+fusion program under DCN must equal
+    # the same program run single-process on the unsharded arrays
+    import jax.numpy as jnp
+
+    from domain_rag_system_tpu.ops.sparse_bm25 import build_dense_band
+    from domain_rag_system_tpu.pipeline import (
+        _SB_PLACEHOLDER,
+        _fused_batch_retrieval,
+    )
+
+    band_mat_np, slot_of, _, _, _ = build_dense_band(
+        doc_terms, doc_contrib, vocab, 16)
+    zero = jnp.zeros((), jnp.float32)
+    exp_ids, exp_scores, _ = _fused_batch_retrieval(
+        jnp.asarray(corpus), jnp.ones(n, jnp.uint8),
+        jnp.asarray(doc_terms), jnp.asarray(doc_contrib),
+        *_SB_PLACEHOLDER(),
+        jnp.ones(n, jnp.uint8),
+        jnp.asarray(queries), jnp.asarray(q_ids), jnp.asarray(q_w),
+        jnp.asarray(queries), zero,
+        0.4, 0.6,
+        jnp.ones((1, 1), jnp.uint8), jnp.ones((1, 1), jnp.uint8),
+        jnp.ones((1, 1), jnp.uint8), jnp.ones((1, 1), jnp.uint8),
+        zero, zero,
+        None, None, jnp.asarray(band_mat_np), jnp.asarray(slot_of),
+        None, zero, None, None,
+        over_k=2 * k, fetch_k=k, fusion_method="weighted",
+        rerank_top_n=0, vocab_size=vocab, has_dense=True, has_sparse=True,
+        use_rerank=False, use_split=False, prf_terms=3, prf_docs=4,
+        prf_alpha=0.6, has_qfilter=False, has_qboost=False, band_k=16)
+    got_h_ids = np.asarray(result["hybrid_ids"])
+    got_h_scores = np.asarray(result["hybrid_scores"])
+    np.testing.assert_array_equal(got_h_ids, np.asarray(exp_ids))
+    np.testing.assert_allclose(got_h_scores, np.asarray(exp_scores),
+                               atol=1e-5)
 
 
 def test_process_slice_partitioning():
