@@ -64,6 +64,16 @@ class RetrievalConfig:
     structured_boost_dense: float = 0.25  # additive cosine margin on soft-
                                           # boosted rows (traced scalar)
     structured_boost_sparse: float = 0.6  # BM25 ×(1+x) on soft-boosted rows
+    topk_approx: bool = False             # TPU approx_max_k candidate top-k
+                                          # (hardware PartialReduce, 14x
+                                          # faster DEVICE-side than the
+                                          # exact sort at [50, 92k] k=80).
+                                          # OFF: measured end-to-end on the
+                                          # tunneled chip it buys nothing
+                                          # (transport-bound) and costs
+                                          # recall@5 0.560->0.548
+                                          # (results/topk_approx_eval.json);
+                                          # for local-chip serving only
     annotate_queries: bool = False        # entity/medical-term annotation on
                                           # the batch path (observability
                                           # only — retrieval inputs are
@@ -353,6 +363,7 @@ class RetrievalConfig:
             structured_boost_dense=self.structured_boost_dense,
             structured_boost_sparse=self.structured_boost_sparse,
             annotate_queries=self.annotate_queries,
+            topk_approx=self.topk_approx,
         )
 
     def to_dict(self) -> Dict:

@@ -99,6 +99,117 @@ def extract_openfda_corpus(
     return corpus
 
 
+_NAME_SYLLABLES = ["vor", "zan", "mex", "tal", "rin", "dux", "pha", "lor",
+                   "cet", "bri", "nav", "sol", "tra", "kel", "ost", "quin"]
+
+
+def make_openfda_distractors(
+    corpus: Sequence[Dict],
+    n: int = 160,
+    shadows_per_record: int = 2,
+    seed: int = 11,
+) -> List[Dict]:
+    """Same-domain decoy labels — the kaggle shadow recipe ported to
+    OpenFDA (VERDICT r4 item 6: the 80-doc eval's control sat at 0.93
+    recall@5, too easy to detect improvements against).
+
+    Two decoy kinds, both format-matched to :func:`extract_label` output:
+
+    * **hard shadows** (``shadows_per_record`` per real doc): an invented
+      product name, the REAL doc's section text verbatim (lexically
+      near-duplicate), the ingredient line swapped with a donor doc's
+      (the shadow truthfully "contains" the donor's ingredients — queries
+      built over the combined corpus count it as correct ground truth for
+      those terms, kaggle-gt-completeness semantics), and a confusable
+      interaction warning naming the REAL product — so name-keyed queries
+      match the decoy lexically while only the real doc is ground truth
+      (gt keys on the first ``Drug names:`` line).
+    * **synthetic decoys** (``n``): invented names + invented compounds
+      over section sentences sampled from the real pool — in-domain
+      vocabulary, disjoint ground truth.
+
+    Distractor docs carry ``metadata.distractor`` so
+    :func:`build_openfda_queries` never keys queries on them (they appear
+    only as ground truth when truthful, and as ranking pressure).
+    """
+    import hashlib
+    import random
+
+    rng = random.Random(seed)
+    corpus = list(corpus)
+
+    def invent_name() -> str:
+        return "".join(rng.sample(_NAME_SYLLABLES, 3)).capitalize()
+
+    def ing_line(text: str) -> Optional[str]:
+        for line in text.split("\n"):
+            if line.lower().startswith("active ingredients:"):
+                return line
+        return None
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    named = [d for d in corpus
+             if (d.get("brand_name") or d.get("generic_name"))]
+    section_pool: List[str] = []
+    for d in corpus:
+        for line in d["text"].split("\n"):
+            if ":" in line and not line.lower().startswith(
+                    ("drug names", "active ingredients")):
+                section_pool.append(line)
+
+    out: List[Dict] = []
+    for si in range(shadows_per_record):
+        for i, d in enumerate(named):
+            name = invent_name()
+            real_name = d.get("brand_name") or d.get("generic_name")
+            donor = corpus[(i + 7 * (si + 1)) % len(corpus)]
+            lines = []
+            for line in d["text"].split("\n"):
+                low = line.lower()
+                if low.startswith("drug names:"):
+                    lines.append(f"Drug names: {name}")
+                elif low.startswith("active ingredients:"):
+                    swapped = ing_line(donor["text"])
+                    lines.append(swapped or line)
+                else:
+                    # scrub the real product name from body text so the
+                    # only real-name hit is the controlled warning below
+                    lines.append(line.replace(real_name, name))
+            lines.append(f"Warning information: Do not combine {name} with "
+                         f"{real_name} or similar products without medical "
+                         f"advice.")
+            out.append({
+                "id": md5(f"shadow|{d['id']}|{name}|{si}"),
+                "set_id": "",
+                "brand_name": name,
+                "generic_name": name.lower(),
+                "text": "\n".join(lines),
+                "metadata": {**d.get("metadata", {}), "distractor": True,
+                             "shadow_of": str(d["id"])},
+            })
+    for i in range(n):
+        name = invent_name()
+        compound = f"{invent_name().lower()}ine {invent_name().lower()}ate"
+        lines = [f"Drug names: {name}",
+                 f"Active ingredients: {compound} 2.5"]
+        lines += rng.sample(section_pool,
+                            min(rng.randint(3, 6), len(section_pool)))
+        out.append({
+            "id": md5(f"decoy|{name}|{i}"),
+            "set_id": "",
+            "brand_name": name,
+            "generic_name": name.lower(),
+            "text": "\n".join(lines),
+            "metadata": {"distractor": True, "has_warnings": True,
+                         "has_dosage": True, "has_indications": True},
+        })
+    log.info("built %d OpenFDA distractors (%d shadows + %d decoys)",
+             len(out), len(out) - n, n)
+    return out
+
+
 #: Query templates per rule kind. Each kind has a "canonical" template
 #: sharing the label's section vocabulary and a "paraphrase" template with
 #: HELD-OUT phrasing (vocabulary absent from the label text), so the eval
@@ -180,6 +291,8 @@ def build_openfda_queries(
     corpus = list(corpus)
     lower_names: List[tuple] = []   # (doc index, display name, lower name)
     for i, d in enumerate(corpus):
+        if d.get("metadata", {}).get("distractor"):
+            continue  # decoys never KEY queries (they only enter gt scans)
         name = (d.get("brand_name") or d.get("generic_name") or "").strip()
         if len(name) >= 3:
             lower_names.append((i, name, name.lower()))
@@ -223,18 +336,28 @@ def build_openfda_queries(
             if meta.get(flag):
                 add(kind, name, gt)
 
-    # ingredient-keyed queries
+    # ingredient-keyed queries: the term universe comes from REAL docs
+    # (decoys never key queries) but ground truth scans the whole corpus —
+    # a shadow that truthfully carries a donor's ingredient line IS a
+    # correct answer for that ingredient (kaggle gt-completeness
+    # semantics)
     ing_docs: Dict[str, List[str]] = {}
     ing_display: Dict[str, str] = {}
-    for d in corpus:
+    real_first = sorted(corpus, key=lambda d: bool(
+        d.get("metadata", {}).get("distractor")))
+    for d in real_first:
+        is_distractor = d.get("metadata", {}).get("distractor", False)
         for term in _ingredient_terms(d["text"]):
             key = term.lower()
+            if is_distractor and key not in ing_display:
+                continue  # decoy-only compounds get no query
             ing_docs.setdefault(key, [])
             if str(d["id"]) not in ing_docs[key]:
                 ing_docs[key].append(str(d["id"]))
-            ing_display.setdefault(key, term)
+            if not is_distractor:
+                ing_display.setdefault(key, term)
     for key in sorted(ing_docs):
-        if 1 <= len(ing_docs[key]) <= max_gt_docs:
+        if key in ing_display and 1 <= len(ing_docs[key]) <= max_gt_docs:
             add("ingredient", ing_display[key], ing_docs[key])
 
     if len(queries) < min_queries:

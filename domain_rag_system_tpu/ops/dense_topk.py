@@ -29,15 +29,36 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = jnp.float32(-1e30)
 
 
-def lax_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+def lax_topk(scores: jax.Array, k: int,
+             approx: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Backend-aware top-k with lax.top_k tie semantics (lowest index wins).
 
     XLA:CPU's ``lax.top_k`` compile time explodes with k (minutes at k=100),
     which cripples the virtual-mesh test environment; a stable argsort
     compiles instantly there and keeps identical ordering semantics. TPU uses
     the native ``lax.top_k`` lowering.
+
+    ``approx=True`` switches the TPU path to ``lax.approx_max_k`` (the
+    hardware PartialReduce op, default per-element recall target 0.95) —
+    measured **14× faster** than the exact sort at the production shape
+    ([50, 92160] k=80: 0.09 ms vs 1.31 ms device time; the exact top-k
+    costs 5× the bf16 896-d scoring matmul itself —
+    ``results/kernel_bench.json``). On non-TPU backends approx falls back
+    to the exact path, so CPU tests stay bit-identical.
+
+    SHIPS OFF, measured end to end (``results/topk_approx_eval.json``):
+    on the remote-tunneled chip the fused program is transport-bound
+    (~105 ms window pulls vs ~4 ms of top-k per batch), so the device
+    saving does not reach the headline (1,097 vs 1,321 q/s, within
+    run-to-run transport variance) while the ~5% per-element candidate
+    loss measurably costs quality (recall@5 0.548 vs 0.560, nDCG@10
+    0.8075 vs 0.8156 at 91,853 chunks). The knob exists for local-chip
+    deployments where device time IS the budget; on this transport the
+    exact sort is strictly better.
     """
     if jax.default_backend() == "tpu":
+        if approx:
+            return jax.lax.approx_max_k(scores, k)
         return jax.lax.top_k(scores, k)
     idx = jnp.argsort(-scores, axis=-1, stable=True)[..., :k]
     return jnp.take_along_axis(scores, idx, axis=-1), idx
@@ -178,7 +199,7 @@ def pallas_fused_topk(
 
 # ----------------------------------------------------------------------- topk
 
-@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas", "approx"))
 def cosine_topk(
     queries: jax.Array,                 # [B, d]
     embeddings: jax.Array,              # [N, d] f32/bf16 or int8 (quantized)
@@ -187,6 +208,7 @@ def cosine_topk(
     row_scale: Optional[jax.Array] = None,  # [N] dequant scales for int8 rows
     use_pallas: bool = False,
     boost: Optional[jax.Array] = None,  # [B, N] f32 additive score boost
+    approx: bool = False,               # TPU approx_max_k candidate top-k
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k (scores [B, k], indices [B, k]) by similarity, optionally masked.
 
@@ -217,7 +239,7 @@ def cosine_topk(
         scores = pallas_masked_scores(queries, embeddings, mask)
     else:
         scores = finish(dense_scores(queries, embeddings))
-    return lax_topk(scores, k)
+    return lax_topk(scores, k, approx=approx)
 
 
 def quantize_rows_int8(emb: "jax.Array | None"):

@@ -141,7 +141,7 @@ def _device_doc_group(
     "rerank_top_n", "vocab_size", "has_dense", "has_sparse", "use_rerank",
     "use_split", "prf_terms", "prf_docs", "has_qfilter", "has_qboost",
     "enc_module", "encode_orig", "band_k", "use_type_boost",
-    "group_topk", "evidence_chunks"))
+    "group_topk", "evidence_chunks", "topk_approx"))
 def _fused_batch_retrieval(
     embeddings,    # [N_pad, d] or [1, 1] placeholder
     valid_mask,    # [N_pad] or [1]
@@ -195,6 +195,7 @@ def _fused_batch_retrieval(
     use_type_boost: bool = False,
     group_topk: int = 0,
     evidence_chunks: int = 2,
+    topk_approx: bool = False,
 ):
     """The whole query batch as ONE device program.
 
@@ -241,7 +242,7 @@ def _fused_batch_retrieval(
                        * jnp.asarray(boost_d_scale, jnp.float32))
         sc_d, idx_d = cosine_topk(q_emb, embeddings, k_d, mask=d_mask,
                                   row_scale=row_scale if has_scale else None,
-                                  boost=d_boost)
+                                  boost=d_boost, approx=topk_approx)
         ids_d = jnp.where(sc_d <= -1e29, -1, idx_d).astype(jnp.int32)
     else:
         ids_d = jnp.full((b, 1), -1, jnp.int32)
@@ -329,7 +330,7 @@ def _fused_batch_retrieval(
             if has_qfilter:
                 s = jnp.where(q_filter_s > 0, s, -1e30)
         k_s = min(over_k, doc_terms.shape[0])
-        sc_s, idx_s = lax_topk(s, k_s)
+        sc_s, idx_s = lax_topk(s, k_s, approx=topk_approx)
         ids_s = jnp.where(sc_s <= -1e29, -1, idx_s).astype(jnp.int32)
     else:
         ids_s = jnp.full((b, 1), -1, jnp.int32)
@@ -514,6 +515,7 @@ class RetrievalPipeline:
         structured_boost_dense: float = 0.25,
         structured_boost_sparse: float = 0.6,
         annotate_queries: bool = True,
+        topk_approx: bool = False,
         use_batch_path: bool = True,
     ) -> Dict:
         # All queries — filtered or not — ride the fused batch program with
@@ -535,6 +537,7 @@ class RetrievalPipeline:
                 structured_boost_dense=structured_boost_dense,
                 structured_boost_sparse=structured_boost_sparse,
                 annotate_queries=annotate_queries,
+                topk_approx=topk_approx,
             )[0]
         # NB: the host orchestration below is the reference-shaped parity
         # path; PRF, bm25_type_boost and structured-query parsing are
@@ -608,6 +611,7 @@ class RetrievalPipeline:
         structured_boost_dense: float = 0.25,
         structured_boost_sparse: float = 0.6,
         annotate_queries: bool = True,
+        topk_approx: bool = False,
     ) -> List[Dict]:
         """Batched retrieval: heavy stages run once over the whole batch.
 
@@ -638,7 +642,7 @@ class RetrievalPipeline:
             structured=structured, structured_modes=structured_modes,
             structured_boost_dense=structured_boost_dense,
             structured_boost_sparse=structured_boost_sparse,
-            annotate_queries=annotate_queries)
+            annotate_queries=annotate_queries, topk_approx=topk_approx)
         return self.finalize_batch(handle) if handle is not None else []
 
     def query_stream(
@@ -730,6 +734,7 @@ class RetrievalPipeline:
         structured_boost_dense: float = 0.25,
         structured_boost_sparse: float = 0.6,
         annotate_queries: bool = True,
+        topk_approx: bool = False,
         async_copy: bool = False,
     ) -> Optional[Dict]:
         """Host featurization + asynchronous device dispatch for one batch.
@@ -1003,6 +1008,7 @@ class RetrievalPipeline:
                 use_split=use_split,
                 prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
                 has_qfilter=has_qfilter, has_qboost=has_qboost,
+                topk_approx=topk_approx,
             )
         # Start the device→host transfer as soon as the program finishes
         # (instead of when finalize_batch blocks): through the remote

@@ -171,13 +171,24 @@ def main() -> None:
             ds = {**ds, "queries": str(gen_path),
                   "corpus_kwargs": {"kaggle_path": str(corpus_path)}}
         elif queries_spec == "generate" and name == "openfda":
-            from domain_rag_system_tpu.etl.openfda import build_openfda_queries
+            from domain_rag_system_tpu.etl.openfda import (
+                build_openfda_queries,
+                make_openfda_distractors,
+            )
 
             with open(ds["corpus_kwargs"]["openfda_path"], encoding="utf-8") as f:
                 corpus = json.load(f)
+            # same-domain shadows + decoys (kaggle recipe, VERDICT r4
+            # item 6) — queries and gt generated over the COMBINED corpus
+            # so truthful shadows count as correct answers
+            combined = corpus + make_openfda_distractors(corpus)
+            corpus_path = results_dir / f"{name}_corpus_with_distractors.json"
+            with open(corpus_path, "w", encoding="utf-8") as f:
+                json.dump(combined, f, indent=1)
             gen_path = results_dir / f"{name}_generated_queries.json"
-            build_openfda_queries(corpus, output_path=str(gen_path))
-            ds = {**ds, "queries": str(gen_path)}
+            build_openfda_queries(combined, output_path=str(gen_path))
+            ds = {**ds, "queries": str(gen_path),
+                  "corpus_kwargs": {"openfda_path": str(corpus_path)}}
         out_path = results_dir / f"{name}_retrieval_results.json"
         if out_path.exists() and not args.force:
             print(f"[{name}] reusing existing {out_path}")

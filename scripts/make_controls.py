@@ -61,11 +61,22 @@ def kaggle_control_inputs(results_dir: Path):
 
 
 def openfda_control_inputs(results_dir: Path):
-    from domain_rag_system_tpu.etl.openfda import build_openfda_queries
+    from domain_rag_system_tpu.etl.openfda import (
+        build_openfda_queries,
+        make_openfda_distractors,
+    )
 
-    with open("data/recovered/OpenFDA/openfda_corpus.json",
-              encoding="utf-8") as f:
-        corpus = json.load(f)
+    # prefer the distractor-augmented corpus evaluate.py indexed (same
+    # corpus + queries as the system eval, like the kaggle control)
+    corpus_path = results_dir / "openfda_corpus_with_distractors.json"
+    if corpus_path.exists():
+        with open(corpus_path, encoding="utf-8") as f:
+            corpus = json.load(f)
+    else:
+        with open("data/recovered/OpenFDA/openfda_corpus.json",
+                  encoding="utf-8") as f:
+            corpus = json.load(f)
+        corpus = corpus + make_openfda_distractors(corpus)
     queries_path = results_dir / "openfda_generated_queries.json"
     if queries_path.exists():
         with open(queries_path, encoding="utf-8") as f:

@@ -63,6 +63,9 @@ def main() -> None:
     ap.add_argument("--evidence_chunks", type=int, default=None)
     ap.add_argument("--bm25_band", type=int, default=None,
                     help="dense-band size (top-K df terms via MXU matmul)")
+    ap.add_argument("--topk_approx", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="TPU approx_max_k candidate top-k (PartialReduce)")
     ap.add_argument("--embedding_cache", default=None,
                     help="directory caching the corpus embedding matrix "
                          "(see cv_tune.py)")
