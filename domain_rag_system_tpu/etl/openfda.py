@@ -105,8 +105,8 @@ _NAME_SYLLABLES = ["vor", "zan", "mex", "tal", "rin", "dux", "pha", "lor",
 
 def make_openfda_distractors(
     corpus: Sequence[Dict],
-    n: int = 160,
-    shadows_per_record: int = 2,
+    n: int = 600,
+    shadows_per_record: int = 5,
     seed: int = 11,
 ) -> List[Dict]:
     """Same-domain decoy labels — the kaggle shadow recipe ported to

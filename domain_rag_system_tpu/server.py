@@ -45,7 +45,8 @@ _QUERY_KNOBS = frozenset((
     "top_k", "fusion_method", "vector_weight", "bm25_weight", "prf_terms",
     "prf_docs", "prf_alpha", "group_by_doc", "evidence_alpha",
     "evidence_chunks", "fetch_mult", "bm25_type_boost", "rerank_top_n",
-    "filters",
+    "filters", "structured", "structured_modes", "structured_boost_dense",
+    "structured_boost_sparse", "annotate_queries", "topk_approx",
 ))
 
 
@@ -139,7 +140,11 @@ class BatchingFrontend:
         filters = overrides.pop("filters", None)
         kwargs.update(overrides)
         req = _Request(query, filters)
-        self._queue.put((req, tuple(sorted(kwargs.items()))))
+        # dict-valued knobs (structured_modes) must hash into the batch key
+        key = tuple(sorted(
+            (k, json.dumps(v, sort_keys=True) if isinstance(v, (dict, list))
+             else v) for k, v in kwargs.items()))
+        self._queue.put((req, key, kwargs))
         if not req.event.wait(timeout_s):
             raise TimeoutError(f"query not served within {timeout_s}s")
         if req.error is not None:
@@ -278,7 +283,8 @@ class BatchingFrontend:
         max_wait window (in-flight device work already provides the
         batching backpressure)."""
         try:
-            first_req, first_key = self._queue.get(timeout=block_s)
+            first_req, first_key, first_kwargs = self._queue.get(
+                timeout=block_s)
         except queue.Empty:
             return None
         batch = [first_req]
@@ -291,18 +297,18 @@ class BatchingFrontend:
         while len(batch) < self.cfg.batch_size:
             remaining = deadline - time.monotonic()
             try:
-                req, key = self._queue.get(
+                item = self._queue.get(
                     timeout=remaining if remaining > 0 else None,
                     block=remaining > 0)
             except queue.Empty:
                 break
-            if key == first_key:
-                batch.append(req)
+            if item[1] == first_key:
+                batch.append(item[0])
             else:
-                spill.append((req, key))
+                spill.append(item)
         for item in spill:
             self._queue.put(item)
-        return batch, dict(first_key)
+        return batch, first_kwargs
 
     def _dispatch(self, batch: List[_Request], kwargs: Dict):
         """Asynchronously dispatch one batch; returns the pipeline handle

@@ -117,11 +117,11 @@ def config_grid(args):
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", default="bioasq",
-                    choices=["bioasq", "kaggle"],
-                    help="kaggle = the round-4 hard eval (411 queries over "
-                         "the recovered+distractor corpus); requires "
-                         "scripts/evaluate.py --datasets kaggle to have "
-                         "generated the corpus/query artifacts")
+                    choices=["bioasq", "kaggle", "openfda"],
+                    help="kaggle/openfda = the hard evals (recovered+"
+                         "distractor corpora, rule-generated queries); "
+                         "require scripts/evaluate.py --datasets <ds> to "
+                         "have generated the corpus/query artifacts")
     ap.add_argument("--n_chunks", type=int, default=0,
                     help="pad with deterministic distractors to this index "
                          "size (0 = real corpus only)")
@@ -201,6 +201,15 @@ def main() -> None:
         corpus_path = root / "results/kaggle_corpus_with_distractors.json"
         queries = load_queries(root / "results/kaggle_generated_queries.json")
         docs = DataLoader(kaggle_path=str(corpus_path)).load_kaggle()
+    elif args.dataset == "openfda":
+        # the round-5 hard OpenFDA eval: recovered labels + same-domain
+        # shadows/decoys (etl/openfda.make_openfda_distractors),
+        # rule-generated queries with complete doc-level gt
+        cfg.top_k = 10
+        corpus_path = root / "results/openfda_corpus_with_distractors.json"
+        queries = load_queries(
+            root / "results/openfda_generated_queries.json")
+        docs = DataLoader(openfda_path=str(corpus_path)).load_openfda()
     else:
         corpus_path = root / "data/recovered/BioASQ/corpus_subset.json"
         queries = load_queries(

@@ -47,10 +47,12 @@ DATASETS = {
     "openfda": {
         "corpus_kwargs": {"openfda_path": "data/recovered/OpenFDA/openfda_corpus.json"},
         # rule-generated queries (>=50) with COMPLETE doc-level ground
-        # truth over the recovered fragment corpus; half use held-out
-        # paraphrase templates (etl/openfda.py — VERDICT round-2 item 6)
+        # truth over the recovered corpus + same-domain shadows/decoys;
+        # half use held-out paraphrase templates (etl/openfda.py)
         "queries": "generate",
         "top_k": 10,
+        # CV-selected OpenFDA operating point (results/cv_tune_openfda.json)
+        "overrides": "openfda_tuned",
     },
     "openfda_ref": {
         "corpus_kwargs": {"openfda_path": "data/recovered/OpenFDA/openfda_corpus.json"},

@@ -95,6 +95,11 @@ def add_query_flags(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--bm25_type_boost", type=float, default=None,
                     help="BM25F-style field prior: title chunks' BM25 "
                          "scores x boost (1.0 = off)")
+    ap.add_argument("--structured", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="parse attribute intent (pregnancy-safe/OTC/"
+                         "class/condition/best-rated) into metadata "
+                         "filters, boosts and rating-ordered ranking")
     ap.add_argument("--tuned", action="store_true",
                     help="use RetrievalConfig.tuned() for every knob not "
                          "explicitly set on the command line")
@@ -106,7 +111,7 @@ _REFERENCE_DEFAULTS = dict(
     top_k=5, fusion_method="rrf", vector_weight=0.5, bm25_weight=0.5,
     rerank_top_n=50, prf_terms=0, prf_docs=10, prf_alpha=0.6,
     group_by_doc=False, evidence_alpha=0.0, evidence_chunks=2, fetch_mult=4,
-    bm25_type_boost=1.0,
+    bm25_type_boost=1.0, structured=False,
 )
 
 
