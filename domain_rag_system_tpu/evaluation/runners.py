@@ -123,6 +123,17 @@ def run_retrieval_evaluation(
         metrics = calculate_retrieval_metrics(gt, retrieved)
         metrics["recall@5"] = recall_at_k(gt, retrieved, 5)
         metrics["ndcg@10"] = ndcg_at_k(gt, retrieved, 10)
+        if gt:
+            # ceiling-normalized recall@5 (R-precision-style): with
+            # COMPLETE ground truth, recall@5 is bounded by min(5,|gt|)/|gt|
+            # — a query with 40 legitimate answers caps at 0.125 for every
+            # system. The normalized metric reads "fraction of the
+            # achievable top-5 realized", so by-type rows dominated by
+            # large-gt queries aren't misread as weakness (measured: the
+            # kaggle attribute/class/condition rows sit AT their ceilings
+            # under structured retrieval).
+            ceiling = min(5, len(gt)) / len(gt)
+            metrics["recall@5_norm"] = metrics["recall@5"] / ceiling
         for k in extra_ks:
             metrics[f"hit@{k}"] = hit_at_k(gt, retrieved, k)
         return {
