@@ -57,6 +57,30 @@ _OPTION_CUE = re.compile(
     r"\b(?:options?|drugs?|medications?|medicines?|treatments?|choices|"
     r"alternatives?|what\s+can|which|available|take)\b", re.I)
 
+#: Section intent → candidate chunk types (only those present in the
+#: index activate). The reference's query suite ties each query type to
+#: ``expected_fields`` (``data/kaggle_drug_data/test_queries.py:91-99``:
+#: facts / related / side_effects_*) — this is that concept on the
+#: retrieval side: a soft preference for the section kind the question
+#: asks about. "what is X" only fires with a detected condition (an
+#: overview question about a DRUG has no overview section to prefer).
+#:
+#: OVERVIEW ONLY, by measurement (A/B on the kaggle hard eval,
+#: ``results/section_intent_ab.json``): the overview preference lifts
+#: condition_overview 0.467 → 0.583 recall@5 / MRR 0.9 → 1.0 with no
+#: other row moving, but side-effect and related intents are MEASURED
+#: HARMFUL — the preference is drug-UNconditional, so every drug's
+#: side-effect chunks inflate and the wrong drug's section can outrank
+#: the right drug's name evidence (drug_side_effects nDCG 0.927 → 0.465).
+#: A drug-conditioned section preference would need (drug AND section)
+#: masks; name-keyed queries already saturate without it, so it ships
+#: restricted rather than clever.
+_SECTION_INTENTS = (
+    ("overview",
+     re.compile(r"\bwhat is\b|\boverview\b|\btell me about\b", re.I),
+     ("condition_info", "condition_overview"), True),
+)
+
 #: family → default constraint mode. "hard" compiles to a filter mask
 #: (score -inf outside), "soft" to a score boost, "off" disables.
 #: Defaults are the 5-fold-CV winners on the kaggle hard eval
@@ -66,6 +90,7 @@ DEFAULT_MODES: Dict[str, str] = {
     "otc": "hard",
     "drug_class": "soft",
     "condition": "soft",
+    "section": "soft",     # section-intent chunk_type preference
     "rating": "on",        # "on" | "off": rating is a ranking stage, not a mask
 }
 
@@ -94,8 +119,10 @@ class StructuredQueryParser:
         conditions: Dict[str, None] = {}
         classes: Dict[str, None] = {}
         drugs: set = set()
+        chunk_types: set = set()
         has_preg = has_otc = has_rating = False
         for c in chunks:
+            chunk_types.add(c.chunk_type)
             m = c.metadata
             cond = m.get("medical_condition")
             if cond:
@@ -128,6 +155,10 @@ class StructuredQueryParser:
         self.has_pregnancy_data = has_preg
         self.has_otc_data = has_otc
         self.has_rating_data = has_rating
+        #: per section intent, the chunk types actually present here
+        self._section_types = {
+            name: tuple(t for t in types if t in chunk_types)
+            for name, _, types, _ in _SECTION_INTENTS}
         self.active = bool(self._conditions or self._classes
                            or has_preg or has_otc or has_rating)
         if self.active:
@@ -187,6 +218,16 @@ class StructuredQueryParser:
         cond = self._find(query, self._conditions)
         if cond is not None:
             emit("condition", {"medical_condition": cond})
+
+        for name, pattern, _, needs_cond in _SECTION_INTENTS:
+            present = self._section_types.get(name, ())
+            if not present or (needs_cond and cond is None):
+                continue
+            if pattern.search(query):
+                emit("section",
+                     {"chunk_type": (present[0] if len(present) == 1
+                                     else {"$in": list(present)})})
+                break
 
         rank_by_rating = bool(
             self.modes.get("rating", "on") == "on"

@@ -216,3 +216,30 @@ def test_explicit_filters_win_over_parser(kpipe):
                       filters={"rx_otc": "Rx"})
     # user's explicit rx_otc constraint overrides the parser's $contains
     assert all(r["metadata"]["rx_otc"] == "Rx" for r in out["results"])
+
+
+def test_section_intent_overview_only():
+    """Overview section intent: fires only with a detected condition and
+    emits a soft chunk_type preference; the measured-harmful side-effect/
+    related intents must NOT fire (results/section_intent_ab.json)."""
+    chunks = drug_chunks()
+    # add an overview-kind chunk so the intent's type is present
+    meta = dict(chunks[0].metadata)
+    chunks.append(Chunk(
+        chunk_id="ov0", doc_id=chunks[0].doc_id, source="kaggle",
+        chunk_type="condition_info",
+        text="Acne is a skin condition producing pimples.",
+        metadata=meta))
+    parser = StructuredQueryParser(chunks)
+
+    spec = parser.parse("What is Acne?")
+    assert spec and spec["soft"].get("chunk_type") == "condition_info"
+
+    # no condition detected -> overview intent must not fire
+    spec = parser.parse("What is the best approach?")
+    assert spec is None or "chunk_type" not in (spec["soft"] or {})
+
+    # side-effect phrasing must NOT emit a section preference (measured
+    # harmful: drug-unconditional boosts invert name-keyed rankings)
+    spec = parser.parse("What are the side effects of Tretinax?")
+    assert spec is None or "chunk_type" not in (spec["soft"] or {})
