@@ -531,8 +531,14 @@ def build_test_queries(
             rated = [r for r in real + same_domain
                      if r.get("medical_condition") == condition
                      and r.get("rating") is not None]
-            rated.sort(key=lambda r: -(float(r["rating"]) * 100.0
-                                       + float(r.get("no_of_reviews") or 0)))
+            # doc_id tie-break: hard shadows copy their source record's
+            # rating AND review count, so rating scores tie exactly —
+            # corpus order (the reference's implicit stable-sort rule) is
+            # not reconstructible at serving time, so both the gt and the
+            # pipeline's _rating_sort use (score desc, doc_id asc)
+            rated.sort(key=lambda r: (-(float(r["rating"]) * 100.0
+                                        + float(r.get("no_of_reviews") or 0)),
+                                      r["doc_id"]))
             cand_order = [r["doc_id"] for r in rated[:top_k]]
             by_id = {c["doc_id"]: c for c in chunks_ext
                      if c["kind"] == "facts"}

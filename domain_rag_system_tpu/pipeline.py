@@ -382,10 +382,13 @@ def _rating_sort(results: List[Dict], top_k: int) -> List[Dict]:
 
     Key parity with the reference's rating-ordered ground truth
     (``data/kaggle_drug_data/test_queries.py:119-127``: ``rating*100 +
-    no_of_reviews``): rating primary, review count tie-break. Docs without
-    a rating rank after all rated ones, keeping their relevance order —
-    retrieval relevance decides WHICH docs qualify, the metadata decides
-    their order."""
+    no_of_reviews``): rating primary, review count folded in, exact-score
+    ties broken by doc_id (deterministic on both the eval-gt and serving
+    sides — corpus order, the reference's implicit stable-sort rule, is
+    not reconstructible at serving time). Docs without a rating rank
+    after all rated ones, keeping their relevance order — retrieval
+    relevance decides WHICH docs qualify, the metadata decides their
+    order."""
     def key(pos_r):
         pos, r = pos_r
         m = r.get("metadata", {})
@@ -394,7 +397,8 @@ def _rating_sort(results: List[Dict], top_k: int) -> List[Dict]:
         reviews = m.get("no_of_reviews")
         reviews = reviews if isinstance(reviews, (int, float)) else 0.0
         return (0 if has else 1,
-                -((rating * 100.0 + reviews) if has else 0.0), pos)
+                -((rating * 100.0 + reviews) if has else 0.0),
+                str(r.get("doc_id", "")), pos)
 
     ranked = [r for _, r in sorted(enumerate(results), key=key)]
     return ranked[:top_k]
@@ -798,6 +802,18 @@ class RetrievalPipeline:
             # the pool, so deeper pools can recover distinct relevant docs
             # (swept at scale — see results/cv_tune_fetch_mult.json)
             fetch_k = max(fetch_k, top_k * fetch_mult)
+        if any_rating:
+            # best-rated intent re-orders by metadata, so the pool should
+            # approach the QUALIFYING SET, not just the text-relevant
+            # head: relevance rank is uncorrelated with rating, and a
+            # condition can have far more qualifying docs than
+            # top_k*fetch_mult (96 Acne records vs a 30-doc default pool).
+            # On the current eval the hard condition filter already packs
+            # the pool with qualifying docs (the measured 0.775→1.0 fix
+            # was the deterministic rating TIE-BREAK, not depth), but a
+            # deployment with >pool distinct-rated qualifiers needs the
+            # depth; 4× is one extra compiled shape, cached.
+            fetch_k = max(fetch_k, top_k * fetch_mult * 4)
         keep = fetch_k if group_by_doc else top_k
         over_k = fetch_k * 2  # hybrid over-fetch parity
         # RM3 needs a feedback set that is a strict subset of the index:
