@@ -704,14 +704,22 @@ class RetrievalPipeline:
         ``max_inflight`` window — keeping it separate from the per-batch
         stages stops it silently swallowing the window in per-batch means
         (VERDICT r3 weak 4)."""
+        def leaves(h):
+            if h.get("_split"):
+                for part, _ in h["parts"]:
+                    yield from leaves(part)
+            else:
+                yield h
+
+        leaf_list = [lf for h in window for lf in leaves(h)]
         with self.timer.stage("window_pull"):
             pulled = jax.device_get(tuple(
                 (h["fused_ids_dev"], h["fused_scores_dev"], h["rerank_dev"])
-                for h in window))
+                for h in leaf_list))
+        for leaf, host_arrays in zip(leaf_list, pulled):
+            leaf["_host_results"] = host_arrays
         outputs: List[Dict] = []
-        for handle, host_arrays in zip(window, pulled):
-            handle = dict(handle)
-            handle["_host_results"] = host_arrays
+        for handle in window:
             outputs.extend(self.finalize_batch(handle))
         return outputs
 
@@ -785,9 +793,53 @@ class RetrievalPipeline:
                         per_query_filters[qi] = {**spec["hard"], **user}
                     per_query_boosts[qi] = spec["soft"]
                     rate_flags[qi] = spec["rank_by_rating"]
+        if any(rate_flags) and not all(rate_flags):
+            # SPLIT DISPATCH: best-rated queries need a deeper grouped
+            # pool (the qualifying set — relevance rank is uncorrelated
+            # with rating), and fetch_k is batch-static: deepening the
+            # whole batch would silently move every co-batched query off
+            # its CV'd fetch_mult operating point (observed on the
+            # reference-query artifact). Rating and non-rating queries
+            # therefore dispatch as two programs; finalize reassembles
+            # original order. The composite handle still pipelines — the
+            # streaming executor pulls its leaf handles in one sync.
+            idx_r = [i for i, f in enumerate(rate_flags) if f]
+            idx_n = [i for i, f in enumerate(rate_flags) if not f]
+            common = dict(
+                top_k=top_k, fusion_method=fusion_method,
+                vector_weight=vector_weight, bm25_weight=bm25_weight,
+                rerank_top_n=rerank_top_n, preprocess=preprocess,
+                prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
+                group_by_doc=group_by_doc, evidence_alpha=evidence_alpha,
+                evidence_chunks=evidence_chunks, fetch_mult=fetch_mult,
+                bm25_type_boost=bm25_type_boost, structured=structured,
+                structured_modes=structured_modes,
+                structured_boost_dense=structured_boost_dense,
+                structured_boost_sparse=structured_boost_sparse,
+                annotate_queries=annotate_queries, topk_approx=topk_approx,
+                async_copy=async_copy)
+            user_filters = (filters if isinstance(filters, (dict, type(None)))
+                            else list(filters))
+            sub_f = (lambda idxs: user_filters
+                     if isinstance(user_filters, (dict, type(None)))
+                     else [user_filters[i] for i in idxs])
+            parts = []
+            for idxs in (idx_n, idx_r):
+                h = self.dispatch_batch([queries[i] for i in idxs],
+                                        filters=sub_f(idxs), **common)
+                parts.append((h, idxs))
+            return {"_split": True, "parts": parts, "b": len(queries)}
+
         has_qfilter = any(f for f in per_query_filters)
         has_qboost = any(b for b in per_query_boosts)
         any_rating = any(rate_flags)
+        if any_rating and group_by_doc:
+            # pure-rating batch (mixed batches split above): the grouped
+            # pool should approach the qualifying set, not just the
+            # text-relevant head — a condition can have far more
+            # qualifying docs than top_k*fetch_mult (96 Acne records vs
+            # the 30-doc default). One extra compiled shape, cached.
+            fetch_mult = fetch_mult * 4
         dense = self.index.dense_index
         sparse = self.index.bm25_index
         # head-only reorder consumes the GROUPED baseline, so the fused
@@ -802,18 +854,14 @@ class RetrievalPipeline:
             # the pool, so deeper pools can recover distinct relevant docs
             # (swept at scale — see results/cv_tune_fetch_mult.json)
             fetch_k = max(fetch_k, top_k * fetch_mult)
-        if any_rating:
-            # best-rated intent re-orders by metadata, so the pool should
-            # approach the QUALIFYING SET, not just the text-relevant
-            # head: relevance rank is uncorrelated with rating, and a
-            # condition can have far more qualifying docs than
-            # top_k*fetch_mult (96 Acne records vs a 30-doc default pool).
-            # On the current eval the hard condition filter already packs
-            # the pool with qualifying docs (the measured 0.775→1.0 fix
-            # was the deterministic rating TIE-BREAK, not depth), but a
-            # deployment with >pool distinct-rated qualifiers needs the
-            # depth; 4× is one extra compiled shape, cached.
-            fetch_k = max(fetch_k, top_k * fetch_mult * 4)
+        # NB: best-rated queries use the same fetch_k as the rest of the
+        # batch. A deeper pool for them was tried and REVERTED: fetch_k is
+        # batch-static, so deepening it silently moved every co-batched
+        # query to a different (un-CV'd) fetch_mult operating point, and
+        # the measured best_rated fix was the deterministic rating
+        # tie-break, not depth (the hard condition filter already packs
+        # the pool with qualifying docs). Callers who need the qualifying
+        # set exhaustively can raise fetch_mult explicitly.
         keep = fetch_k if group_by_doc else top_k
         over_k = fetch_k * 2  # hybrid over-fetch parity
         # RM3 needs a feedback set that is a strict subset of the index:
@@ -1064,6 +1112,12 @@ class RetrievalPipeline:
         ``window_pull`` in the streaming executor. An external reranker's
         scoring pass is the nested ``rerank`` stage (a sub-interval of
         ``finalize`` — the only stage overlap in the table)."""
+        if handle.get("_split"):
+            outs: List[Optional[Dict]] = [None] * handle["b"]
+            for part, idxs in handle["parts"]:
+                for out, i in zip(self.finalize_batch(part), idxs):
+                    outs[i] = out
+            return [o for o in outs if o is not None]
         if "_host_results" not in handle:
             with self.timer.stage("retrieve"):
                 # one consolidated device→host pull (each separate

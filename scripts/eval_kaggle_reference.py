@@ -44,10 +44,19 @@ def main() -> None:
     root = Path(__file__).resolve().parent.parent
     records = json.load(open(root / args.corpus, encoding="utf-8"))
     real = [r for r in records if not r.get("distractor")]
+    # Reference-faithful corpus composition: synthetic decoys only, NO
+    # same-domain hard shadows. The reference defined these queries' gt
+    # over a world where only its real records qualify; hard shadows
+    # truthfully share condition/attribute/rating metadata and — with the
+    # deterministic rating tie-break — can legitimately outrank real docs
+    # at equal rating, which scores as a miss against the reference's gt
+    # even though the retrieval is correct in the indexed world. The
+    # regenerated 455-query eval (whose gt INCLUDES truthful shadows)
+    # carries the hard-shadow pressure; this artifact measures parity on
+    # the reference's own terms.
     combined = (records
-                + make_distractor_records(real, n=0, hard_per_record=2)
                 + make_distractor_records(real, n=600, shadows_per_record=3))
-    tmp_corpus = root / "results" / "kaggle_corpus_with_distractors.json"
+    tmp_corpus = root / "results" / "kaggle_reference_corpus.json"
     tmp_corpus.parent.mkdir(parents=True, exist_ok=True)
     with open(tmp_corpus, "w", encoding="utf-8") as f:
         json.dump(combined, f)

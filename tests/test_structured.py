@@ -243,3 +243,32 @@ def test_section_intent_overview_only():
     # harmful: drug-unconditional boosts invert name-keyed rankings)
     spec = parser.parse("What are the side effects of Tretinax?")
     assert spec is None or "chunk_type" not in (spec["soft"] or {})
+
+
+def test_rating_split_dispatch_preserves_cobatch_semantics(kpipe):
+    """Mixed rating/non-rating batches split into two dispatches: the
+    non-rating queries' results must be BIT-IDENTICAL to running them
+    without the rating query in the batch (a shared deeper fetch_k would
+    silently change their fused pool), and order is reassembled."""
+    plain_q = "What drugs treat Pain?"
+    rating_q = "Which drugs are best rated for Acne?"
+    solo = kpipe.query_batch([plain_q], top_k=4, group_by_doc=True,
+                             structured=True)
+    mixed = kpipe.query_batch([plain_q, rating_q, plain_q], top_k=4,
+                              group_by_doc=True, structured=True)
+    assert [r["chunk_id"] for r in mixed[0]["results"]] == \
+        [r["chunk_id"] for r in solo[0]["results"]]
+    assert [r["chunk_id"] for r in mixed[2]["results"]] == \
+        [r["chunk_id"] for r in solo[0]["results"]]
+    # the rating query keeps its rating-ordered semantics in the middle slot
+    scores = [r["metadata"]["rating"] * 100 + r["metadata"]["no_of_reviews"]
+              for r in mixed[1]["results"]]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["metadata"]["medical_condition"] == "Acne"
+               for r in mixed[1]["results"])
+    # streaming executor handles composite (split) handles in its window
+    stream = kpipe.query_stream([plain_q, rating_q, plain_q], batch_size=3,
+                                top_k=4, group_by_doc=True, structured=True)
+    for a, b in zip(stream, mixed):
+        assert [r["chunk_id"] for r in a["results"]] == \
+            [r["chunk_id"] for r in b["results"]]
