@@ -299,13 +299,13 @@ class RetrievalConfig:
         this corpus — ``results/cv_tune_kaggle.json``); fetch_mult 6 and
         evidence_alpha 0.5 on a fold plateau. Round 5 adds STRUCTURED
         QUERY PARSING, CV-selected on the 455-query shape
-        (``results/cv_tune_structured.json``): every fold chose
+        (``results/cv_tune_structured.json``, re-confirmed after the
+        section-intent and rating-tie-break additions): every fold chose
         structured=True with the default modes (pregnancy/OTC hard
-        filters, class/condition soft boosts) and boost_sparse 0.6
-        (boost_dense 0.25 on 4/5 folds) over off/all-soft/all-hard —
-        out-of-fold recall@5 0.9006 / nDCG@10 0.8999 (round 4:
-        0.8652 / 0.8555). Shipped in-sample 0.933 / 0.941 / MRR 0.970 vs
-        the 0.692 / 0.668 control. Index-side brand↔generic
+        filters, class/condition/section soft boosts), 4/5 folds the
+        0.25/0.6 boosts — out-of-fold recall@5 0.9110 / nDCG@10 0.9085
+        (round 4: 0.8652 / 0.8555). Shipped in-sample 0.944 / 0.950 /
+        MRR 0.972 vs the 0.692 / 0.668 control. Index-side brand↔generic
         canonicalization stays on (cross-name query types rank at nDCG
         ~0.49 without it — ``results/kaggle_ablation_no_normalize.json``)."""
         cfg = cls.tuned()

@@ -78,7 +78,50 @@ class ExtractiveGenerator(BaseGenerator):
     # ------------------------------------------------------------ decoding
 
     def generate(self, query: str, contexts: List[Dict],
-                 question_type: str = "summary", **kwargs) -> Dict[str, Any]:
+                 question_type: str = "summary", structured: Dict = None,
+                 **kwargs) -> Dict[str, Any]:
+        """``structured`` is the retrieval output's parsed-intent block
+        (``RetrievalPipeline`` attaches it when structured parsing fired).
+        Option-seeking intent — attribute hard filters or best-rated
+        ranking — switches to an OPTIONS answer: the qualifying drugs are
+        enumerated by name (with ratings when the ranking was
+        rating-ordered), which is the answer the reference's
+        attribute-keyed queries actually want (its LLM prompt asks the
+        model to synthesize exactly this from the contexts,
+        ``src/generation/generator.py:109-149``; offline we read it from
+        the retrieved metadata directly)."""
+        if structured and contexts and (
+                structured.get("rank_by_rating")
+                or any(k in (structured.get("hard") or {})
+                       for k in ("pregnancy_category_raw", "rx_otc",
+                                 "drug_classes"))):
+            seen: Dict[str, Dict] = {}
+            for ctx in contexts:
+                m = ctx.get("metadata", {})
+                name = m.get("drug_name") or m.get("generic_name")
+                if name and name not in seen:
+                    seen[name] = m
+            if seen:
+                parts = []
+                for name, m in seen.items():
+                    rating = m.get("rating")
+                    if structured.get("rank_by_rating") and isinstance(
+                            rating, (int, float)):
+                        parts.append(f"{name} (rated {rating}/10)")
+                    else:
+                        parts.append(name)
+                answer = "Options: " + ", ".join(parts) + "."
+                return {
+                    "answer": answer,
+                    "sources": list(dict.fromkeys(
+                        c.get("chunk_id", "") for c in contexts)),
+                    "metadata": {
+                        "model_type": "extractive",
+                        "question_type": "options",
+                        "num_contexts": len(contexts),
+                        "num_options": len(seen),
+                    },
+                }
         ranked = self._ranked_sentences(query, contexts)
         if not ranked:
             return {

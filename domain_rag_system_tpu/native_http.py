@@ -366,7 +366,8 @@ class NativeRagServer:
             for it, out in zip(items, outs):
                 if it.is_rag:
                     gen = self.generator.generate(
-                        it.query, out["results"], question_type=it.qtype)
+                        it.query, out["results"], question_type=it.qtype,
+                        structured=out.get("structured"))
                     out["answer"] = gen["answer"]
                     out["generation"] = gen.get("metadata", {})
                 self._respond(it.req_id, 200, out)

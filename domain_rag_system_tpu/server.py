@@ -510,7 +510,8 @@ def make_handler(frontend: BatchingFrontend, generator=None,
                     qtype = body.pop("question_type", "summary")
                     out = frontend.submit(q, body)
                     gen = generator.generate(q, out["results"],
-                                             question_type=qtype)
+                                             question_type=qtype,
+                                             structured=out.get("structured"))
                     out["answer"] = gen["answer"]
                     out["generation"] = gen.get("metadata", {})
                     self._send(200, out)

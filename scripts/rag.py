@@ -64,6 +64,7 @@ def run_answer_evaluation(args) -> None:
         outs = pipeline.query_batch([q["body"] for q in batch], **kwargs)
         for q, out in zip(batch, outs):
             gen = generator.generate(q["body"], out["results"],
+                                     structured=out.get("structured"),
                                      question_type=q.get("type", "summary"))
             answers[q["id"]] = gen["answer"]
             retrieved_texts[q["id"]] = [r["text"] for r in out["results"]]
@@ -129,7 +130,8 @@ def main() -> None:
         args.query, filters=args.filters, **query_kwargs_from_args(args))
 
     generator = make_generator(args)
-    answer = generator.generate(args.query, retrieval["results"])
+    answer = generator.generate(args.query, retrieval["results"],
+                                structured=retrieval.get("structured"))
     elapsed = time.time() - t0
 
     print(f"\nQuery: {args.query}")

@@ -51,3 +51,42 @@ def test_no_overlap_degrades_gracefully():
     out = gen.generate("entirely unrelated astrophysics question",
                        CONTEXTS, question_type="summary")
     assert out["sources"] == []
+
+
+def test_extractive_options_answer_for_structured_queries():
+    """Option-seeking structured intent -> the answer enumerates the
+    qualifying drugs (with ratings when rating-ranked) instead of
+    extracting sentences."""
+    from domain_rag_system_tpu.generation.extractive import ExtractiveGenerator
+
+    gen = ExtractiveGenerator()
+    contexts = [
+        {"chunk_id": "c1", "text": "Benzogel treats Acne.",
+         "metadata": {"drug_name": "Benzogel", "rating": 6.5}},
+        {"chunk_id": "c2", "text": "Clearasol treats Acne.",
+         "metadata": {"drug_name": "Clearasol", "rating": 7.2}},
+        {"chunk_id": "c3", "text": "Benzogel directions.",
+         "metadata": {"drug_name": "Benzogel", "rating": 6.5}},
+    ]
+    spec = {"hard": {"rx_otc": {"$contains": "OTC"}}, "soft": None,
+            "rank_by_rating": False}
+    out = gen.generate("Which OTC options exist for Acne?", contexts,
+                       structured=spec)
+    assert out["metadata"]["question_type"] == "options"
+    assert out["answer"] == "Options: Benzogel, Clearasol."
+
+    rated = gen.generate("best rated for acne", contexts,
+                         structured={"hard": {"medical_condition": "Acne"},
+                                     "soft": None, "rank_by_rating": True})
+    assert "rated 6.5/10" in rated["answer"] and "rated 7.2/10" in rated["answer"]
+
+    # no structured block -> normal extractive path
+    plain = gen.generate("Which OTC options exist for Acne?", contexts)
+    assert plain["metadata"]["question_type"] != "options"
+
+    # condition-only soft spec must NOT trigger the options mode
+    softonly = gen.generate("What drugs treat Acne?", contexts,
+                            structured={"hard": None,
+                                        "soft": {"medical_condition": "Acne"},
+                                        "rank_by_rating": False})
+    assert softonly["metadata"].get("question_type") != "options"

@@ -272,3 +272,24 @@ def test_rating_split_dispatch_preserves_cobatch_semantics(kpipe):
     for a, b in zip(stream, mixed):
         assert [r["chunk_id"] for r in a["results"]] == \
             [r["chunk_id"] for r in b["results"]]
+
+
+def test_structured_survives_bundle_roundtrip(tmp_path, kpipe):
+    """Metadata-driven structured retrieval must work identically on an
+    index reloaded from a persistence bundle (chunk metadata — conditions,
+    attributes, ratings — travels through save_index/load_index)."""
+    from domain_rag_system_tpu.persistence import (
+        load_index,
+        save_index,
+        snapshot_index,
+    )
+
+    q = "Which OTC options exist for Acne?"
+    before = kpipe.query(q, top_k=5, group_by_doc=True, structured=True)
+    save_index(snapshot_index(kpipe.index), tmp_path / "bundle")
+    restored = load_index(tmp_path / "bundle")
+    pipe2 = RetrievalPipeline(restored)
+    after = pipe2.query(q, top_k=5, group_by_doc=True, structured=True)
+    assert [r["chunk_id"] for r in after["results"]] == \
+        [r["chunk_id"] for r in before["results"]]
+    assert after["structured"]["hard"] == before["structured"]["hard"]
