@@ -90,11 +90,14 @@ class ExtractiveGenerator(BaseGenerator):
         model to synthesize exactly this from the contexts,
         ``src/generation/generator.py:109-149``; offline we read it from
         the retrieved metadata directly)."""
+        _ATTR_KEYS = ("pregnancy_category_raw", "rx_otc", "drug_classes",
+                      "active_ingredients")
         if structured and contexts and (
                 structured.get("rank_by_rating")
                 or any(k in (structured.get("hard") or {})
-                       for k in ("pregnancy_category_raw", "rx_otc",
-                                 "drug_classes"))):
+                       for k in _ATTR_KEYS)
+                or any(k in (structured.get("soft") or {})
+                       for k in ("drug_classes", "active_ingredients"))):
             seen: Dict[str, Dict] = {}
             for ctx in contexts:
                 m = ctx.get("metadata", {})
