@@ -1048,17 +1048,14 @@ class RetrievalPipeline:
                 q_emb, q_ids, q_w, q_orig_emb,
                 (dense.row_scale if has_dense and dense.row_scale is not None
                  else jnp.zeros((), jnp.float32)),
-                _scalar_f32(float(vector_weight)),
-                _scalar_f32(float(bm25_weight)),
+                vector_weight, bm25_weight,
                 q_filter_d, q_filter_s,
                 q_boost_d, q_boost_s,
                 _scalar_f32(float(structured_boost_dense)),
                 _scalar_f32(float(structured_boost_sparse)),
                 enc_params, q_tok, band_mat, band_slot,
                 type_rows, _scalar_f32(float(bm25_type_boost)),
-                doc_group,
-                (_scalar_f32(float(evidence_alpha)) if use_device_group
-                 else None),
+                doc_group, float(evidence_alpha) if use_device_group else None,
                 enc_module=enc_module, encode_orig=encode_orig,
                 band_k=band_k, use_type_boost=use_type_boost,
                 # best-rated intent reorders by a metadata key the device
@@ -1073,8 +1070,7 @@ class RetrievalPipeline:
                 has_dense=has_dense, has_sparse=has_sparse,
                 use_rerank=use_device_rerank,
                 use_split=use_split,
-                prf_terms=prf_terms, prf_docs=prf_docs,
-                prf_alpha=_scalar_f32(float(prf_alpha)),
+                prf_terms=prf_terms, prf_docs=prf_docs, prf_alpha=prf_alpha,
                 has_qfilter=has_qfilter, has_qboost=has_qboost,
                 topk_approx=topk_approx,
             )
