@@ -99,16 +99,65 @@ DEFAULT_MODES: Dict[str, str] = {
 }
 
 
-def _token_pattern(value: str) -> Optional[re.Pattern]:
-    """Word-boundary regex matching ``value``'s alphanumeric tokens with any
-    punctuation between them — "Diabetes (Type 2)" matches "diabetes type 2"
-    and the punctuated original; robust to the query cleaner stripping
-    characters like ``&``."""
-    tokens = re.findall(r"[a-z0-9]+", value.lower())
-    if not tokens:
-        return None
-    return re.compile(r"\b" + r"\W+".join(map(re.escape, tokens)) + r"\b",
-                      re.I)
+_TOKENS = re.compile(r"[a-z0-9]+")
+
+
+def _tokkey(text: str) -> str:
+    return " ".join(_TOKENS.findall(text.lower()))
+
+
+class _VocabMatcher:
+    """ONE combined token-flexible alternation over a value vocabulary.
+
+    Each value matches on its alphanumeric tokens with any punctuation
+    between them — "Diabetes (Type 2)" matches "diabetes type 2" and the
+    punctuated original (robust to the query cleaner stripping ``&``).
+    A single compiled alternation + first-token prefilter replaces the
+    per-value pattern loop (1,126 drug names on the OpenFDA corpus made
+    per-query scans O(|vocab|) regex searches); the match maps back to
+    its canonical value via the token-normalized key. ``find`` returns
+    the LONGEST matching value (the per-value loop's longest-first
+    semantics)."""
+
+    __slots__ = ("rx", "lookup", "first_tokens")
+
+    def __init__(self, values):
+        self.lookup = {}
+        for v in sorted(values, key=len, reverse=True):
+            key = _tokkey(v)
+            if key:
+                self.lookup.setdefault(key, v)
+        if not self.lookup:
+            self.rx = None
+            self.first_tokens = frozenset()
+            return
+        bodies = sorted(
+            (r"\W+".join(map(re.escape, k.split())) for k in self.lookup),
+            key=len, reverse=True)
+        self.rx = re.compile(r"\b(?:" + "|".join(bodies) + r")\b", re.I)
+        self.first_tokens = frozenset(k.split()[0] for k in self.lookup)
+
+    def __bool__(self):
+        return self.rx is not None
+
+    def _hit(self, text: str) -> bool:
+        if self.rx is None:
+            return False
+        ft = self.first_tokens
+        return any(t in ft for t in _TOKENS.findall(text.lower()))
+
+    def search(self, text: str) -> bool:
+        return self._hit(text) and self.rx.search(text) is not None
+
+    def find(self, text: str) -> Optional[str]:
+        if not self._hit(text):
+            return None
+        best = None
+        for m in self.rx.finditer(text):
+            v = self.lookup.get(_tokkey(m.group(0)))
+            if v is not None and (best is None or len(v) > len(best)):
+                best = v
+        return best
 
 
 class StructuredQueryParser:
@@ -149,19 +198,10 @@ class StructuredQueryParser:
             if m.get("rating") is not None:
                 has_rating = True
 
-        # longest-first so "Diabetes (Type 2)" wins over a hypothetical
-        # "Diabetes"; matching stops at the first hit per family
-        self._conditions = [(v, p) for v in sorted(conditions, key=len,
-                                                   reverse=True)
-                            if (p := _token_pattern(v)) is not None]
-        self._classes = [(v, p) for v in sorted(classes, key=len,
-                                                reverse=True)
-                         if (p := _token_pattern(v)) is not None]
-        self._ingredients = [(v, p) for v in sorted(ingredients, key=len,
-                                                    reverse=True)
-                             if (p := _token_pattern(v)) is not None]
-        self._drug_patterns = [p for d in sorted(drugs, key=len, reverse=True)
-                               if (p := _token_pattern(d)) is not None]
+        self._conditions = _VocabMatcher(conditions)
+        self._classes = _VocabMatcher(classes)
+        self._ingredients = _VocabMatcher(ingredients)
+        self._drugs = _VocabMatcher(drugs)
         self.has_pregnancy_data = has_preg
         self.has_otc_data = has_otc
         self.has_rating_data = has_rating
@@ -176,19 +216,18 @@ class StructuredQueryParser:
             log.info(
                 "structured parser: %d conditions, %d classes, %d drug "
                 "names, pregnancy=%s otc=%s rating=%s",
-                len(self._conditions), len(self._classes), len(drugs),
+                len(self._conditions.lookup), len(self._classes.lookup),
+                len(drugs),
                 has_preg, has_otc, has_rating)
 
     # ------------------------------------------------------------------ parse
 
     def _names_drug(self, query: str) -> bool:
-        return any(p.search(query) for p in self._drug_patterns)
+        return self._drugs.search(query)
 
-    def _find(self, query: str, vocab) -> Optional[str]:
-        for value, pattern in vocab:
-            if pattern.search(query):
-                return value
-        return None
+    @staticmethod
+    def _find(query: str, vocab: "_VocabMatcher") -> Optional[str]:
+        return vocab.find(query)
 
     def parse(self, query: str) -> Optional[Dict]:
         """``{"hard": {...}|None, "soft": {...}|None, "rank_by_rating": bool}``
