@@ -69,11 +69,20 @@ def eval_dataset(name: str, cfg, corpus_kwargs, corpus_path, queries_path,
     outs = pipeline.query_batch([q["body"] for q in queries], **kw)
     rows, agg = [], {"precision": 0.0, "recall": 0.0, "f1": 0.0}
     n_options = 0
+    skipped_unnamed = 0
+    scored_queries = []
     for q, out in zip(queries, outs):
         ans = gen.generate(q["body"], out["results"],
                            structured=out.get("structured"))
         pred = parse_options(ans["answer"])
         gold = {n.lower() for d in q["documents"] for n in names_of(d)}
+        if not gold:
+            # every gt doc is an UNNAMED label (53/80 recovered OpenFDA
+            # records carry no brand/generic name) — a name-list answer
+            # is unscorable for these by construction, not a miss
+            skipped_unnamed += 1
+            continue
+        scored_queries.append(q)
         is_options = pred is not None
         n_options += is_options
         p, r, f1 = set_prf(gold, set(pred or []))
@@ -84,9 +93,10 @@ def eval_dataset(name: str, cfg, corpus_kwargs, corpus_path, queries_path,
                      "options_mode": is_options,
                      "n_gold": len(gold), "precision": round(p, 3),
                      "recall": round(r, 3), "f1": round(f1, 3)})
-    n = max(len(queries), 1)
+    n = max(len(scored_queries), 1)
     overall = {k: round(v / n, 4) for k, v in agg.items()}
-    overall["n_queries"] = len(queries)
+    overall["n_queries"] = len(scored_queries)
+    overall["n_skipped_unnamed_gt"] = skipped_unnamed
     overall["options_mode_rate"] = round(n_options / n, 3)
     by_type = {}
     for t in OPTION_TYPES[name]:
