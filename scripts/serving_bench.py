@@ -178,8 +178,11 @@ def main() -> None:
 
     root = Path(__file__).resolve().parent.parent
     cfg = RetrievalConfig.tuned()
-    pipeline, info = build_pipeline(cfg, corpus_kwargs={
-        "pubmed_path": str(root / "data/recovered/BioASQ/corpus_subset.json")})
+    pipeline, info = build_pipeline(
+        cfg,
+        corpus_kwargs={
+            "pubmed_path": str(root / "data/recovered/BioASQ/corpus_subset.json")},
+        embedding_cache_dir="data/embcache")
     queries = [q["body"] for q in load_queries(
         root / "data/recovered/BioASQ/bioasq_queries.json")]
     queries_file = "/tmp/drs_bench_queries.json"
