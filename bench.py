@@ -57,7 +57,8 @@ def main() -> None:
 
     cfg = RetrievalConfig.tuned()
     pipeline, info = build_pipeline(
-        cfg, corpus_kwargs={"pubmed_path": str(corpus_path)})
+        cfg, corpus_kwargs={"pubmed_path": str(corpus_path)},
+        embedding_cache_dir=str(ROOT / "data" / "embcache"))
     queries = load_queries(queries_path)
 
     # Warmup: compile every program in the batched path.
