@@ -316,6 +316,8 @@ class RetrievalConfig:
         cfg.evidence_alpha = 0.5
         cfg.fetch_mult = 6
         cfg.structured_queries = True
+        cfg.structured_boost_sparse = 1.5  # unanimous folds with the
+                                           # drug-name family active
         return cfg
 
     @classmethod

@@ -26,7 +26,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = jnp.float32(-1e30)
+# Python literal, NOT a jnp scalar: a module-level device array gets
+# baked into every closing jit as a jaxpr CONSTANT, and MLIR lowering
+# fetches constants' host values (array._value) — a device_get at
+# LOWERING time, which can hang indefinitely when the remote-TPU
+# transport is in its wedge mode (observed round 5: every fresh-shape
+# lowering stalled in ir_constant). A literal lowers inline.
+NEG_INF = -1e30
 
 
 def lax_topk(scores: jax.Array, k: int,

@@ -28,7 +28,13 @@ import jax.numpy as jnp
 
 from domain_rag_system_tpu.ops.dense_topk import lax_topk
 
-NEG_INF = jnp.float32(-1e30)
+# Python literal, NOT a jnp scalar: a module-level device array gets
+# baked into every closing jit as a jaxpr CONSTANT, and MLIR lowering
+# fetches constants' host values (array._value) — a device_get at
+# LOWERING time, which can hang indefinitely when the remote-TPU
+# transport is in its wedge mode (observed round 5: every fresh-shape
+# lowering stalled in ir_constant). A literal lowers inline.
+NEG_INF = -1e30
 RRF_K = 60
 
 

@@ -78,6 +78,10 @@ def load_openfda(filepath: Path) -> List[Document]:
                     "active_ingredients": [
                         t.lower()
                         for t in _ingredient_terms(item.get("text", ""))],
+                    "all_names": sorted({n.lower() for n in
+                                         [item.get("brand_name", ""),
+                                          item.get("generic_name", "")]
+                                         if n}),
                     "effective_time": meta_src.get("effective_time", ""),
                     "version": meta_src.get("version", ""),
                     "has_active_ingredients": meta_src.get("has_active_ingredients", False),
@@ -110,6 +114,14 @@ def load_kaggle(filepath: Path) -> List[Document]:
                 metadata={
                     "drug_name": item["drug_name"],
                     "generic_name": item.get("generic_name", ""),
+                    # every name this record answers to, lowercased — the
+                    # structured drug-name intent matches on this (a brand
+                    # alias may never occur in the section text)
+                    "all_names": sorted({n.lower() for n in
+                                         [item["drug_name"],
+                                          item.get("generic_name", "")]
+                                         + list(item.get("brand_names", []))
+                                         if n}),
                     "medical_condition": item["medical_condition"],
                     "drug_classes": item.get("drug_classes", []),
                     "brand_names": item.get("brand_names", []),

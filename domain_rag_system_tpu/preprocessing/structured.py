@@ -94,6 +94,9 @@ DEFAULT_MODES: Dict[str, str] = {
     "drug_class": "soft",
     "condition": "soft",
     "ingredient": "hard",  # vocab is corpus-derived: narrows, never blanks
+    "drug_name": "soft",   # name-keyed queries: prefer docs whose name
+                           # metadata (drug/generic/brands) matches — a
+                           # brand alias may never occur in section TEXT
     "section": "soft",     # section-intent chunk_type preference
     "rating": "on",        # "on" | "off": rating is a ranking stage, not a mask
 }
@@ -248,8 +251,16 @@ class StructuredQueryParser:
             elif mode == "soft":
                 soft.update(constraint)
 
-        names_drug = self._names_drug(query)
+        named = self._drugs.find(query)
+        names_drug = named is not None
         option_seeking = bool(_OPTION_CUE.search(query))
+
+        if named is not None:
+            # asking ABOUT a drug: prefer the docs that answer to that
+            # name in metadata (drug_name/generic/brand_names — the
+            # loaders derive `all_names`); the gazetteer vocab is
+            # lowercased, matching the metadata normalization
+            emit("drug_name", {"all_names": named})
 
         # Attribute families: only for option-seeking queries that don't
         # name a drug (asking ABOUT a drug must see that drug regardless
