@@ -293,3 +293,23 @@ def test_structured_survives_bundle_roundtrip(tmp_path, kpipe):
     assert [r["chunk_id"] for r in after["results"]] == \
         [r["chunk_id"] for r in before["results"]]
     assert after["structured"]["hard"] == before["structured"]["hard"]
+
+
+def test_drug_name_family(kpipe):
+    """Queries naming a drug get a soft preference over the record's
+    all_names metadata — a brand alias that never occurs in section text
+    still ranks its record (results/drug_name_ab.json)."""
+    parser = kpipe.structured_parser()
+    spec = parser.parse("What are the side effects of Doxytab?")
+    assert spec and spec["soft"].get("all_names") == "doxytab"
+
+    out = kpipe.query("What are the side effects of Doxytab?", top_k=2,
+                      group_by_doc=True, structured=True,
+                      structured_boost_sparse=1.5)
+    assert out["results"][0]["metadata"]["drug_name"] == "Doxytab"
+
+    # generic-name phrasing hits the same record via all_names
+    out2 = kpipe.query("doxytab adverse reactions", top_k=2,
+                       group_by_doc=True, structured=True,
+                       structured_boost_sparse=1.5)
+    assert out2["results"][0]["metadata"]["drug_name"] == "Doxytab"
