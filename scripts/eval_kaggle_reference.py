@@ -66,7 +66,8 @@ def main() -> None:
     queries = load_queries(root / args.queries)
     queries = [q for q in queries if q.get("documents")]
     pipeline, info = build_pipeline(
-        cfg, corpus_kwargs={"kaggle_path": str(tmp_corpus)})
+        cfg, corpus_kwargs={"kaggle_path": str(tmp_corpus)},
+        embedding_cache_dir="data/embcache")
     res = run_retrieval_evaluation(
         pipeline, queries, batch_size=cfg.batch_size,
         dataset="kaggle_reference", **cfg.query_kwargs())
