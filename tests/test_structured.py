@@ -313,3 +313,24 @@ def test_drug_name_family(kpipe):
                        group_by_doc=True, structured=True,
                        structured_boost_sparse=1.5)
     assert out2["results"][0]["metadata"]["drug_name"] == "Doxytab"
+
+
+def test_vocab_matcher_semantics():
+    """_VocabMatcher: token-flexible matching, longest-value-wins, and the
+    first-token prefilter never causes a false negative."""
+    from domain_rag_system_tpu.preprocessing.structured import _VocabMatcher
+
+    m = _VocabMatcher(["Diabetes (Type 2)", "Colds & Flu", "Pain"])
+    # punctuation-flexible both directions
+    assert m.find("manage diabetes type 2 daily") == "Diabetes (Type 2)"
+    assert m.find("remedies for colds flu season") == "Colds & Flu"
+    # longest VALUE wins when several match
+    m2 = _VocabMatcher(["Pain", "Chronic Pain"])
+    assert m2.find("treat chronic pain now") == "Chronic Pain"
+    # prefilter: no vocab first-token present -> no scan, no match
+    assert m.find("completely unrelated text") is None
+    assert not m.search("nothing here")
+    assert m.search("PAIN relief")  # case-insensitive
+    # empty vocab is inert
+    empty = _VocabMatcher([])
+    assert not empty and empty.find("anything") is None
