@@ -56,7 +56,8 @@ def main() -> None:
     ap.add_argument("--profile", default="tuned",
                     choices=["tuned", "tuned_at_scale", "quality_at_scale",
                              "quality_max_at_scale", "quality_small",
-                             "head_precision", "kaggle_tuned"],
+                             "head_precision", "kaggle_tuned",
+                             "openfda_tuned"],
                     help="tuned = best recall/nDCG at ~1000 q/s (small "
                          "index); tuned_at_scale = the 91k-chunk operating "
                          "point (deeper candidate pool); quality_at_scale = "
