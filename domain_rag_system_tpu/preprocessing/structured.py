@@ -11,14 +11,21 @@ run as plain text retrieval, which is exactly where text ranking is weakest
 (the label text says "Pregnancy: No risk…" in a SAFETY section far from the
 condition words the query shares with every other chunk).
 
-:class:`StructuredQueryParser` closes that gap: it detects attribute intent
-(pregnancy-safe / over-the-counter / drug-class / condition / best-rated)
-with corpus-derived vocabularies and attribute trigger lexicons, and emits
-metadata constraints that the pipeline compiles into the fused program's
-per-query device masks (``pipeline.py`` ``q_filter_d/q_filter_s``) — hard
-filters — or additive/multiplicative score boosts — soft preferences. Which
-mode each family uses is data-selected (5-fold CV on the kaggle hard eval;
-``results/cv_tune_structured.json``), not hand-picked.
+:class:`StructuredQueryParser` closes that gap with EIGHT intent families —
+pregnancy-safe, over-the-counter, drug-class, condition, active-ingredient,
+drug-name, section (overview), and best-rated — detected with
+corpus-derived vocabularies and trigger lexicons, emitting metadata
+constraints the pipeline compiles into the fused program's per-query device
+masks (``pipeline.py`` ``q_filter_d/q_filter_s``) — hard filters — or
+additive/multiplicative score boosts — soft preferences; best-rated intent
+additionally re-orders the grouped pool by the rating metadata
+(``pipeline._rating_sort``, reference formula). Which mode each family uses
+is data-selected (5-fold CV on the kaggle hard eval,
+``results/cv_tune_structured.json``; per-family A/Bs in
+``results/{drug_name,section_intent}_ab.json``), not hand-picked. Measured
+effect: the kaggle hard eval's 13 query types move to 12-at-ceiling
+(recall@5_norm 0.998 overall) and OpenFDA's ingredient type from 0.690 to
+0.931 recall@5.
 
 Design rules that keep the parser safe on corpora without the metadata:
 
