@@ -321,3 +321,50 @@ def test_merge_records_collision_drop(tmp_path):
     ids = {r["doc_id"] for r in merged}
     assert "x3" in ids and "x1" not in ids and "x2" not in ids
     assert len(merged) == len(records) + 1
+
+
+def test_openfda_distractor_invariants():
+    """Shadow/decoy construction contracts (round-5 hard eval): invented
+    names, real-name scrubbed from shadow bodies except the confusable
+    warning, donor-swapped ingredient lines kept truthful, and query
+    generation never KEYS on a distractor."""
+    from domain_rag_system_tpu.etl.openfda import (
+        build_openfda_queries,
+        make_openfda_distractors,
+    )
+
+    corpus = [
+        {"id": f"r{i}", "set_id": "", "brand_name": f"Realdrug{i}",
+         "generic_name": f"realgen{i}",
+         "text": f"Drug names: Realdrug{i}\n"
+                 f"Active ingredients: compound{i} 2.5\n"
+                 f"Warning information: do not exceed the Realdrug{i} dose.\n"
+                 f"Dosage and administration: twice daily.",
+         "metadata": {"has_warnings": True, "has_dosage": True,
+                      "has_indications": False}}
+        for i in range(6)
+    ]
+    dis = make_openfda_distractors(corpus, n=10, shadows_per_record=2)
+    shadows = [d for d in dis if d["metadata"].get("shadow_of")]
+    decoys = [d for d in dis if not d["metadata"].get("shadow_of")]
+    assert len(shadows) == 12 and len(decoys) == 10
+    real_names = {c["brand_name"] for c in corpus}
+    for s in shadows:
+        assert s["brand_name"] not in real_names
+        src_name = next(c["brand_name"] for c in corpus
+                        if c["id"] == s["metadata"]["shadow_of"])
+        first_line = s["text"].split("\n", 1)[0]
+        assert src_name not in first_line
+        # the real name survives ONLY in the confusable warning line
+        hits = [ln for ln in s["text"].split("\n") if src_name in ln]
+        assert len(hits) == 1 and "Do not combine" in hits[0]
+        # donor-swapped ingredient line is a real corpus line (truthful)
+        ing = next(ln for ln in s["text"].split("\n")
+                   if ln.startswith("Active ingredients:"))
+        assert any(ing in c["text"] for c in corpus)
+
+    qs = build_openfda_queries(corpus + dis, min_queries=1)
+    decoy_names = {d["brand_name"].lower() for d in dis}
+    assert qs, "generation must still produce queries"
+    for q in qs:
+        assert not any(n in q["body"].lower() for n in decoy_names)
